@@ -1,0 +1,118 @@
+"""Fixed-shape NMS + postprocess vs naive oracle, and mask synthesis."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xrseg_tpu.config import PostprocessConfig
+from xrseg_tpu.ops import nms as nms_ops
+from xrseg_tpu.ops import masks as mask_ops
+from xrseg_tpu.ops.postprocess import postprocess, postprocess_single
+
+
+def _random_dets(rng, n=120, nc=5, size=640.0):
+    cxy = rng.uniform(40, size - 40, (n, 2))
+    wh = rng.uniform(10, 120, (n, 2))
+    boxes = np.concatenate([cxy, wh], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    labels = rng.integers(0, nc, n).astype(np.int32)
+    return boxes, scores, labels
+
+
+@pytest.mark.parametrize("class_aware", [True, False])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nms_matches_naive(seed, class_aware):
+    rng = np.random.default_rng(seed)
+    boxes, scores, labels = _random_dets(rng)
+    out = nms_ops.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_threshold=0.5, score_threshold=0.2, pre_topk=128, max_det=50,
+        class_aware=class_aware)
+    kept_ref = nms_ops.nms_reference_numpy(
+        boxes, scores, labels, 0.5, 0.2, class_aware)
+    n = int(out["count"])
+    assert n == min(len(kept_ref), 50)
+    np.testing.assert_array_equal(np.asarray(out["indices"][:n]), kept_ref[:n])
+    # padded region zeroed, valid mask consistent
+    assert not np.asarray(out["valid"][n:]).any()
+    assert np.asarray(out["scores"][n:]).max(initial=0) == 0
+
+
+def test_nms_score_sorted_output():
+    rng = np.random.default_rng(3)
+    boxes, scores, labels = _random_dets(rng, n=60)
+    out = nms_ops.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_threshold=0.45, score_threshold=0.1)
+    n = int(out["count"])
+    s = np.asarray(out["scores"][:n])
+    assert (np.diff(s) <= 1e-6).all()
+
+
+def test_nms_all_below_threshold():
+    boxes = np.array([[100, 100, 20, 20]], np.float32).repeat(8, 0)
+    scores = np.full(8, 0.05, np.float32)
+    labels = np.zeros(8, np.int32)
+    out = nms_ops.nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(labels), iou_threshold=0.5,
+                            score_threshold=0.2)
+    assert int(out["count"]) == 0
+    assert not np.asarray(out["valid"]).any()
+
+
+def test_xywh_corners_roundtrip():
+    xywh = jnp.asarray([[10., 20., 4., 8.]])
+    c = nms_ops.xywh_to_corners(xywh)
+    np.testing.assert_allclose(np.asarray(c), [[8, 16, 12, 24]])
+
+
+def test_pairwise_iou_known():
+    corners = jnp.asarray([[0, 0, 10, 10], [5, 0, 15, 10], [20, 20, 30, 30]],
+                          jnp.float32)
+    iou = np.asarray(nms_ops.pairwise_iou(corners))
+    np.testing.assert_allclose(iou[0, 1], 50 / 150, rtol=1e-6)
+    assert iou[0, 2] == 0
+    np.testing.assert_allclose(np.diag(iou), 1.0, rtol=1e-6)
+
+
+def test_synthesize_masks_matches_numpy():
+    rng = np.random.default_rng(0)
+    coefs = rng.standard_normal((7, 32)).astype(np.float32)
+    protos = rng.standard_normal((40, 40, 32)).astype(np.float32)
+    m = np.asarray(mask_ops.synthesize_masks(jnp.asarray(coefs),
+                                             jnp.asarray(protos)))
+    ref = 1 / (1 + np.exp(-np.einsum("dn,hwn->dhw", coefs, protos)))
+    np.testing.assert_allclose(m, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_crop_masks_box_semantics():
+    masks = jnp.ones((1, 160, 160))
+    # box centered at (320,320) size 160x160 in 640-space -> mask-space
+    # [60,100] inclusive box
+    boxes = jnp.asarray([[320., 320., 160., 160.]])
+    m = np.asarray(mask_ops.crop_masks(masks, boxes, (640, 640)))
+    assert m[0, 80, 80] == 1
+    assert m[0, 80, 59] == 0 and m[0, 80, 60] == 1 and m[0, 80, 100] == 1
+    assert m[0, 80, 101] == 0
+    assert m[0, 59, 80] == 0 and m[0, 60, 80] == 1
+
+
+def test_postprocess_batched_shapes():
+    rng = np.random.default_rng(1)
+    B, A, nc, nm = 2, 300, 80, 32
+    preds = rng.standard_normal((B, A, 4 + nc + nm)).astype(np.float32)
+    preds[..., :2] = rng.uniform(100, 500, (B, A, 2))
+    preds[..., 2:4] = rng.uniform(10, 80, (B, A, 2))
+    preds[..., 4:4 + nc] = rng.uniform(0, 1, (B, A, nc))
+    protos = rng.standard_normal((B, 160, 160, nm)).astype(np.float32)
+    cfg = PostprocessConfig(max_detections=50, pre_nms_topk=128)
+    out = postprocess(jnp.asarray(preds), jnp.asarray(protos), cfg)
+    assert out["boxes_xywh"].shape == (B, 50, 4)
+    assert out["labels"].shape == (B, 50)
+    assert out["masks"].shape == (B, 50, 160, 160)
+    assert out["coefs"].shape == (B, 50, 32)
+    assert out["count"].shape == (B,)
+    # invalid slots have zero coefs -> masks exactly sigmoid(0)=0.5? no:
+    # coefs zeroed => logits 0 => sigmoid 0.5; validity must come from mask
+    n0 = int(out["count"][0])
+    assert (np.asarray(out["valid"][0, :n0])).all()

@@ -1,0 +1,203 @@
+"""Independent torch re-implementation of the YOLO11 blocks, used as a
+numerical oracle for the JAX model (tests only; never on the TPU path).
+
+Takes the *same* parameter pytree the JAX model uses (folded-BN {w, b} with
+HWIO weights) and runs the equivalent torch math in NCHW/OIHW. Any layout,
+padding, or wiring mistake in the JAX code shows up as a mismatch here.
+"""
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def _t(x: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+def _w(p) -> torch.Tensor:
+    # HWIO -> OIHW
+    return _t(np.transpose(np.asarray(p["w"]), (3, 2, 0, 1)))
+
+
+def to_nchw(x: np.ndarray) -> torch.Tensor:
+    return _t(np.transpose(x, (0, 3, 1, 2)))
+
+
+def to_nhwc(x: torch.Tensor) -> np.ndarray:
+    return np.transpose(x.detach().numpy(), (0, 2, 3, 1))
+
+
+def conv(p, x: torch.Tensor, stride=1, groups=1, act=True) -> torch.Tensor:
+    w = _w(p)
+    k = w.shape[-1]
+    y = F.conv2d(x, w, _t(p["b"]), stride=stride, padding=k // 2, groups=groups)
+    return F.silu(y) if act else y
+
+
+def dwconv(p, x, stride=1, act=True):
+    return conv(p, x, stride=stride, groups=x.shape[1], act=act)
+
+
+def bottleneck(p, x, shortcut):
+    y = conv(p["cv2"], conv(p["cv1"], x))
+    return x + y if (shortcut and x.shape[1] == y.shape[1]) else y
+
+
+def c3k(p, x, shortcut=True):
+    y1 = conv(p["cv1"], x)
+    for bp in p["m"]:
+        y1 = bottleneck(bp, y1, shortcut)
+    y2 = conv(p["cv2"], x)
+    return conv(p["cv3"], torch.cat([y1, y2], 1))
+
+
+def c3k2(p, x, shortcut=True):
+    is_c3k = "cv3" in p["m"][0]
+    y = conv(p["cv1"], x)
+    a, b = torch.chunk(y, 2, 1)
+    outs = [a, b]
+    cur = b
+    for bp in p["m"]:
+        cur = c3k(bp, cur, shortcut) if is_c3k else bottleneck(bp, cur, shortcut)
+        outs.append(cur)
+    return conv(p["cv2"], torch.cat(outs, 1))
+
+
+def sppf(p, x, k=5):
+    y = conv(p["cv1"], x)
+    y1 = F.max_pool2d(y, k, 1, k // 2)
+    y2 = F.max_pool2d(y1, k, 1, k // 2)
+    y3 = F.max_pool2d(y2, k, 1, k // 2)
+    return conv(p["cv2"], torch.cat([y, y1, y2, y3], 1))
+
+
+def attention(p, x, num_heads):
+    B, C, H, W = x.shape
+    nh = num_heads
+    hd = C // nh
+    kd = (p["qkv"]["w"].shape[-1] - C) // (2 * nh)
+    N = H * W
+    qkv = conv(p["qkv"], x, act=False)
+    # match the JAX reshape: NHWC [B,N,nh,kd*2+hd]
+    qkv_nhwc = qkv.permute(0, 2, 3, 1).reshape(B, N, nh, kd * 2 + hd)
+    q, k, v = torch.split(qkv_nhwc, [kd, kd, hd], dim=-1)
+    attn = torch.einsum("bqhd,bkhd->bhqk", q, k) * (kd ** -0.5)
+    attn = torch.softmax(attn, dim=-1)
+    o = torch.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H, W, C)
+    o = o.permute(0, 3, 1, 2).contiguous()
+    vmap = v.reshape(B, H, W, nh * hd).permute(0, 3, 1, 2).contiguous()
+    o = o + dwconv(p["pe"], vmap, act=False)
+    return conv(p["proj"], o, act=False)
+
+
+def psablock(p, x):
+    x = x + attention(p["attn"], x, max(1, x.shape[1] // 64))
+    y = conv(p["ffn2"], conv(p["ffn1"], x), act=False)
+    return x + y
+
+
+def c2psa(p, x):
+    y = conv(p["cv1"], x)
+    c = p["cv1"]["w"].shape[-1] // 2
+    a, b = torch.split(y, [c, y.shape[1] - c], 1)
+    for bp in p["m"]:
+        b = psablock(bp, b)
+    return conv(p["cv2"], torch.cat([a, b], 1))
+
+
+def proto(p, x):
+    y = conv(p["cv1"], x)
+    w = _t(np.transpose(np.asarray(p["up_w"]), (2, 3, 0, 1)))  # HWIO->IOHW
+    y = F.conv_transpose2d(y, w, _t(p["up_b"]), stride=2)
+    y = conv(p["cv2"], y)
+    return conv(p["cv3"], y)
+
+
+def upsample2x(x):
+    return F.interpolate(x, scale_factor=2, mode="nearest")
+
+
+def backbone_neck(p, x):
+    x = conv(p["b0"], x, 2)
+    x = conv(p["b1"], x, 2)
+    x = c3k2(p["b2"], x, shortcut=False)
+    x = conv(p["b3"], x, 2)
+    x4 = c3k2(p["b4"], x, shortcut=False)
+    x = conv(p["b5"], x4, 2)
+    x6 = c3k2(p["b6"], x, shortcut=True)
+    x = conv(p["b7"], x6, 2)
+    x = c3k2(p["b8"], x, shortcut=True)
+    x = sppf(p["b9"], x)
+    x10 = c2psa(p["b10"], x)
+
+    u = upsample2x(x10)
+    x13 = c3k2(p["h13"], torch.cat([u, x6], 1), shortcut=False)
+    u = upsample2x(x13)
+    x16 = c3k2(p["h16"], torch.cat([u, x4], 1), shortcut=False)
+    d = conv(p["h17"], x16, 2)
+    x19 = c3k2(p["h19"], torch.cat([d, x13], 1), shortcut=False)
+    d = conv(p["h20"], x19, 2)
+    x22 = c3k2(p["h22"], torch.cat([d, x10], 1), shortcut=True)
+    return x16, x19, x22
+
+
+def detect_heads(p, feats):
+    boxes, clss = [], []
+    for i, f in enumerate(feats):
+        d2 = p["det"]["cv2"][i]
+        b = conv(d2["1"], conv(d2["0"], f))
+        boxes.append(conv(d2["2"], b, act=False))
+        d3 = p["det"]["cv3"][i]
+        c = conv(d3["pw0"], dwconv(d3["dw0"], f))
+        c = conv(d3["pw1"], dwconv(d3["dw1"], c))
+        clss.append(conv(d3["2"], c, act=False))
+    return boxes, clss
+
+
+def seg_heads(p, feats):
+    mcs = []
+    for i, f in enumerate(feats):
+        c4 = p["seg_cv4"][i]
+        m = conv(c4["1"], conv(c4["0"], f))
+        mcs.append(conv(c4["2"], m, act=False))
+    return mcs
+
+
+def full_forward(p, x_nhwc: np.ndarray, cfg):
+    """Torch mirror of yolo11.forward up to raw flattened heads + numpy decode."""
+    x = to_nchw(x_nhwc)
+    feats = backbone_neck(p, x)
+    boxes, clss = detect_heads(p, feats)
+    B = x.shape[0]
+
+    def flat(maps, c):
+        # NCHW -> NHWC -> [B, A, c]; matches the JAX reshape order
+        return np.concatenate([to_nhwc(m).reshape(B, -1, c) for m in maps], 1)
+
+    box_flat = flat(boxes, 4 * cfg.reg_max)
+    cls_flat = flat(clss, cfg.num_classes)
+
+    from xrseg_tpu.models.yolo11 import make_anchors
+    anchors, strides = make_anchors(cfg.input_size)
+    x4 = box_flat.reshape(B, -1, 4, cfg.reg_max)
+    probs = np.exp(x4 - x4.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ltrb = (probs * np.arange(cfg.reg_max)).sum(-1)
+    lt, rb = ltrb[..., :2], ltrb[..., 2:]
+    x1y1 = anchors[None] - lt
+    x2y2 = anchors[None] + rb
+    cxy = (x1y1 + x2y2) * 0.5 * strides[None]
+    wh = (x2y2 - x1y1) * strides[None]
+    xywh = np.concatenate([cxy, wh], -1)
+    scores = 1.0 / (1.0 + np.exp(-cls_flat))
+
+    out = {"boxes_xywh": xywh, "scores": scores}
+    if cfg.task == "segment":
+        out["protos"] = to_nhwc(proto(p["proto"], feats[0]))
+        out["mask_coefs"] = flat(seg_heads(p, feats), cfg.num_masks)
+        out["preds"] = np.concatenate([xywh, scores, out["mask_coefs"]], -1)
+    else:
+        out["preds"] = np.concatenate([xywh, scores], -1)
+    return out

@@ -1,0 +1,27 @@
+"""xrseg_tpu — TPU-native instance-segmentation framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+netlab-dgist/xr-image-segmentation (a Unity/Sentis Quest-3 passthrough
+YOLO11-seg pipeline): model graph, baked postprocess (decode + NMS + mask
+synthesis), streaming executor runtime, single-target tracking, RGBD
+point-cloud fusion, and visualization — all designed TPU-first.
+
+Layer map (mirrors SURVEY.md §1, reimagined for TPU):
+  L7 app loop        -> runtime.frame_source + examples/demo
+  L6 visualization   -> viz.boxer / viz.masker / viz.pointcloud
+  L5 tracking        -> perception.tracking
+  L4 RGBD fusion     -> ops.depth_fusion (Pallas) + native/depth_fusion.cpp
+  L3 inference rt    -> runtime.executor (async dispatch + readback polling)
+  L2 model compile   -> compile.build_pipeline (jit of net + baked postprocess)
+  L1 camera/sensors  -> perception.camera + runtime.frame_source
+  L0 engine          -> JAX/XLA on TPU
+"""
+
+__version__ = "0.1.0"
+
+from xrseg_tpu.config import (  # noqa: F401
+    ExecutorConfig,
+    ModelConfig,
+    PostprocessConfig,
+    DepthConfig,
+)

@@ -1,0 +1,102 @@
+"""Configuration dataclasses — the framework's single config surface.
+
+The reference scatters its knobs across C# [SerializeField] defaults and
+per-scene YAML overrides (ref: Assets/Scripts/InferenceEngine/IEExecutor.cs:28-44,
+IEModelConverter.cs:7-8, XRScene.unity:1221-1259, TestScene.unity:747-750).
+Here every knob lives in typed, frozen dataclasses; "scenes" become named
+presets (TEST_PRESET / XR_PRESET).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """YOLO11 family model configuration.
+
+    ref contract: 640x640 input, 80 COCO classes, 32 mask prototypes at
+    160x160 (IEModelEditorConverter.cs:50-58).
+    """
+    scale: str = "n"                 # one of n / s / m / l / x
+    num_classes: int = 80
+    num_masks: int = 32              # mask coefficients (segmentation only)
+    reg_max: int = 16                # DFL bins per box side
+    input_size: Tuple[int, int] = (640, 640)   # (H, W)
+    task: str = "segment"            # "segment" | "detect"
+    dtype: str = "bfloat16"          # compute dtype on TPU
+    param_dtype: str = "float32"
+
+    @property
+    def mask_size(self) -> Tuple[int, int]:
+        # prototypes are produced at input/4 (ref: 160x160 for 640 input,
+        # IEMasker.cs:11-12)
+        return (self.input_size[0] // 4, self.input_size[1] // 4)
+
+    @property
+    def num_anchors(self) -> int:
+        h, w = self.input_size
+        return (h // 8) * (w // 8) + (h // 16) * (w // 16) + (h // 32) * (w // 32)
+
+
+@dataclasses.dataclass(frozen=True)
+class PostprocessConfig:
+    """Baked postprocess graph knobs.
+
+    ref: NMS iou/score from IEModelConverter (code default 0.6/0.23,
+    TestScene same; XRScene deploys 0.43/0.301 — XRScene.unity:1173-1174).
+    max_detections mirrors the 50-box parse cap (IEExecutor.cs:534).
+    TPU note: everything is fixed-shape; NMS returns a padded top
+    `max_detections` slate + a valid count instead of a dynamic N.
+    """
+    iou_threshold: float = 0.6
+    score_threshold: float = 0.23
+    max_detections: int = 50
+    pre_nms_topk: int = 256          # candidates entering NMS (power-of-2 friendly)
+    class_aware: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthConfig:
+    """RGBD point-cloud extraction knobs (ref: IEExecutor.cs:39-44,131-132,223).
+    """
+    max_points: int = 8000
+    sampling_step: int = 4           # XRScene deploys 5 (XRScene.unity:1259)
+    confidence_threshold: float = 0.5
+    min_depth_m: float = 0.1
+    max_depth_m: float = 3.0
+    latency_seconds: float = 0.033   # depth sensor latency compensation
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecutorConfig:
+    """Inference runtime knobs (ref: IEExecutor.cs:28-44).
+
+    `layers_per_frame` made the Quest GPU time-slice the graph across display
+    frames; on TPU the analogue is async dispatch + double-buffered streaming,
+    but we keep a `max_inflight` budget that bounds queued work the same way.
+    """
+    model: ModelConfig = ModelConfig()
+    post: PostprocessConfig = PostprocessConfig()
+    depth: DepthConfig = DepthConfig()
+    confidence_threshold: float = 0.5      # mask/vis/depth gate (IEExecutor.cs:32)
+    max_inflight: int = 2                  # double buffering depth
+    enable_ui_rendering: bool = True       # ref EnableUIRendering (IEExecutor.cs:37)
+    tracking_gate_px: float = 300.0        # same-class nearest-center gate (IEExecutor.cs:509)
+    select_margin_px: float = 50.0         # touch margin (IEExecutor.cs:739,783)
+    batch_size: int = 1
+
+
+# "Scene" presets — the reference's two scenes as configs.
+# TestScene: headset-free harness, code-default NMS thresholds (TestScene.unity:700-701,747).
+TEST_PRESET = ExecutorConfig(
+    post=PostprocessConfig(iou_threshold=0.6, score_threshold=0.23),
+    enable_ui_rendering=True,
+)
+# XRScene: deployed on-device config (XRScene.unity:1173-1174,1221-1259).
+XR_PRESET = ExecutorConfig(
+    post=PostprocessConfig(iou_threshold=0.43, score_threshold=0.301),
+    depth=DepthConfig(sampling_step=5),
+    enable_ui_rendering=False,
+)

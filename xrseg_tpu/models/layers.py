@@ -1,0 +1,334 @@
+"""YOLO11 building blocks in functional JAX (NHWC, MXU-friendly).
+
+These reimplement the *architecture* that the reference's ONNX graph encodes
+(Conv+BN+SiLU, C3k2, SPPF, C2PSA attention, DFL detect / segment heads),
+executed by Sentis in the reference (ref: Packages/manifest.json:4). We are
+the engine here, so the modules are written TPU-first:
+
+  - NHWC activations / HWIO weights (XLA's preferred TPU conv layout).
+  - BatchNorm folded into conv weights at init/load time: inference params
+    are always {w, b}. (The reference likewise ships a baked inference
+    graph — Assets/.../IEModelEditorConverter.cs:100-102.)
+  - bfloat16 compute with float32 MXU accumulation.
+  - No dynamic shapes, no data-dependent control flow: jit-safe throughout.
+
+Param trees are plain nested dicts so they shard/serialize trivially.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+
+class KeyGen:
+    """Sequential PRNG key splitter for deterministic init."""
+
+    def __init__(self, key: jax.Array):
+        self._key = key
+
+    def __call__(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+
+def autopad(k: int) -> int:
+    """'same' padding for odd kernels, matching torch Conv2d(padding=k//2)."""
+    return k // 2
+
+
+# ---------------------------------------------------------------------------
+# Conv (+ folded BN + SiLU)
+# ---------------------------------------------------------------------------
+
+def conv_init(kg: KeyGen, c1: int, c2: int, k: int = 1, groups: int = 1,
+              param_dtype=jnp.float32) -> Params:
+    """Kaiming-uniform init, bias zero (BN fold of a fresh BN is identity)."""
+    fan_in = c1 // groups * k * k
+    bound = math.sqrt(1.0 / fan_in) if fan_in > 0 else 1.0
+    w = jax.random.uniform(kg(), (k, k, c1 // groups, c2), param_dtype,
+                           -bound * math.sqrt(3.0), bound * math.sqrt(3.0))
+    b = jnp.zeros((c2,), param_dtype)
+    return {"w": w, "b": b}
+
+
+def conv_apply(p: Params, x: jax.Array, *, stride: int = 1, groups: int = 1,
+               act: bool = True, dtype=jnp.bfloat16) -> jax.Array:
+    """Conv2d + (folded-BN) bias + SiLU. x: [B,H,W,C]. w: [k,k,Cin/g,Cout]."""
+    k = p["w"].shape[0]
+    pad = autopad(k)
+    y = lax.conv_general_dilated(
+        x.astype(dtype), p["w"].astype(dtype),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    y = y + p["b"].astype(jnp.float32)
+    if act:
+        y = jax.nn.silu(y)
+    return y.astype(dtype)
+
+
+def dwconv_init(kg: KeyGen, c: int, k: int = 3, param_dtype=jnp.float32) -> Params:
+    """Depthwise conv (groups == channels), used by the v11 Detect cls branch."""
+    return conv_init(kg, c, c, k, groups=c, param_dtype=param_dtype)
+
+
+def dwconv_apply(p: Params, x: jax.Array, *, stride: int = 1, act: bool = True,
+                 dtype=jnp.bfloat16) -> jax.Array:
+    c = x.shape[-1]
+    return conv_apply(p, x, stride=stride, groups=c, act=act, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Bottleneck / C3k / C3k2 (CSP blocks)
+# ---------------------------------------------------------------------------
+
+def bottleneck_init(kg: KeyGen, c1: int, c2: int, k: Tuple[int, int] = (3, 3),
+                    e: float = 0.5, param_dtype=jnp.float32) -> Params:
+    c_ = int(c2 * e)
+    return {
+        "cv1": conv_init(kg, c1, c_, k[0], param_dtype=param_dtype),
+        "cv2": conv_init(kg, c_, c2, k[1], param_dtype=param_dtype),
+    }
+
+
+def bottleneck_apply(p: Params, x: jax.Array, *, shortcut: bool,
+                     dtype=jnp.bfloat16) -> jax.Array:
+    y = conv_apply(p["cv2"], conv_apply(p["cv1"], x, dtype=dtype), dtype=dtype)
+    if shortcut and x.shape[-1] == y.shape[-1]:
+        y = x + y
+    return y
+
+
+def c3k_init(kg: KeyGen, c1: int, c2: int, n: int = 1, e: float = 0.5,
+             k: int = 3, param_dtype=jnp.float32) -> Params:
+    c_ = int(c2 * e)
+    return {
+        "cv1": conv_init(kg, c1, c_, 1, param_dtype=param_dtype),
+        "cv2": conv_init(kg, c1, c_, 1, param_dtype=param_dtype),
+        "cv3": conv_init(kg, 2 * c_, c2, 1, param_dtype=param_dtype),
+        "m": [bottleneck_init(kg, c_, c_, (k, k), 1.0, param_dtype) for _ in range(n)],
+    }
+
+
+def c3k_apply(p: Params, x: jax.Array, *, shortcut: bool = True,
+              dtype=jnp.bfloat16) -> jax.Array:
+    y1 = conv_apply(p["cv1"], x, dtype=dtype)
+    for bp in p["m"]:
+        y1 = bottleneck_apply(bp, y1, shortcut=shortcut, dtype=dtype)
+    y2 = conv_apply(p["cv2"], x, dtype=dtype)
+    return conv_apply(p["cv3"], jnp.concatenate([y1, y2], axis=-1), dtype=dtype)
+
+
+def c3k2_init(kg: KeyGen, c1: int, c2: int, n: int = 1, c3k: bool = False,
+              e: float = 0.5, param_dtype=jnp.float32) -> Params:
+    """C3k2 = C2f whose inner blocks are C3k (if c3k) else Bottleneck.
+
+    NOTE: the c3k flag is *not* stored in the params (pytree leaves get traced
+    under jit); apply infers it statically from the param structure.
+    """
+    c = int(c2 * e)
+    p: Params = {
+        "cv1": conv_init(kg, c1, 2 * c, 1, param_dtype=param_dtype),
+        "cv2": conv_init(kg, (2 + n) * c, c2, 1, param_dtype=param_dtype),
+    }
+    if c3k:
+        p["m"] = [c3k_init(kg, c, c, 2, param_dtype=param_dtype) for _ in range(n)]
+    else:
+        p["m"] = [bottleneck_init(kg, c, c, (3, 3), 1.0, param_dtype) for _ in range(n)]
+    return p
+
+
+def c3k2_apply(p: Params, x: jax.Array, *, shortcut: bool = True,
+               dtype=jnp.bfloat16) -> jax.Array:
+    is_c3k = "cv3" in p["m"][0]     # static structure check, jit-safe
+    y = conv_apply(p["cv1"], x, dtype=dtype)
+    a, b = jnp.split(y, 2, axis=-1)
+    outs = [a, b]
+    cur = b
+    for bp in p["m"]:
+        if is_c3k:
+            cur = c3k_apply(bp, cur, shortcut=shortcut, dtype=dtype)
+        else:
+            cur = bottleneck_apply(bp, cur, shortcut=shortcut, dtype=dtype)
+        outs.append(cur)
+    return conv_apply(p["cv2"], jnp.concatenate(outs, axis=-1), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# SPPF
+# ---------------------------------------------------------------------------
+
+def sppf_init(kg: KeyGen, c1: int, c2: int, param_dtype=jnp.float32) -> Params:
+    c_ = c1 // 2
+    return {
+        "cv1": conv_init(kg, c1, c_, 1, param_dtype=param_dtype),
+        "cv2": conv_init(kg, c_ * 4, c2, 1, param_dtype=param_dtype),
+    }
+
+
+def _maxpool_same(x: jax.Array, k: int) -> jax.Array:
+    pad = k // 2
+    return lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        lax.max, (1, k, k, 1), (1, 1, 1, 1),
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+
+def sppf_apply(p: Params, x: jax.Array, *, k: int = 5, dtype=jnp.bfloat16) -> jax.Array:
+    y = conv_apply(p["cv1"], x, dtype=dtype)
+    y1 = _maxpool_same(y, k)
+    y2 = _maxpool_same(y1, k)
+    y3 = _maxpool_same(y2, k)
+    return conv_apply(p["cv2"], jnp.concatenate([y, y1, y2, y3], axis=-1), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# C2PSA (position-sensitive attention) — the only attention in YOLO11.
+# Runs at input/32 resolution (20x20 for 640), single-chip sized.
+# ---------------------------------------------------------------------------
+
+def attention_init(kg: KeyGen, dim: int, num_heads: int, attn_ratio: float = 0.5,
+                   param_dtype=jnp.float32) -> Params:
+    head_dim = dim // num_heads
+    key_dim = int(head_dim * attn_ratio)
+    nh_kd = key_dim * num_heads
+    h = dim + nh_kd * 2
+    return {
+        "qkv": conv_init(kg, dim, h, 1, param_dtype=param_dtype),
+        "proj": conv_init(kg, dim, dim, 1, param_dtype=param_dtype),
+        "pe": conv_init(kg, dim, dim, 3, groups=dim, param_dtype=param_dtype),
+    }
+
+
+def attention_apply(p: Params, x: jax.Array, *, num_heads: int,
+                    dtype=jnp.bfloat16) -> jax.Array:
+    """Multi-head spatial attention over the HxW grid. x: [B,H,W,C].
+
+    num_heads is static (passed by the caller); key/head dims are inferred
+    from the qkv weight shape so no ints live in the pytree.
+    """
+    B, H, W, C = x.shape
+    nh = num_heads
+    hd = C // nh
+    h_total = p["qkv"]["w"].shape[-1]
+    kd = (h_total - C) // (2 * nh)
+    N = H * W
+    qkv = conv_apply(p["qkv"], x, act=False, dtype=dtype)          # [B,H,W,h]
+    qkv = qkv.reshape(B, N, nh, kd * 2 + hd)
+    q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)                 # [B,N,nh,*]
+    scale = kd ** -0.5
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    o = o.reshape(B, H, W, C)
+    vmap = v.reshape(B, H, W, nh * hd)
+    o = o + dwconv_apply(p["pe"], vmap, act=False, dtype=dtype)
+    return conv_apply(p["proj"], o, act=False, dtype=dtype)
+
+
+def psablock_init(kg: KeyGen, c: int, param_dtype=jnp.float32) -> Params:
+    return {
+        "attn": attention_init(kg, c, num_heads=max(1, c // 64),
+                               param_dtype=param_dtype),
+        "ffn1": conv_init(kg, c, c * 2, 1, param_dtype=param_dtype),
+        "ffn2": conv_init(kg, c * 2, c, 1, param_dtype=param_dtype),
+    }
+
+
+def psablock_apply(p: Params, x: jax.Array, *, dtype=jnp.bfloat16) -> jax.Array:
+    c = x.shape[-1]
+    x = x + attention_apply(p["attn"], x, num_heads=max(1, c // 64), dtype=dtype)
+    y = conv_apply(p["ffn1"], x, dtype=dtype)
+    y = conv_apply(p["ffn2"], y, act=False, dtype=dtype)
+    return x + y
+
+
+def c2psa_init(kg: KeyGen, c1: int, n: int = 1, e: float = 0.5,
+               param_dtype=jnp.float32) -> Params:
+    c = int(c1 * e)
+    return {
+        "cv1": conv_init(kg, c1, 2 * c, 1, param_dtype=param_dtype),
+        "cv2": conv_init(kg, 2 * c, c1, 1, param_dtype=param_dtype),
+        "m": [psablock_init(kg, c, param_dtype) for _ in range(n)],
+    }
+
+
+def c2psa_apply(p: Params, x: jax.Array, *, dtype=jnp.bfloat16) -> jax.Array:
+    c = p["cv1"]["w"].shape[-1] // 2        # static, from weight shape
+    y = conv_apply(p["cv1"], x, dtype=dtype)
+    a, b = jnp.split(y, [c], axis=-1)
+    for bp in p["m"]:
+        b = psablock_apply(bp, b, dtype=dtype)
+    return conv_apply(p["cv2"], jnp.concatenate([a, b], axis=-1), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Proto (mask prototype head) — emits [B, H/4, W/4, nm]
+# ---------------------------------------------------------------------------
+
+def proto_init(kg: KeyGen, c1: int, c_: int = 256, nm: int = 32,
+               param_dtype=jnp.float32) -> Params:
+    p = {
+        "cv1": conv_init(kg, c1, c_, 3, param_dtype=param_dtype),
+        "cv2": conv_init(kg, c_, c_, 3, param_dtype=param_dtype),
+        "cv3": conv_init(kg, c_, nm, 1, param_dtype=param_dtype),
+    }
+    # ConvTranspose2d(c_, c_, 2, 2) with bias (no BN-act in torch: it *does*
+    # have default act in ultralytics Proto: nn.ConvTranspose2d + no act).
+    fan_in = c_ * 2 * 2
+    bound = math.sqrt(1.0 / fan_in)
+    p["up_w"] = jax.random.uniform(kg(), (2, 2, c_, c_), param_dtype,
+                                   -bound * math.sqrt(3.0), bound * math.sqrt(3.0))
+    p["up_b"] = jnp.zeros((c_,), param_dtype)
+    return p
+
+
+def proto_apply(p: Params, x: jax.Array, *, dtype=jnp.bfloat16) -> jax.Array:
+    y = conv_apply(p["cv1"], x, dtype=dtype)
+    # Transposed conv k=2 s=2 (exact x2 upsample, each pixel -> learned 2x2).
+    # up_w is [kH,kW,I,O]; transpose_kernel=True + [kH,kW,O,I] gives exact
+    # torch ConvTranspose2d semantics (gradient-of-conv: flipped + IO-swapped).
+    y = lax.conv_transpose(
+        y.astype(dtype), jnp.swapaxes(p["up_w"], 2, 3).astype(dtype),
+        strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        preferred_element_type=jnp.float32)
+    y = (y + p["up_b"].astype(jnp.float32)).astype(dtype)
+    y = conv_apply(p["cv2"], y, dtype=dtype)
+    return conv_apply(p["cv3"], y, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Plain conv head leaf (no BN, no act) — final 1x1 projections in Detect.
+# ---------------------------------------------------------------------------
+
+def head_conv_init(kg: KeyGen, c1: int, c2: int, k: int = 1,
+                   param_dtype=jnp.float32) -> Params:
+    fan_in = c1 * k * k
+    bound = math.sqrt(1.0 / fan_in)
+    return {
+        "w": jax.random.uniform(kg(), (k, k, c1, c2), param_dtype,
+                                -bound * math.sqrt(3.0), bound * math.sqrt(3.0)),
+        "b": jax.random.uniform(kg(), (c2,), param_dtype, -bound, bound),
+    }
+
+
+def head_conv_apply(p: Params, x: jax.Array, *, dtype=jnp.bfloat16) -> jax.Array:
+    return conv_apply(p, x, act=False, dtype=dtype)
+
+
+def upsample2x_nearest(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor x2 upsample (torch nn.Upsample(scale=2) semantics)."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)

@@ -1,0 +1,289 @@
+"""YOLO11 detect/segment model family (n/s/m/l/x) in functional JAX.
+
+Rebuilds the network whose compiled form the reference executes
+(Assets/Resources/Model/yolo11n-seg-sentis.sentis; raw-head contract
+documented at Assets/Scripts/InferenceEngine/Editor/IEModelEditorConverter.cs:48-60):
+
+  output0: [B, 4 + nc + nm, A]  (xywh in input pixels, sigmoid class scores,
+                                 mask coefficients), A = 8400 for 640x640
+  output1: [B, nm, H/4, W/4]    (mask prototypes, 32 x 160 x 160)
+
+Internally everything is NHWC / [B, A, C]; `raw_outputs_onnx_layout` emits the
+exact ONNX/Sentis layout for golden tests.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xrseg_tpu.config import ModelConfig
+from xrseg_tpu.models import layers as L
+
+Params = Dict[str, Any]
+
+# scale: (depth_mult, width_mult, max_channels) — the standard YOLO11 ladder.
+YOLO11_SCALES: Dict[str, Tuple[float, float, int]] = {
+    "n": (0.50, 0.25, 1024),
+    "s": (0.50, 0.50, 1024),
+    "m": (0.50, 1.00, 512),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.50, 512),
+}
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return max(divisor, int(x + divisor / 2) // divisor * divisor)
+
+
+class Spec:
+    """Resolved channel/repeat plan for one scale."""
+
+    def __init__(self, cfg: ModelConfig):
+        if cfg.scale not in YOLO11_SCALES:
+            raise ValueError(
+                f"Unknown YOLO11 scale {cfg.scale!r}; expected one of "
+                f"{sorted(YOLO11_SCALES)}")
+        if cfg.input_size[0] % 32 or cfg.input_size[1] % 32:
+            raise ValueError(
+                f"input_size {cfg.input_size} must be a multiple of 32 "
+                "(the P5 stride)")
+        depth, width, max_ch = YOLO11_SCALES[cfg.scale]
+        self.cfg = cfg
+        self.depth, self.width, self.max_ch = depth, width, max_ch
+        # c3k flag is forced on for the wide scales (ultralytics scale rule).
+        self.force_c3k = cfg.scale in ("m", "l", "x")
+
+        def ch(c: int) -> int:
+            return make_divisible(min(c, max_ch) * width, 8)
+
+        def rep(n: int) -> int:
+            return max(round(n * depth), 1)
+
+        self.ch, self.rep = ch, rep
+        # backbone/head channel plan (base, pre-scale):
+        self.c64, self.c128, self.c256 = ch(64), ch(128), ch(256)
+        self.c512, self.c1024 = ch(512), ch(1024)
+        self.n2 = rep(2)
+        # detect head widths
+        nc, reg_max = cfg.num_classes, cfg.reg_max
+        self.head_ch = (self.c256, self.c512, self.c1024)   # P3, P4, P5
+        self.c2 = max(16, self.head_ch[0] // 4, reg_max * 4)
+        self.c3 = max(self.head_ch[0], min(nc, 100))
+        self.c4 = max(self.head_ch[0] // 4, cfg.num_masks)
+        self.proto_c = ch(256)                              # npr scaled
+        self.strides = (8, 16, 32)
+
+
+def _c3k(spec: Spec, flag: bool) -> bool:
+    return True if spec.force_c3k else flag
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    kg = L.KeyGen(key)
+    s = Spec(cfg)   # validates scale/input_size
+    pd = jnp.dtype(cfg.param_dtype)
+    p: Params = {}
+
+    # --- backbone ---
+    p["b0"] = L.conv_init(kg, 3, s.c64, 3, param_dtype=pd)
+    p["b1"] = L.conv_init(kg, s.c64, s.c128, 3, param_dtype=pd)
+    p["b2"] = L.c3k2_init(kg, s.c128, s.c256, s.n2, _c3k(s, False), 0.25, pd)
+    p["b3"] = L.conv_init(kg, s.c256, s.c256, 3, param_dtype=pd)
+    p["b4"] = L.c3k2_init(kg, s.c256, s.c512, s.n2, _c3k(s, False), 0.25, pd)
+    p["b5"] = L.conv_init(kg, s.c512, s.c512, 3, param_dtype=pd)
+    p["b6"] = L.c3k2_init(kg, s.c512, s.c512, s.n2, True, 0.5, pd)
+    p["b7"] = L.conv_init(kg, s.c512, s.c1024, 3, param_dtype=pd)
+    p["b8"] = L.c3k2_init(kg, s.c1024, s.c1024, s.n2, True, 0.5, pd)
+    p["b9"] = L.sppf_init(kg, s.c1024, s.c1024, pd)
+    p["b10"] = L.c2psa_init(kg, s.c1024, s.n2, 0.5, pd)
+
+    # --- FPN/PAN head ---
+    p["h13"] = L.c3k2_init(kg, s.c1024 + s.c512, s.c512, s.n2, _c3k(s, False), 0.5, pd)
+    p["h16"] = L.c3k2_init(kg, s.c512 + s.c512, s.c256, s.n2, _c3k(s, False), 0.5, pd)
+    p["h17"] = L.conv_init(kg, s.c256, s.c256, 3, param_dtype=pd)
+    p["h19"] = L.c3k2_init(kg, s.c256 + s.c512, s.c512, s.n2, _c3k(s, False), 0.5, pd)
+    p["h20"] = L.conv_init(kg, s.c512, s.c512, 3, param_dtype=pd)
+    p["h22"] = L.c3k2_init(kg, s.c512 + s.c1024, s.c1024, s.n2, True, 0.5, pd)
+
+    # --- detect head (box reg + cls), one branch pair per pyramid level ---
+    nc, reg_max = cfg.num_classes, cfg.reg_max
+    p["det"] = {"cv2": [], "cv3": []}
+    for i, ci in enumerate(s.head_ch):
+        p["det"]["cv2"].append({
+            "0": L.conv_init(kg, ci, s.c2, 3, param_dtype=pd),
+            "1": L.conv_init(kg, s.c2, s.c2, 3, param_dtype=pd),
+            "2": L.head_conv_init(kg, s.c2, 4 * reg_max, 1, pd),
+        })
+        p["det"]["cv3"].append({
+            "dw0": L.dwconv_init(kg, ci, 3, pd),
+            "pw0": L.conv_init(kg, ci, s.c3, 1, param_dtype=pd),
+            "dw1": L.dwconv_init(kg, s.c3, 3, pd),
+            "pw1": L.conv_init(kg, s.c3, s.c3, 1, param_dtype=pd),
+            "2": L.head_conv_init(kg, s.c3, nc, 1, pd),
+        })
+        # bias init for stable random-weight behavior (standard YOLO recipe)
+        stride = s.strides[i]
+        p["det"]["cv2"][i]["2"]["b"] = jnp.full((4 * reg_max,), 1.0, pd)
+        cls_bias = math.log(5 / nc / (640 / stride) ** 2)
+        p["det"]["cv3"][i]["2"]["b"] = jnp.full((nc,), cls_bias, pd)
+
+    # --- segmentation extras ---
+    if cfg.task == "segment":
+        p["proto"] = L.proto_init(kg, s.head_ch[0], s.proto_c, cfg.num_masks, pd)
+        p["seg_cv4"] = []
+        for ci in s.head_ch:
+            p["seg_cv4"].append({
+                "0": L.conv_init(kg, ci, s.c4, 3, param_dtype=pd),
+                "1": L.conv_init(kg, s.c4, s.c4, 3, param_dtype=pd),
+                "2": L.head_conv_init(kg, s.c4, cfg.num_masks, 1, pd),
+            })
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _backbone_neck(p: Params, x: jax.Array, cfg: ModelConfig, dt) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (P3, P4, P5) feature maps at strides 8/16/32. x: [B,H,W,3]."""
+    x = L.conv_apply(p["b0"], x, stride=2, dtype=dt)
+    x = L.conv_apply(p["b1"], x, stride=2, dtype=dt)
+    x = L.c3k2_apply(p["b2"], x, shortcut=False, dtype=dt)
+    x = L.conv_apply(p["b3"], x, stride=2, dtype=dt)
+    x4 = L.c3k2_apply(p["b4"], x, shortcut=False, dtype=dt)
+    x = L.conv_apply(p["b5"], x4, stride=2, dtype=dt)
+    x6 = L.c3k2_apply(p["b6"], x, shortcut=True, dtype=dt)
+    x = L.conv_apply(p["b7"], x6, stride=2, dtype=dt)
+    x = L.c3k2_apply(p["b8"], x, shortcut=True, dtype=dt)
+    x = L.sppf_apply(p["b9"], x, dtype=dt)
+    x10 = L.c2psa_apply(p["b10"], x, dtype=dt)
+
+    u = L.upsample2x_nearest(x10)
+    x13 = L.c3k2_apply(p["h13"], jnp.concatenate([u, x6], -1), shortcut=False, dtype=dt)
+    u = L.upsample2x_nearest(x13)
+    x16 = L.c3k2_apply(p["h16"], jnp.concatenate([u, x4], -1), shortcut=False, dtype=dt)
+    d = L.conv_apply(p["h17"], x16, stride=2, dtype=dt)
+    x19 = L.c3k2_apply(p["h19"], jnp.concatenate([d, x13], -1), shortcut=False, dtype=dt)
+    d = L.conv_apply(p["h20"], x19, stride=2, dtype=dt)
+    x22 = L.c3k2_apply(p["h22"], jnp.concatenate([d, x10], -1), shortcut=True, dtype=dt)
+    return x16, x19, x22
+
+
+def _detect_branches(p: Params, feats, cfg: ModelConfig, dt):
+    """Per-level raw head maps: box logits [B,H,W,4*reg_max], cls logits [B,H,W,nc]."""
+    boxes, clss = [], []
+    for i, f in enumerate(feats):
+        d2 = p["det"]["cv2"][i]
+        b = L.conv_apply(d2["0"], f, dtype=dt)
+        b = L.conv_apply(d2["1"], b, dtype=dt)
+        boxes.append(L.head_conv_apply(d2["2"], b, dtype=dt))
+        d3 = p["det"]["cv3"][i]
+        c = L.dwconv_apply(d3["dw0"], f, dtype=dt)
+        c = L.conv_apply(d3["pw0"], c, dtype=dt)
+        c = L.dwconv_apply(d3["dw1"], c, dtype=dt)
+        c = L.conv_apply(d3["pw1"], c, dtype=dt)
+        clss.append(L.head_conv_apply(d3["2"], c, dtype=dt))
+    return boxes, clss
+
+
+def make_anchors(input_size: Tuple[int, int], strides=(8, 16, 32)) -> Tuple[np.ndarray, np.ndarray]:
+    """Anchor cell centers (in per-level grid units) + per-anchor stride.
+
+    Level order P3,P4,P5, row-major within a level — matching the reference
+    graph's 8400-anchor axis.
+    """
+    pts, strs = [], []
+    H, W = input_size
+    for s in strides:
+        h, w = H // s, W // s
+        ys, xs = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5, indexing="ij")
+        pts.append(np.stack([xs.reshape(-1), ys.reshape(-1)], -1))
+        strs.append(np.full((h * w, 1), s, np.float32))
+    return (np.concatenate(pts).astype(np.float32), np.concatenate(strs))
+
+
+def dfl_decode(box_logits: jax.Array, reg_max: int) -> jax.Array:
+    """Distribution Focal Loss decode: [B,A,4*reg_max] -> [B,A,4] ltrb distances."""
+    B, A, _ = box_logits.shape
+    x = box_logits.reshape(B, A, 4, reg_max).astype(jnp.float32)
+    probs = jax.nn.softmax(x, axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    return jnp.einsum("bafr,r->baf", probs, bins)
+
+
+def forward(params: Params, x: jax.Array, cfg: ModelConfig) -> Dict[str, jax.Array]:
+    """Full raw-head forward.
+
+    Returns dict:
+      preds:  [B, A, 4+nc+nm] float32 — xywh (input pixels), sigmoid scores,
+              mask coefficients. (= ONNX output0, transposed)
+      protos: [B, H/4, W/4, nm] float32 NHWC  (= ONNX output1, transposed)
+    """
+    if tuple(x.shape[1:3]) != tuple(cfg.input_size):
+        raise ValueError(
+            f"input {x.shape} does not match cfg.input_size {cfg.input_size} "
+            "(NHWC expected)")
+    dt = jnp.dtype(cfg.dtype)
+    feats = _backbone_neck(params, x, cfg, dt)
+    boxes, clss = _detect_branches(params, feats, cfg, dt)
+
+    B = x.shape[0]
+    box_flat = jnp.concatenate(
+        [b.reshape(B, -1, 4 * cfg.reg_max) for b in boxes], axis=1)
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, cfg.num_classes) for c in clss], axis=1)
+
+    anchors_np, strides_np = make_anchors(cfg.input_size)
+    anchors = jnp.asarray(anchors_np)
+    strides = jnp.asarray(strides_np)
+
+    ltrb = dfl_decode(box_flat, cfg.reg_max)            # [B,A,4]
+    lt, rb = ltrb[..., :2], ltrb[..., 2:]
+    x1y1 = anchors[None] - lt
+    x2y2 = anchors[None] + rb
+    cxy = (x1y1 + x2y2) * 0.5 * strides[None]
+    wh = (x2y2 - x1y1) * strides[None]
+    xywh = jnp.concatenate([cxy, wh], axis=-1)          # input-pixel space
+    scores = jax.nn.sigmoid(cls_flat.astype(jnp.float32))
+
+    out = {"boxes_xywh": xywh, "scores": scores}
+    if cfg.task == "segment":
+        protos = L.proto_apply(params["proto"], feats[0], dtype=dt)
+        mcs = []
+        for i, f in enumerate(feats):
+            c4 = params["seg_cv4"][i]
+            m = L.conv_apply(c4["0"], f, dtype=dt)
+            m = L.conv_apply(c4["1"], m, dtype=dt)
+            mcs.append(L.head_conv_apply(c4["2"], m, dtype=dt))
+        mc_flat = jnp.concatenate(
+            [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1)
+        out["mask_coefs"] = mc_flat.astype(jnp.float32)
+        out["protos"] = protos.astype(jnp.float32)
+        out["preds"] = jnp.concatenate(
+            [xywh, scores, out["mask_coefs"]], axis=-1)
+    else:
+        out["preds"] = jnp.concatenate([xywh, scores], axis=-1)
+    return out
+
+
+def raw_outputs_onnx_layout(out: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]:
+    """Exact reference-ONNX layout: ([B,116,A], [B,nm,H,W]).
+
+    ref contract: IEModelEditorConverter.cs:50-58.
+    """
+    o0 = jnp.swapaxes(out["preds"], 1, 2)
+    o1 = jnp.transpose(out["protos"], (0, 3, 1, 2))
+    return o0, o1
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params)
+               if hasattr(a, "shape"))

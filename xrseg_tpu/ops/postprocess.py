@@ -1,0 +1,81 @@
+"""The baked postprocess graph: raw heads -> padded detection slate + masks.
+
+This is the TPU-native equivalent of the reference's offline model compile
+step (Assets/Scripts/InferenceEngine/Editor/IEModelEditorConverter.cs:31-106):
+score max/argmax, centers->corners, NMS, survivor gather, mask matmul +
+sigmoid. The reference emits dynamic-N tensors; we emit a fixed
+max_det-padded slate + valid count, so the whole thing jits into the forward
+graph and the device never syncs with the host mid-pipeline.
+
+Output contract (per image) mirrors the 4-output .sentis model
+(IEModelEditorConverter.cs:100, read back at IEExecutor.cs:446-449):
+  boxes_xywh [D,4]  — cxcywh in input(640)-pixel space
+  labels     [D]    — class ids
+  coefs      [D,nm] — mask coefficients (ref output2 "selectedMasks")
+  masks      [D,h,w]— sigmoid instance masks (ref output3 "maskWeights")
+plus `scores`, `valid`, `count` (the ref encodes validity in dynamic N).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from xrseg_tpu.config import PostprocessConfig
+from xrseg_tpu.ops import masks as mask_ops
+from xrseg_tpu.ops import nms as nms_ops
+
+
+def postprocess_single(preds: jax.Array, protos: jax.Array | None,
+                       cfg: PostprocessConfig, num_classes: int = 80,
+                       crop: bool = False,
+                       input_size: tuple = (640, 640)) -> Dict[str, jax.Array]:
+    """preds: [A, 4+nc(+nm)]; protos: [h,w,nm] or None (detect-only)."""
+    boxes = preds[:, :4]
+    cls_scores = preds[:, 4:4 + num_classes]
+    scores = jnp.max(cls_scores, axis=-1)
+    labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+
+    det = nms_ops.nms_fixed(
+        boxes, scores, labels,
+        iou_threshold=cfg.iou_threshold, score_threshold=cfg.score_threshold,
+        pre_topk=cfg.pre_nms_topk, max_det=cfg.max_detections,
+        class_aware=cfg.class_aware)
+
+    if protos is not None:
+        coefs = preds[:, 4 + num_classes:][det["indices"]]    # [D,nm]
+        coefs = coefs * det["valid"][:, None]                 # zero invalid
+        m = mask_ops.synthesize_masks(coefs, protos)          # [D,h,w]
+        if crop:
+            m = mask_ops.crop_masks(m, det["boxes_xywh"], input_size)
+        det["coefs"] = coefs
+        det["masks"] = m
+    return det
+
+
+@partial(jax.jit, static_argnames=("num_classes", "crop", "input_size",
+                                   "iou", "score", "pre_topk", "max_det"))
+def _postprocess_batch_impl(preds, protos, *, num_classes, crop, input_size,
+                            iou, score, pre_topk, max_det):
+    cfg = PostprocessConfig(iou_threshold=iou, score_threshold=score,
+                            pre_nms_topk=pre_topk, max_detections=max_det)
+    fn = lambda p, pr: postprocess_single(p, pr, cfg, num_classes, crop,
+                                          input_size)
+    if protos is None:
+        return jax.vmap(lambda p: postprocess_single(
+            p, None, cfg, num_classes, crop, input_size))(preds)
+    return jax.vmap(fn)(preds, protos)
+
+
+def postprocess(preds: jax.Array, protos: jax.Array | None,
+                cfg: PostprocessConfig, num_classes: int = 80,
+                crop: bool = False,
+                input_size: tuple = (640, 640)) -> Dict[str, jax.Array]:
+    """Batched postprocess: preds [B,A,C], protos [B,h,w,nm] -> [B,D,...]."""
+    return _postprocess_batch_impl(
+        preds, protos, num_classes=num_classes, crop=crop,
+        input_size=tuple(input_size), iou=cfg.iou_threshold,
+        score=cfg.score_threshold, pre_topk=cfg.pre_nms_topk,
+        max_det=cfg.max_detections)
