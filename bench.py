@@ -1,0 +1,84 @@
+"""Benchmark: YOLO11n-seg 640x640 sustained frames/sec/chip.
+
+Measures the full pipeline (uint8 frames -> preprocess -> network ->
+decode+NMS+mask synthesis -> packed slate readback to host) with pipelined
+dispatch: the next batch is dispatched while the previous batch's slate
+transfers, so D2H hides behind compute — the TPU equivalent of the
+reference's time-sliced schedule + async readback (IEExecutor.cs:395-456).
+
+Baseline: the reference's design target is 20-30 FPS on Quest 3
+(Assets/Scripts/1.21~~.txt:6; BASELINE.md). vs_baseline uses 30 FPS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(batch: int = 32, n_batches: int = 60, warmup_batches: int = 8,
+              scale: str = "n", inflight: int = 4) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from xrseg_tpu.compile import load_model
+    from xrseg_tpu.config import ExecutorConfig, ModelConfig
+
+    cfg = ExecutorConfig(model=ModelConfig(scale=scale))
+    pipe = load_model(cfg, batch=batch)   # warms up + absorbs first D2H
+
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.integers(0, 255, (batch, 640, 640, 3)),
+                          jnp.uint8) for _ in range(2)]
+
+    # warmup steady-state path
+    for i in range(warmup_batches):
+        out = pipe(frames[i % 2])
+        np.asarray(out["slate"])
+
+    # pipelined loop: keep `inflight` batches in flight; issue async host
+    # copies immediately; materialize in FIFO order.
+    lat = []
+    queue = []
+    t_start = time.perf_counter()
+    for i in range(n_batches):
+        t0 = time.perf_counter()
+        out = pipe(frames[i % 2])
+        out["slate"].copy_to_host_async()
+        queue.append((t0, out["slate"]))
+        if len(queue) >= inflight:
+            q0, slate = queue.pop(0)
+            np.asarray(slate)
+            lat.append(time.perf_counter() - q0)
+    for q0, slate in queue:
+        np.asarray(slate)
+        lat.append(time.perf_counter() - q0)
+    elapsed = time.perf_counter() - t_start
+
+    fps = batch * n_batches / elapsed
+    return {
+        "fps_per_chip": fps,
+        "p50_latency_ms": float(np.percentile(lat, 50) * 1e3),
+        "batch": batch,
+        "elapsed_s": elapsed,
+    }
+
+
+def main() -> int:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    r = run_bench(batch=batch)
+    print(json.dumps({
+        "metric": f"yolo11n_seg_640_fps_per_chip_b{batch}",
+        "value": round(r["fps_per_chip"], 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(r["fps_per_chip"] / 30.0, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,138 @@
+"""End-to-end demo: the reference's two scenes as CLI modes.
+
+  --mode test    TestScene equivalent (Assets/Scenes/TestScene.unity):
+                 run images from a directory (or one named image) through
+                 the pipeline and write box/mask overlay PNGs.
+  --mode xr      XRScene equivalent (Assets/Scenes/XRScene.unity): stream
+                 the synthetic passthrough camera (frames + depth + pose),
+                 auto-select the centermost object, track it, extract RGBD
+                 point clouds, and write an overlay video strip + PLY.
+
+Usage:
+  python examples/demo.py --mode test --images /path/to/imgs --out /tmp/out
+  python examples/demo.py --mode xr --frames 90 --out /tmp/out
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("test", "xr"), default="test")
+    ap.add_argument("--images", default=None, help="image dir for test mode")
+    ap.add_argument("--image-name", default=None)
+    ap.add_argument("--out", default="/tmp/xrseg_demo")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--scale", default="n")
+    ap.add_argument("--ckpt", default=None, help="npz checkpoint to load")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    from xrseg_tpu.config import (TEST_PRESET, XR_PRESET, ExecutorConfig,
+                                  ModelConfig)
+    from xrseg_tpu.runtime.executor import Executor
+    from xrseg_tpu.runtime.frame_source import (FileFrameSource,
+                                                SyntheticCameraSource)
+    from xrseg_tpu.viz.masker import composite_overlay
+    from xrseg_tpu.viz.pointcloud import write_ply
+
+    os.makedirs(args.out, exist_ok=True)
+    params = None
+    if args.ckpt:
+        from xrseg_tpu.io.weights import load_npz
+        params = load_npz(args.ckpt)
+
+    if args.mode == "test":
+        base = TEST_PRESET
+        cfg = ExecutorConfig(
+            model=ModelConfig(scale=args.scale), post=base.post,
+            enable_ui_rendering=True)
+        src = FileFrameSource(args.images or os.path.join(
+            os.path.dirname(__file__), "data"), image_name=args.image_name,
+            loop=False)
+        if not src.open():
+            print(f"no images found in {args.images}", file=sys.stderr)
+            return 2
+        # frames can be any size; executor is compiled per frame geometry,
+        # so normalize offline to one size for this demo
+        first = next(src.frames())
+        fh, fw = first.rgb.shape[:2]
+        ex = Executor(cfg, params=params, frame_hw=(fh, fw), seed=args.seed)
+        print(f"model loaded ({args.scale}); frame {fw}x{fh}")
+        n = 0
+        for fd in src.frames():
+            if fd.rgb.shape[:2] != (fh, fw):
+                img = Image.fromarray(fd.rgb).resize((fw, fh))
+                fd.rgb = np.asarray(img, np.uint8)
+            t0 = time.perf_counter()
+            r = ex.run_sync(fd)
+            dt = time.perf_counter() - t0
+            over = ex.boxer.draw_boxes(fd.rgb, r.boxes)
+            out_path = os.path.join(args.out, f"test_{n:03d}.png")
+            Image.fromarray(over).save(out_path)
+            print(f"frame {n}: {r.count} detections in {dt*1e3:.1f} ms "
+                  f"-> {out_path}")
+            for b in r.boxes[:5]:
+                print(f"   {b.class_name:14s} score={b.score:.2f} "
+                      f"center=({b.center_x:+.0f},{b.center_y:+.0f}) "
+                      f"size=({b.width:.0f}x{b.height:.0f})")
+            n += 1
+        print(ex.tracer.summary_json())
+        return 0
+
+    # --- xr mode ---
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale=args.scale), post=XR_PRESET.post,
+        depth=XR_PRESET.depth, enable_ui_rendering=True)
+    src = SyntheticCameraSource(frame_hw=(480, 640), depth_hw=(128, 128),
+                                max_frames=args.frames, realtime=True)
+    ex = Executor(cfg, params=params, frame_hw=(480, 640), seed=args.seed)
+    print("model loaded; streaming synthetic passthrough camera")
+    selected = False
+    results = 0
+    cloud = None
+    for fd in src.frames():
+        if not ex.is_running():
+            ex.run_inference(fd)
+        # a display tick runs a couple of state-machine steps
+        r = ex.update() or ex.update()
+        if r is None:
+            continue
+        results += 1
+        if not selected and r.count > 0:
+            b = r.boxes[0]
+            sp = (b.center_x + ex.screen_wh[0] / 2,
+                  b.center_y + ex.screen_wh[1] / 2)
+            selected = ex.select_target_from_screen_pos(sp)
+            print(f"selected target: {b.class_name} @ frame {results}")
+        if r.tracked is not None and r.point_cloud is not None:
+            cloud = r.point_cloud
+        if results % 10 == 0:
+            over = ex.boxer.draw_boxes(fd.rgb, r.boxes)
+            if ex.masker.has_cached_mask:
+                over = composite_overlay(
+                    over, ex.masker.render_overlay((640, 480)))
+            Image.fromarray(over).save(
+                os.path.join(args.out, f"xr_{results:03d}.png"))
+        ex.update()
+    if cloud is not None and len(cloud.positions):
+        ply = os.path.join(args.out, "cloud.ply")
+        write_ply(ply, cloud.positions, cloud.colors)
+        print(f"point cloud: {len(cloud.positions)} pts -> {ply}")
+    print(f"{results} results from {args.frames} frames")
+    print(ex.tracer.summary_json())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

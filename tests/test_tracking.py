@@ -1,0 +1,101 @@
+"""Tracking, selection, and coordinate-convention golden tests.
+
+The reference's screen-space conventions (center origin, Y flip at
+IEExecutor.cs:543-544) are easy to get subtly wrong — encoded here as
+goldens per SURVEY.md §7 hard part (d).
+"""
+import numpy as np
+
+from xrseg_tpu.perception.tracking import (
+    BoundingBox, TargetTracker, box_to_model_space, iou, parse_boxes)
+from xrseg_tpu.viz.labels import COCO_LABELS
+
+
+def test_parse_boxes_y_flip_golden():
+    # model-space box at (320,320) = image center -> screen (0,0)
+    boxes = np.array([[320.0, 320.0, 64.0, 32.0],
+                      [0.0, 0.0, 10.0, 10.0],       # top-left model corner
+                      [640.0, 640.0, 10.0, 10.0]])  # bottom-right
+    labels = np.array([0, 2, 5])
+    scores = np.array([0.9, 0.8, 0.7])
+    out = parse_boxes(boxes, labels, scores, 3, (1280.0, 960.0), COCO_LABELS)
+    sx, sy = 2.0, 1.5
+    assert (out[0].center_x, out[0].center_y) == (0.0, 0.0)
+    assert (out[0].width, out[0].height) == (64 * sx, 32 * sy)
+    # model (0,0) -> screen (-320*sx, +320*sy): top of screen is +Y
+    assert (out[1].center_x, out[1].center_y) == (-320 * sx, 320 * sy)
+    assert (out[2].center_x, out[2].center_y) == (320 * sx, -320 * sy)
+    assert out[0].class_name == "person" and out[2].class_name == "bus"
+
+
+def test_parse_boxes_roundtrip():
+    boxes = np.array([[100.0, 480.0, 50.0, 80.0]])
+    out = parse_boxes(boxes, np.array([1]), np.array([0.5]), 1, (1920.0, 1080.0),
+                      COCO_LABELS)
+    back = box_to_model_space(out[0], (1920.0, 1080.0))
+    np.testing.assert_allclose(back, boxes[0], rtol=1e-6)
+
+
+def test_parse_boxes_caps_at_50():
+    boxes = np.tile([[320.0, 320.0, 10.0, 10.0]], (80, 1))
+    out = parse_boxes(boxes, np.zeros(80, int), np.ones(80), 80,
+                      (640.0, 640.0), COCO_LABELS)
+    assert len(out) == 50     # ref cap IEExecutor.cs:534
+
+
+def test_iou_golden():
+    a = BoundingBox(0, 0, 10, 10)
+    b = BoundingBox(5, 0, 10, 10)
+    np.testing.assert_allclose(iou(a, b), 50 / 150, rtol=1e-6)
+    assert iou(a, BoundingBox(100, 100, 10, 10)) == 0.0
+    assert iou(a, a) == 1.0
+
+
+def _box(cx, cy, name="person", label=0):
+    return BoundingBox(cx, cy, 50, 50, label=label, class_name=name)
+
+
+def test_tracker_lock_and_follow():
+    tr = TargetTracker()
+    boxes = [_box(0, 0), _box(300, 300, "car", 2)]
+    # select near (0,0) in centered coords -> screen pos center
+    assert tr.select_target(boxes, (640, 480), (1280, 960))
+    assert tr.is_tracking and tr.locked_box.class_name == "person"
+    # next frame: person moved slightly, car closer to old pos but wrong class
+    nxt = [_box(40, 30), _box(5, 5, "car", 2)]
+    m = tr.update(nxt)
+    assert m is not None and m.center_x == 40
+    assert tr.locked_box.center_x == 40   # lock follows
+
+
+def test_tracker_gate_300px():
+    tr = TargetTracker()
+    tr.locked_box = _box(0, 0)
+    tr.is_tracking = True
+    # same class but 400px away -> lost frame, lock kept
+    assert tr.update([_box(400, 0)]) is None
+    assert tr.is_tracking and tr.locked_box.center_x == 0
+    # 200px away -> match
+    assert tr.update([_box(200, 0)]) is not None
+
+
+def test_select_margin_50px():
+    tr = TargetTracker()
+    # box at center, 50x50: margin-expanded half-extent = 25+50 = 75
+    boxes = [_box(0, 0)]
+    assert tr.select_target(boxes, (640 + 74, 480), (1280, 960))
+    tr.reset()
+    assert not tr.select_target(boxes, (640 + 76, 480), (1280, 960))
+    assert not tr.is_tracking
+
+
+def test_find_at_screen_pos_miss_returns_none():
+    tr = TargetTracker()
+    assert tr.find_at_screen_pos([_box(0, 0)], (0, 0), (1280, 960)) is None
+
+
+def test_reset_clears_state():
+    tr = TargetTracker()
+    tr.select_target([_box(0, 0)], (640, 480), (1280, 960))
+    tr.reset()
+    assert not tr.is_tracking and tr.locked_box is None

@@ -1,0 +1,71 @@
+"""Checkpoint save/load roundtrip + int8 quantization quality."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from xrseg_tpu.config import ModelConfig
+from xrseg_tpu.io import weights as W
+from xrseg_tpu.models import yolo11
+
+
+@pytest.fixture(scope="module")
+def small_params():
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32")
+    return cfg, yolo11.init_params(jax.random.key(0), cfg)
+
+
+def test_npz_roundtrip(tmp_path, small_params):
+    cfg, params = small_params
+    path = os.path.join(tmp_path, "ckpt.npz")
+    W.save_npz(path, params)
+    loaded = W.load_npz(path)
+    flat_a = W.flatten_params(params)
+    flat_b = W.flatten_params(loaded)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+    # structure preserved: lists still lists
+    assert isinstance(loaded["det"]["cv2"], list)
+
+
+def test_quantize_dequantize_error_small(small_params):
+    cfg, params = small_params
+    q = W.quantize_int8(params)
+    dq = W.dequantize_int8(q)
+    wa = W.flatten_params(params)
+    wb = W.flatten_params(dq)
+    for k in wa:
+        if k.endswith("/w") or k.endswith("/up_w"):
+            scale = np.abs(wa[k]).max()
+            if scale > 0:
+                assert np.abs(wa[k] - wb[k]).max() <= scale / 127.0 + 1e-7
+
+
+def test_quantized_model_output_close(small_params):
+    cfg, params = small_params
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out_full = yolo11.forward(params, x, cfg)
+    dq = W.dequantize_int8(W.quantize_int8(params))
+    out_q = yolo11.forward(dq, x, cfg)
+    # scores are bounded [0,1]; int8 weight quantization should stay close
+    err = np.abs(np.asarray(out_full["scores"]) - np.asarray(out_q["scores"])).max()
+    assert err < 0.1, err
+
+
+def test_quantized_size_reduction(small_params):
+    cfg, params = small_params
+    full = W.quantized_size_bytes(params)
+    q = W.quantized_size_bytes(W.quantize_int8(params))
+    assert q < full * 0.35   # ~4x smaller on conv weights
+
+
+def test_orbax_roundtrip(tmp_path, small_params):
+    cfg, params = small_params
+    path = os.path.join(tmp_path, "orbax_ckpt")
+    W.save_orbax(path, params)
+    loaded = W.load_orbax(path, like=params)
+    a, b = W.flatten_params(params), W.flatten_params(loaded)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])

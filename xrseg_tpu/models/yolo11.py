@@ -274,6 +274,50 @@ def forward(params: Params, x: jax.Array, cfg: ModelConfig) -> Dict[str, jax.Arr
     return out
 
 
+def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
+                  ) -> Dict[str, jax.Array]:
+    """Training forward: raw logits + decoded boxes (no sigmoid/concat).
+
+    Returns: box_logits [B,A,4*reg_max], cls_logits [B,A,nc],
+    boxes_xywh [B,A,4] (decoded, input pixels), and for segment task
+    mask_coefs [B,A,nm] + protos [B,h,w,nm].
+    """
+    dt = jnp.dtype(cfg.dtype)
+    feats = _backbone_neck(params, x, cfg, dt)
+    boxes, clss = _detect_branches(params, feats, cfg, dt)
+    B = x.shape[0]
+    box_flat = jnp.concatenate(
+        [b.reshape(B, -1, 4 * cfg.reg_max) for b in boxes], axis=1
+    ).astype(jnp.float32)
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, cfg.num_classes) for c in clss], axis=1
+    ).astype(jnp.float32)
+
+    anchors_np, strides_np = make_anchors(cfg.input_size)
+    anchors = jnp.asarray(anchors_np)
+    strides = jnp.asarray(strides_np)
+    ltrb = dfl_decode(box_flat, cfg.reg_max)
+    x1y1 = anchors[None] - ltrb[..., :2]
+    x2y2 = anchors[None] + ltrb[..., 2:]
+    xywh = jnp.concatenate([(x1y1 + x2y2) * 0.5 * strides[None],
+                            (x2y2 - x1y1) * strides[None]], axis=-1)
+    out = {"box_logits": box_flat, "cls_logits": cls_flat,
+           "boxes_xywh": xywh}
+    if cfg.task == "segment":
+        out["protos"] = L.proto_apply(params["proto"], feats[0],
+                                      dtype=dt).astype(jnp.float32)
+        mcs = []
+        for i, f in enumerate(feats):
+            c4 = params["seg_cv4"][i]
+            m = L.conv_apply(c4["0"], f, dtype=dt)
+            m = L.conv_apply(c4["1"], m, dtype=dt)
+            mcs.append(L.head_conv_apply(c4["2"], m, dtype=dt))
+        out["mask_coefs"] = jnp.concatenate(
+            [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1
+        ).astype(jnp.float32)
+    return out
+
+
 def raw_outputs_onnx_layout(out: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]:
     """Exact reference-ONNX layout: ([B,116,A], [B,nm,H,W]).
 

@@ -1,0 +1,77 @@
+"""Device mesh + sharding utilities (SPMD over ICI).
+
+The reference is single-device (SURVEY.md §2.3); its scale axes are batch and
+streams, so the TPU framework shards those over a `jax.sharding.Mesh`:
+
+  data axis  — batch / camera streams (DP): activations sharded on batch
+  model axis — channel sharding of the widest stages (TP) for x-scale models
+
+Collectives are never written by hand: `jax.jit` with NamedSharding in/out
+specs lets XLA insert all-gathers/reduce-scatters on ICI where the layouts
+demand them (the scaling-book recipe: pick mesh -> annotate -> let XLA
+insert collectives -> profile).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              axis_names: Tuple[str, str] = ("data", "model"),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a 2D (data, model) mesh over available devices.
+
+    Default: all devices on the data axis, model unsharded — the right
+    layout for batch-serving YOLO-sized models (they fit one chip).
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if shape is None:
+        shape = (n, 1)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_shardings(params: Any, mesh: Mesh,
+                    tp_min_channels: int = 256) -> Any:
+    """Tensor-parallel sharding rules for the param pytree.
+
+    Conv weights [k,k,I,O] with O >= tp_min_channels shard their output
+    channels over the model axis; everything else replicates. With a
+    (n, 1) mesh this degrades to full replication — same code path for
+    single-chip and multi-chip.
+    """
+    def rule(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim == 4 and \
+                leaf.shape[-1] >= tp_min_channels:
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_params(params: Any, mesh: Mesh, tp_min_channels: int = 256) -> Any:
+    """Place params on the mesh with TP rules applied."""
+    shardings = param_shardings(params, mesh, tp_min_channels)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch (leading batch axis) onto the data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,168 @@
+"""Single-target tracking + screen-space box conventions.
+
+Host-side perception layer mirroring the reference exactly:
+  - BoundingBox in *center-origin screen coordinates* with Y flipped vs model
+    space (ParseBoxes, Assets/Scripts/InferenceEngine/IEExecutor.cs:529-559)
+  - IoU (TrackingUtils.cs:8-39)
+  - same-class nearest-center lock with a 300 px gate
+    (IEExecutor.cs:485-526)
+  - selection by screen position with a 50 px margin
+    (IEExecutor.cs:721-805)
+
+These run on tiny slates (max 50 boxes) so they live on the host in numpy;
+the device never waits on them.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class BoundingBox:
+    """Center-origin screen-space box (ref: IEBoxer.cs:6-15)."""
+    center_x: float
+    center_y: float
+    width: float
+    height: float
+    label: int = -1
+    class_name: str = ""
+    score: float = 0.0
+    index: int = -1        # slot in the detection slate (for masks/coefs)
+
+
+def parse_boxes(boxes_xywh_640: np.ndarray, labels: np.ndarray,
+                scores: np.ndarray, count: int,
+                screen_wh: Tuple[float, float],
+                class_names: Sequence[str] = (),
+                max_boxes: int = 50) -> List[BoundingBox]:
+    """Model-space (640) cxcywh -> center-origin screen space.
+
+    Exact ParseBoxes math (IEExecutor.cs:534,543-544):
+      offsetX = (cx - 320) * scaleX ; offsetY = (320 - cy) * scaleY  (Y flip)
+    """
+    sw, sh = screen_wh
+    sx, sy = sw / 640.0, sh / 640.0
+    out: List[BoundingBox] = []
+    n = min(int(count), max_boxes)
+    for i in range(n):
+        cx, cy, w, h = (float(v) for v in boxes_xywh_640[i])
+        lab = int(labels[i])
+        name = (class_names[lab].replace(" ", "_")
+                if 0 <= lab < len(class_names) else "unknown")
+        out.append(BoundingBox(
+            center_x=(cx - 320.0) * sx,
+            center_y=(320.0 - cy) * sy,
+            width=w * sx,
+            height=h * sy,
+            label=lab,
+            class_name=name,
+            score=float(scores[i]),
+            index=i,
+        ))
+    return out
+
+
+def box_to_model_space(box: BoundingBox, screen_wh: Tuple[float, float]):
+    """Inverse of parse_boxes (the mapping at IEExecutor.cs:585-588)."""
+    sw, sh = screen_wh
+    sx, sy = sw / 640.0, sh / 640.0
+    return (box.center_x / sx + 320.0,
+            320.0 - box.center_y / sy,
+            box.width / sx,
+            box.height / sy)
+
+
+def iou(a: BoundingBox, b: BoundingBox) -> float:
+    """TrackingUtils.CalculateIoU (TrackingUtils.cs:8-39)."""
+    a_l, a_r = a.center_x - a.width / 2, a.center_x + a.width / 2
+    a_t, a_b = a.center_y + a.height / 2, a.center_y - a.height / 2
+    b_l, b_r = b.center_x - b.width / 2, b.center_x + b.width / 2
+    b_t, b_b = b.center_y + b.height / 2, b.center_y - b.height / 2
+    iw = max(0.0, min(a_r, b_r) - max(a_l, b_l))
+    ih = max(0.0, min(a_t, b_t) - max(a_b, b_b))
+    inter = iw * ih
+    union = a.width * a.height + b.width * b.height - inter
+    return inter / union if union > 0 else 0.0
+
+
+class TargetTracker:
+    """Single-target lock state machine (IEExecutor.cs:228-238,470-526)."""
+
+    def __init__(self, gate_px: float = 300.0, select_margin_px: float = 50.0):
+        self.gate_px = gate_px
+        self.select_margin_px = select_margin_px
+        self.is_tracking = False
+        self.locked_box: Optional[BoundingBox] = None
+
+    def reset(self) -> None:
+        """ResetTracking (IEExecutor.cs:703-712)."""
+        self.is_tracking = False
+        self.locked_box = None
+
+    def _hit_test(self, boxes: Sequence[BoundingBox],
+                  screen_pos: Tuple[float, float],
+                  screen_wh: Tuple[float, float]) -> Optional[BoundingBox]:
+        """Nearest box whose (margin-expanded) bounds contain the point.
+
+        screen_pos is in bottom-left-origin pixels (Unity Screen space); the
+        reference recenters it (IEExecutor.cs:776-778).
+        """
+        px = screen_pos[0] - screen_wh[0] / 2.0
+        py = screen_pos[1] - screen_wh[1] / 2.0
+        m = self.select_margin_px
+        best, best_d = None, float("inf")
+        for b in boxes:
+            if (px >= b.center_x - b.width / 2 - m and
+                    px <= b.center_x + b.width / 2 + m and
+                    py >= b.center_y - b.height / 2 - m and
+                    py <= b.center_y + b.height / 2 + m):
+                d = float(np.hypot(px - b.center_x, py - b.center_y))
+                if d < best_d:
+                    best, best_d = b, d
+        return best
+
+    def select_target(self, boxes: Sequence[BoundingBox],
+                      screen_pos: Tuple[float, float],
+                      screen_wh: Tuple[float, float]) -> bool:
+        """SelectTargetFromScreenPos (IEExecutor.cs:768-805)."""
+        if not boxes:
+            return False
+        best = self._hit_test(boxes, screen_pos, screen_wh)
+        if best is None:
+            return False
+        self.locked_box = best
+        self.is_tracking = True
+        return True
+
+    def find_at_screen_pos(self, boxes: Sequence[BoundingBox],
+                           screen_pos: Tuple[float, float],
+                           screen_wh: Tuple[float, float]
+                           ) -> Optional[BoundingBox]:
+        """ExtractPointCloudAtScreenPos hit test (IEExecutor.cs:721-763)."""
+        if not boxes:
+            return None
+        return self._hit_test(boxes, screen_pos, screen_wh)
+
+    def update(self, boxes: Sequence[BoundingBox]) -> Optional[BoundingBox]:
+        """Per-frame tracking step (IEExecutor.cs:485-526).
+
+        Returns the matched box (and re-locks onto it), or None on a lost
+        frame (lock retained — the reference keeps the last mask/points).
+        """
+        if not self.is_tracking or self.locked_box is None:
+            return None
+        best, best_d = None, float("inf")
+        for b in boxes:
+            if b.class_name != self.locked_box.class_name:
+                continue
+            d = float(np.hypot(b.center_x - self.locked_box.center_x,
+                               b.center_y - self.locked_box.center_y))
+            if d < best_d:
+                best, best_d = b, d
+        if best is not None and best_d < self.gate_px:
+            self.locked_box = best
+            return best
+        return None

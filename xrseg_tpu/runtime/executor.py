@@ -1,0 +1,302 @@
+"""Inference executor: async dispatch + readback-polling state machine (L3).
+
+TPU-native rebuild of the reference's IEExecutor
+(Assets/Scripts/InferenceEngine/IEExecutor.cs). The mapping:
+
+  Unity/Sentis                          xrseg_tpu
+  -----------------------------------   ----------------------------------
+  Worker.ScheduleIterable + 25          jax async dispatch: jit call returns
+  layers/frame time-slicing (:395-399)  immediately; XLA runs the whole
+                                        fused graph on-device
+  4x Tensor.ReadbackRequest +           jax.Array.copy_to_host_async() +
+  IsReadbackRequestDone polling         is_ready() polling (:419-456)
+  InferenceDownloadState enum (:17-25)  ExecState enum (same states)
+  ProcessInferenceResult (:458-526)     process_result: parse -> track ->
+                                        mask -> RGBD extract
+  warmup Schedule at load (:384-385)    CompiledPipeline.warmup()
+
+Device-minded difference: the reference reads back all four outputs in full
+(incl. [N,160,160] masks). We read back the small slate (boxes/labels/
+scores/count) every frame, and fetch only the *tracked target's* mask row —
+a device-side gather — so steady-state D2H is ~1 KB instead of ~5 MB.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Any, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from xrseg_tpu.compile import CompiledPipeline, load_model
+from xrseg_tpu.config import ExecutorConfig
+from xrseg_tpu.perception.camera import LatencyCompensator, Pose
+from xrseg_tpu.perception.rgbd import PointCloud, PointCloudExtractor
+from xrseg_tpu.perception.tracking import (BoundingBox, TargetTracker,
+                                           box_to_model_space, parse_boxes)
+from xrseg_tpu.runtime.frame_source import FrameData
+from xrseg_tpu.runtime.tracing import Tracer
+from xrseg_tpu.viz.boxer import Boxer
+from xrseg_tpu.viz.labels import COCO_LABELS
+from xrseg_tpu.viz.masker import Masker
+
+
+class ExecState(enum.Enum):
+    """InferenceDownloadState equivalent (IEExecutor.cs:17-25)."""
+    IDLE = -1
+    RUNNING = 0
+    REQUESTING_OUTPUTS = 1
+    SUCCESS = 2
+    ERROR = 3
+    CLEANUP = 4
+    COMPLETED = 5
+
+
+@dataclasses.dataclass
+class FrameResult:
+    boxes: List[BoundingBox]
+    tracked: Optional[BoundingBox] = None
+    point_cloud: Optional[PointCloud] = None
+    count: int = 0
+    latency_s: float = 0.0
+
+
+class Executor:
+    """Single-stream inference executor with tracking + RGBD fusion."""
+
+    def __init__(self, cfg: ExecutorConfig = ExecutorConfig(), params=None,
+                 frame_hw: Optional[Tuple[int, int]] = None,
+                 screen_wh: Optional[Tuple[float, float]] = None,
+                 labels=None, seed: int = 0, depth_backend: str = "jax"):
+        self.cfg = cfg
+        self.tracer = Tracer()
+        with self.tracer.section("load_model"):
+            self.pipeline: CompiledPipeline = load_model(
+                cfg, params=params, seed=seed, frame_hw=frame_hw, batch=1)
+        self.is_model_loaded = True
+        self.frame_hw = frame_hw or cfg.model.input_size
+        self.screen_wh = screen_wh or (float(self.frame_hw[1]),
+                                       float(self.frame_hw[0]))
+        self.labels = list(labels) if labels is not None else list(COCO_LABELS)
+        self.boxer = Boxer(self.labels)
+        self.masker = Masker(cfg.confidence_threshold)
+        self.tracker = TargetTracker(cfg.tracking_gate_px,
+                                     cfg.select_margin_px)
+        self.points = PointCloudExtractor(cfg.depth, backend=depth_backend)
+        self.latency = LatencyCompensator(cfg.depth.latency_seconds)
+
+        self._state = ExecState.IDLE
+        self._inflight: Optional[dict] = None
+        self._inflight_meta: Optional[FrameData] = None
+        self._dispatch_t0 = 0.0
+        self._readbacks_initiated = False
+        self._host: dict = {}
+        self.current_frame_boxes: List[BoundingBox] = []
+        self.last_result: Optional[FrameResult] = None
+        # depth double-buffer (PrepareDepthData, IEExecutor.cs:317-361)
+        self._depth_frame: Optional[np.ndarray] = None
+        self._depth_pose: Optional[Pose] = None
+        self._last_ts: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    # public API (mirrors IEExecutor's surface)
+    # ------------------------------------------------------------------
+
+    @property
+    def state(self) -> ExecState:
+        return self._state
+
+    def is_running(self) -> bool:
+        """IsRunning (IEExecutor.cs:378)."""
+        return self._state not in (ExecState.IDLE, ExecState.COMPLETED)
+
+    @property
+    def is_tracking(self) -> bool:
+        return self.tracker.is_tracking
+
+    @property
+    def locked_target_box(self) -> Optional[BoundingBox]:
+        return self.tracker.locked_box
+
+    @property
+    def point_buffer(self) -> Optional[PointCloud]:
+        return self.points.current
+
+    def run_inference(self, frame: FrameData) -> bool:
+        """Non-blocking dispatch (RunInference, IEExecutor.cs:363-376).
+        Returns False if a frame is already in flight."""
+        if self.is_running():
+            return False
+        self.prepare_depth_data(frame)
+        with self.tracer.section("dispatch"):
+            frames = frame.rgb[None]
+            if frames.shape[1:3] != tuple(self.frame_hw):
+                raise ValueError(
+                    f"frame {frames.shape[1:3]} != executor frame_hw "
+                    f"{self.frame_hw}")
+            self._inflight = self.pipeline(frames)   # async: returns futures
+        self._inflight_meta = frame
+        self._dispatch_t0 = time.perf_counter()
+        self._state = ExecState.RUNNING
+        self._readbacks_initiated = False
+        self.tracer.count("frames_dispatched")
+        return True
+
+    def update(self) -> Optional[FrameResult]:
+        """Per-tick state machine (UpdateInference, IEExecutor.cs:389-417).
+        Returns a FrameResult when a frame completes, else None."""
+        if self._state == ExecState.RUNNING:
+            # device still computing? (the time-slice analogue: never block)
+            probe = self._inflight["count"]
+            if probe.is_ready():
+                self._state = ExecState.REQUESTING_OUTPUTS
+            return None
+
+        if self._state == ExecState.REQUESTING_OUTPUTS:
+            self._update_parallel_readbacks()
+            return None
+
+        if self._state == ExecState.SUCCESS:
+            with self.tracer.section("process"):
+                result = self._process_result()
+            self._state = ExecState.CLEANUP
+            self.last_result = result
+            return result
+
+        if self._state in (ExecState.ERROR, ExecState.CLEANUP):
+            self._inflight = None
+            self._host = {}
+            self._readbacks_initiated = False
+            self._state = ExecState.COMPLETED
+            return None
+
+        return None
+
+    def run_sync(self, frame: FrameData) -> FrameResult:
+        """Convenience: dispatch + drain to completion (test harness path)."""
+        if not self.run_inference(frame):
+            raise RuntimeError("executor busy")
+        while True:
+            r = self.update()
+            if r is not None:
+                self.update()   # run CLEANUP -> COMPLETED
+                return r
+            if self._state == ExecState.COMPLETED:
+                raise RuntimeError("inference failed (ERROR state)")
+
+    def reset_tracking(self) -> None:
+        """ResetTracking (IEExecutor.cs:703-712)."""
+        self.tracker.reset()
+        self.points.clear()
+        self.masker.reset()
+
+    def clear_point_cloud(self) -> None:
+        self.points.clear()
+
+    def select_target_from_screen_pos(self, screen_pos) -> bool:
+        """SelectTargetFromScreenPos (IEExecutor.cs:768-805)."""
+        return self.tracker.select_target(self.current_frame_boxes,
+                                          screen_pos, self.screen_wh)
+
+    def extract_point_cloud_at_screen_pos(self, screen_pos
+                                          ) -> Optional[PointCloud]:
+        """ExtractPointCloudAtScreenPos (IEExecutor.cs:721-763)."""
+        box = self.tracker.find_at_screen_pos(self.current_frame_boxes,
+                                              screen_pos, self.screen_wh)
+        if box is None:
+            self.points.clear()
+            return None
+        return self._extract_depth_for(box)
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def prepare_depth_data(self, frame: FrameData) -> None:
+        """Depth double-buffer + pose latency compensation
+        (PrepareDepthData, IEExecutor.cs:317-361)."""
+        if frame.depth_fp16 is None or frame.pose is None:
+            return
+        dt = (1 / 30 if self._last_ts is None
+              else max(1e-3, frame.timestamp - self._last_ts))
+        self._last_ts = frame.timestamp
+        self._depth_pose = self.latency.compensate(frame.pose, dt)
+        self._depth_frame = frame.depth_fp16
+
+    def _update_parallel_readbacks(self) -> None:
+        """UpdateParallelReadbacks (IEExecutor.cs:419-456): start async host
+        copies for the small outputs, then materialize on the next tick.
+
+        Note: we deliberately do NOT poll is_ready() after
+        copy_to_host_async() — on some PJRT backends (incl. the tunneled
+        axon TPU) readiness of an enqueued host copy is only observable by
+        awaiting it. The compute itself was confirmed done in RUNNING, so
+        materialization here only pays the remaining ~1 KB DMA. The whole
+        small-output readback is ONE packed array ("slate"), so one DMA per
+        frame instead of five (the reference pays 4 readbacks,
+        IEExecutor.cs:446-449).
+        """
+        from xrseg_tpu.compile import unpack_slate
+        if not self._readbacks_initiated:
+            if self._inflight.get("slate") is None:
+                self._state = ExecState.ERROR
+                return
+            self._inflight["slate"].copy_to_host_async()
+            self._readbacks_initiated = True
+            return
+        with self.tracer.section("readback"):
+            self._host = unpack_slate(np.asarray(self._inflight["slate"][0]),
+                                      self.cfg.post.max_detections)
+        self._state = ExecState.SUCCESS
+
+    def _fetch_target_mask(self, slate_index: int) -> np.ndarray:
+        """Device-side gather of one mask row -> tiny D2H copy."""
+        with self.tracer.section("mask_fetch"):
+            return np.asarray(self._inflight["masks"][0, slate_index])
+
+    def _extract_depth_for(self, box: BoundingBox) -> Optional[PointCloud]:
+        """ExtractDepthData (IEExecutor.cs:561-651)."""
+        if self._depth_frame is None or self._depth_pose is None:
+            return None
+        meta = self._inflight_meta
+        intr = meta.intrinsics if meta is not None else None
+        if intr is None:
+            return None
+        mask = self._fetch_target_mask(box.index)
+        raw_box = box_to_model_space(box, self.screen_wh)
+        with self.tracer.section("depth_fusion"):
+            return self.points.extract(self._depth_frame, mask, raw_box,
+                                       intr, self._depth_pose)
+
+    def _process_result(self) -> FrameResult:
+        """ProcessInferenceResult (IEExecutor.cs:458-526)."""
+        h = self._host
+        count = int(h["count"])
+        self.current_frame_boxes = parse_boxes(
+            h["boxes_xywh"], h["labels"], h["scores"], count,
+            self.screen_wh, self.labels)
+        latency = time.perf_counter() - self._dispatch_t0
+        result = FrameResult(boxes=self.current_frame_boxes, count=count,
+                             latency_s=latency)
+
+        # Case 1: not tracking -> box overlay only (IEExecutor.cs:470-483)
+        if not self.tracker.is_tracking:
+            return result
+
+        # Case 2: tracking (IEExecutor.cs:485-526)
+        matched = self.tracker.update(self.current_frame_boxes)
+        if matched is not None:
+            result.tracked = matched
+            if self.cfg.enable_ui_rendering:
+                mask = self._fetch_target_mask(matched.index)
+                dt = 1 / 30
+                self.masker.draw_single_mask(matched, mask,
+                                             (int(self.screen_wh[0]),
+                                              int(self.screen_wh[1])), dt)
+            result.point_cloud = self._extract_depth_for(matched)
+        else:
+            self.masker.keep_current_mask()   # lost frame (IEMasker.cs:201)
+            result.point_cloud = self.points.current
+        return result

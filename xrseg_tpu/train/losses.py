@@ -1,0 +1,145 @@
+"""Training losses for YOLO11 detect/segment fine-tuning.
+
+The reference is inference-only (its "checkpoint" is a baked .sentis graph);
+training support is a capability extension of this framework so deployments
+can fine-tune on their own scenes. Losses follow the standard anchor-free
+YOLO recipe, with a center-inside-box assigner (FCOS-style) kept simple and
+fully vectorized/jit-safe:
+
+  - box:  CIoU loss on decoded boxes of positive anchors
+  - cls:  BCE on sigmoid class scores (positives get their class, all else 0)
+  - dfl:  distribution focal loss on the two integer bins around the target
+  - seg:  per-positive BCE of (coef . protos) against the GT instance mask
+
+Targets are fixed-size padded: boxes_xywh [B,G,4] (model-pixel space),
+labels [B,G] (−1 pad), masks [B,G,mh,mw] (segment task).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xrseg_tpu.config import ModelConfig
+from xrseg_tpu.models.yolo11 import make_anchors
+
+
+def bce_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+def ciou(box_a: jax.Array, box_b: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """Complete-IoU between xywh boxes [...,4] -> [...]"""
+    ax, ay, aw, ah = (box_a[..., i] for i in range(4))
+    bx, by, bw, bh = (box_b[..., i] for i in range(4))
+    ax1, ax2 = ax - aw / 2, ax + aw / 2
+    ay1, ay2 = ay - ah / 2, ay + ah / 2
+    bx1, bx2 = bx - bw / 2, bx + bw / 2
+    by1, by2 = by - bh / 2, by + bh / 2
+    iw = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0)
+    ih = jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0)
+    inter = iw * ih
+    union = aw * ah + bw * bh - inter + eps
+    iou = inter / union
+    cw = jnp.maximum(ax2, bx2) - jnp.minimum(ax1, bx1)
+    ch = jnp.maximum(ay2, by2) - jnp.minimum(ay1, by1)
+    c2 = cw ** 2 + ch ** 2 + eps
+    rho2 = (ax - bx) ** 2 + (ay - by) ** 2
+    v = (4 / jnp.pi ** 2) * (jnp.arctan(bw / (bh + eps))
+                             - jnp.arctan(aw / (ah + eps))) ** 2
+    alpha = v / (v - iou + 1 + eps)
+    return iou - rho2 / c2 - jax.lax.stop_gradient(alpha) * v
+
+
+def assign_targets(gt_boxes: jax.Array, gt_labels: jax.Array,
+                   cfg: ModelConfig) -> Dict[str, jax.Array]:
+    """Center-inside-box assignment for one image.
+
+    Each anchor is assigned the SMALLEST gt box containing its center (ties
+    to earlier gt). Returns per-anchor: assigned gt index (-1 none), fg mask.
+    """
+    anchors, strides = make_anchors(cfg.input_size)
+    centers = jnp.asarray(anchors) * jnp.asarray(strides)      # [A,2] pixels
+    G = gt_boxes.shape[0]
+    gx, gy, gw, gh = (gt_boxes[:, i] for i in range(4))
+    valid_gt = gt_labels >= 0
+    x1, x2 = gx - gw / 2, gx + gw / 2
+    y1, y2 = gy - gh / 2, gy + gh / 2
+    inside = ((centers[:, 0:1] >= x1[None]) & (centers[:, 0:1] <= x2[None]) &
+              (centers[:, 1:2] >= y1[None]) & (centers[:, 1:2] <= y2[None]) &
+              valid_gt[None])                                   # [A,G]
+    area = jnp.where(valid_gt, gw * gh, jnp.inf)
+    cand = jnp.where(inside, area[None], jnp.inf)               # [A,G]
+    gt_idx = jnp.argmin(cand, axis=1)
+    fg = jnp.isfinite(jnp.min(cand, axis=1))
+    return {"gt_idx": gt_idx, "fg": fg}
+
+
+def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
+                   cfg: ModelConfig,
+                   box_w: float = 7.5, cls_w: float = 0.5,
+                   dfl_w: float = 1.5, seg_w: float = 1.0
+                   ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Batched loss. `out` must be the training forward (raw logits):
+    dict(box_logits [B,A,4*reg_max], cls_logits [B,A,nc], boxes_xywh [B,A,4],
+         mask_coefs [B,A,nm], protos [B,mh,mw,nm] for segment).
+    targets: boxes_xywh [B,G,4], labels [B,G], masks [B,G,mh,mw] optional.
+    """
+    anchors, strides = make_anchors(cfg.input_size)
+    anchors_j = jnp.asarray(anchors)
+    strides_j = jnp.asarray(strides)
+
+    def single(out_b, tgt_b):
+        a = assign_targets(tgt_b["boxes_xywh"], tgt_b["labels"], cfg)
+        fg = a["fg"]
+        gt_idx = a["gt_idx"]
+        n_fg = jnp.maximum(fg.sum(), 1)
+
+        gt_box = tgt_b["boxes_xywh"][gt_idx]                     # [A,4]
+        gt_lab = tgt_b["labels"][gt_idx]
+
+        # cls BCE over all anchors
+        cls_tgt = (jax.nn.one_hot(jnp.clip(gt_lab, 0), cfg.num_classes)
+                   * fg[:, None])
+        l_cls = bce_logits(out_b["cls_logits"], cls_tgt).sum() / n_fg
+
+        # box CIoU on positives
+        l_box = (jnp.where(fg, 1.0 - ciou(out_b["boxes_xywh"], gt_box), 0.0)
+                 .sum() / n_fg)
+
+        # DFL: target ltrb distances in grid units, two-bin soft target
+        cxy = anchors_j * strides_j
+        lt = (cxy - (gt_box[:, :2] - gt_box[:, 2:] / 2)) / strides_j
+        rb = ((gt_box[:, :2] + gt_box[:, 2:] / 2) - cxy) / strides_j
+        ltrb = jnp.clip(jnp.concatenate([lt, rb], -1), 0,
+                        cfg.reg_max - 1 - 1e-3)                  # [A,4]
+        tl = jnp.floor(ltrb)
+        wr = ltrb - tl
+        logits4 = out_b["box_logits"].reshape(-1, 4, cfg.reg_max)
+        logp = jax.nn.log_softmax(logits4, -1)
+        tl_i = tl.astype(jnp.int32)
+        l_lo = -jnp.take_along_axis(logp, tl_i[..., None], -1)[..., 0]
+        l_hi = -jnp.take_along_axis(
+            logp, jnp.minimum(tl_i + 1, cfg.reg_max - 1)[..., None], -1)[..., 0]
+        dfl = (l_lo * (1 - wr) + l_hi * wr).mean(-1)
+        l_dfl = jnp.where(fg, dfl, 0.0).sum() / n_fg
+
+        loss = box_w * l_box + cls_w * l_cls + dfl_w * l_dfl
+        aux = {"box": l_box, "cls": l_cls, "dfl": l_dfl}
+
+        if "protos" in out_b and "masks" in tgt_b:
+            # seg BCE: logits = coef . protos per positive anchor
+            mlogit = jnp.einsum("an,hwn->ahw", out_b["mask_coefs"],
+                                out_b["protos"])
+            gt_m = tgt_b["masks"][gt_idx]                        # [A,mh,mw]
+            l_seg = (jnp.where(fg[:, None, None],
+                               bce_logits(mlogit, gt_m), 0.0)
+                     .mean((-1, -2)).sum() / n_fg)
+            loss = loss + seg_w * l_seg
+            aux["seg"] = l_seg
+        return loss, aux
+
+    losses, auxs = jax.vmap(single)(out, targets)
+    return losses.mean(), jax.tree.map(jnp.mean, auxs)
