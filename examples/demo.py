@@ -33,6 +33,8 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--scale", default="n")
     ap.add_argument("--ckpt", default=None, help="npz checkpoint to load")
+    ap.add_argument("--sentis", default=None,
+                    help=".sentis model file (reference artifact) to load")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -51,6 +53,9 @@ def main() -> int:
     if args.ckpt:
         from xrseg_tpu.io.weights import load_npz
         params = load_npz(args.ckpt)
+    elif args.sentis:
+        from xrseg_tpu.io.sentis import load_yolo11_params
+        params, _ = load_yolo11_params(args.sentis)
 
     if args.mode == "test":
         base = TEST_PRESET

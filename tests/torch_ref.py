@@ -122,9 +122,9 @@ def upsample2x(x):
 def backbone_neck(p, x):
     x = conv(p["b0"], x, 2)
     x = conv(p["b1"], x, 2)
-    x = c3k2(p["b2"], x, shortcut=False)
+    x = c3k2(p["b2"], x, shortcut=True)
     x = conv(p["b3"], x, 2)
-    x4 = c3k2(p["b4"], x, shortcut=False)
+    x4 = c3k2(p["b4"], x, shortcut=True)
     x = conv(p["b5"], x4, 2)
     x6 = c3k2(p["b6"], x, shortcut=True)
     x = conv(p["b7"], x6, 2)
@@ -133,11 +133,11 @@ def backbone_neck(p, x):
     x10 = c2psa(p["b10"], x)
 
     u = upsample2x(x10)
-    x13 = c3k2(p["h13"], torch.cat([u, x6], 1), shortcut=False)
+    x13 = c3k2(p["h13"], torch.cat([u, x6], 1), shortcut=True)
     u = upsample2x(x13)
-    x16 = c3k2(p["h16"], torch.cat([u, x4], 1), shortcut=False)
+    x16 = c3k2(p["h16"], torch.cat([u, x4], 1), shortcut=True)
     d = conv(p["h17"], x16, 2)
-    x19 = c3k2(p["h19"], torch.cat([d, x13], 1), shortcut=False)
+    x19 = c3k2(p["h19"], torch.cat([d, x13], 1), shortcut=True)
     d = conv(p["h20"], x19, 2)
     x22 = c3k2(p["h22"], torch.cat([d, x10], 1), shortcut=True)
     return x16, x19, x22

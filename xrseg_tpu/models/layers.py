@@ -143,7 +143,11 @@ def c3k2_init(kg: KeyGen, c1: int, c2: int, n: int = 1, c3k: bool = False,
     if c3k:
         p["m"] = [c3k_init(kg, c, c, 2, param_dtype=param_dtype) for _ in range(n)]
     else:
-        p["m"] = [bottleneck_init(kg, c, c, (3, 3), 1.0, param_dtype) for _ in range(n)]
+        # NOTE: C3k2's plain Bottleneck keeps the default e=0.5 (hidden dim
+        # c/2) — unlike C2f's e=1.0. Verified against the reference's real
+        # weight shapes (yolo11n-seg-sentis.sentis: bottleneck convs are
+        # (8,16,3,3)/(16,8,3,3) for c=16).
+        p["m"] = [bottleneck_init(kg, c, c, (3, 3), 0.5, param_dtype) for _ in range(n)]
     return p
 
 

@@ -154,11 +154,16 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
 
 def _backbone_neck(p: Params, x: jax.Array, cfg: ModelConfig, dt) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (P3, P4, P5) feature maps at strides 8/16/32. x: [B,H,W,3]."""
+    # NOTE: C3k2's shortcut defaults to True in YOLO11 — for ALL blocks,
+    # including the FPN/PAN head ones (unlike v8's C2f head blocks). The
+    # inner Bottlenecks are c->c so the residual is always active.
+    # Verified against the reference's real weights: head confidences
+    # collapse if these are run shortcut-less.
     x = L.conv_apply(p["b0"], x, stride=2, dtype=dt)
     x = L.conv_apply(p["b1"], x, stride=2, dtype=dt)
-    x = L.c3k2_apply(p["b2"], x, shortcut=False, dtype=dt)
+    x = L.c3k2_apply(p["b2"], x, shortcut=True, dtype=dt)
     x = L.conv_apply(p["b3"], x, stride=2, dtype=dt)
-    x4 = L.c3k2_apply(p["b4"], x, shortcut=False, dtype=dt)
+    x4 = L.c3k2_apply(p["b4"], x, shortcut=True, dtype=dt)
     x = L.conv_apply(p["b5"], x4, stride=2, dtype=dt)
     x6 = L.c3k2_apply(p["b6"], x, shortcut=True, dtype=dt)
     x = L.conv_apply(p["b7"], x6, stride=2, dtype=dt)
@@ -167,11 +172,11 @@ def _backbone_neck(p: Params, x: jax.Array, cfg: ModelConfig, dt) -> Tuple[jax.A
     x10 = L.c2psa_apply(p["b10"], x, dtype=dt)
 
     u = L.upsample2x_nearest(x10)
-    x13 = L.c3k2_apply(p["h13"], jnp.concatenate([u, x6], -1), shortcut=False, dtype=dt)
+    x13 = L.c3k2_apply(p["h13"], jnp.concatenate([u, x6], -1), shortcut=True, dtype=dt)
     u = L.upsample2x_nearest(x13)
-    x16 = L.c3k2_apply(p["h16"], jnp.concatenate([u, x4], -1), shortcut=False, dtype=dt)
+    x16 = L.c3k2_apply(p["h16"], jnp.concatenate([u, x4], -1), shortcut=True, dtype=dt)
     d = L.conv_apply(p["h17"], x16, stride=2, dtype=dt)
-    x19 = L.c3k2_apply(p["h19"], jnp.concatenate([d, x13], -1), shortcut=False, dtype=dt)
+    x19 = L.c3k2_apply(p["h19"], jnp.concatenate([d, x13], -1), shortcut=True, dtype=dt)
     d = L.conv_apply(p["h20"], x19, stride=2, dtype=dt)
     x22 = L.c3k2_apply(p["h22"], jnp.concatenate([d, x10], -1), shortcut=True, dtype=dt)
     return x16, x19, x22
@@ -326,6 +331,94 @@ def raw_outputs_onnx_layout(out: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.A
     o0 = jnp.swapaxes(out["preds"], 1, 2)
     o1 = jnp.transpose(out["protos"], (0, 3, 1, 2))
     return o0, o1
+
+
+def ordered_param_slots(cfg: ModelConfig):
+    """Conv-like param paths in the reference graph's execution/topo order.
+
+    This is the order weighted ops appear in the exported ONNX / compiled
+    .sentis chain list (verified against the reference artifact): backbone
+    sequentially, FPN level blocks each followed immediately by that level's
+    detect branches, the DFL conv, then segment cv4 heads and Proto.
+
+    Yields (path, kind) with path a tuple of keys into the param pytree and
+    kind in {"conv", "convtranspose", "dfl"} ("dfl" consumes the fixed
+    arange conv; it has no learnable params in our decode).
+    """
+    s = Spec(cfg)
+    slots = []
+
+    def conv(*path):
+        slots.append((tuple(path), "conv"))
+
+    def bottleneck(*p):
+        conv(*p, "cv1")
+        conv(*p, "cv2")
+
+    def c3k(*p):
+        conv(*p, "cv1")
+        for i in range(2):
+            bottleneck(*p, "m", i)
+        conv(*p, "cv2")
+        conv(*p, "cv3")
+
+    def c3k2(name, is_c3k):
+        conv(name, "cv1")
+        for i in range(s.n2):
+            if is_c3k:
+                c3k(name, "m", i)
+            else:
+                bottleneck(name, "m", i)
+        conv(name, "cv2")
+
+    fc3k = s.force_c3k
+    conv("b0"); conv("b1")
+    c3k2("b2", fc3k or False); conv("b3")
+    c3k2("b4", fc3k or False); conv("b5")
+    c3k2("b6", True); conv("b7")
+    c3k2("b8", True)
+    conv("b9", "cv1"); conv("b9", "cv2")
+    conv("b10", "cv1")
+    for i in range(s.n2):
+        conv("b10", "m", i, "attn", "qkv")
+        conv("b10", "m", i, "attn", "pe")
+        conv("b10", "m", i, "attn", "proj")
+        conv("b10", "m", i, "ffn1")
+        conv("b10", "m", i, "ffn2")
+    conv("b10", "cv2")
+
+    c3k2("h13", fc3k or False)
+    c3k2("h16", fc3k or False)
+
+    def detect_level(i):
+        conv("det", "cv2", i, "0")
+        conv("det", "cv2", i, "1")
+        conv("det", "cv2", i, "2")
+        conv("det", "cv3", i, "dw0")
+        conv("det", "cv3", i, "pw0")
+        conv("det", "cv3", i, "dw1")
+        conv("det", "cv3", i, "pw1")
+        conv("det", "cv3", i, "2")
+
+    detect_level(0)
+    conv("h17")
+    c3k2("h19", fc3k or False)
+    detect_level(1)
+    conv("h20")
+    c3k2("h22", True)
+    detect_level(2)
+    slots.append(((), "dfl"))
+
+    if cfg.task == "segment":
+        for i in range(3):
+            conv("seg_cv4", i, "0")
+            conv("seg_cv4", i, "1")
+            conv("seg_cv4", i, "2")
+        conv("proto", "cv1")
+        slots.append((("proto",), "convtranspose"))
+        conv("proto", "cv2")
+        conv("proto", "cv3")
+    return slots
 
 
 def count_params(params: Params) -> int:
