@@ -94,3 +94,55 @@ def test_multistream_runner():
     frames = np.zeros((2, 64, 64, 3), np.uint8)
     det = runner(frames)
     assert det["count"].shape == (2,)
+
+
+def test_spatial_partitioning_matches_single_device():
+    """SP: H-axis sharded inference must match single-device numerics."""
+    from xrseg_tpu.parallel.spatial import build_spatial_pipeline
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(256, 256), dtype="float32"),
+        post=PostprocessConfig(pre_nms_topk=64, max_detections=10))
+    params = yolo11.init_params(jax.random.key(2), cfg.model)
+    mesh = mesh_lib.make_mesh((4, 1), devices=jax.devices()[:4])
+    fn, rp = build_spatial_pipeline(cfg, params, mesh, batch=1,
+                                    frame_hw=(256, 256))
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 256, 256, 3)), jnp.uint8)
+    det = jax.block_until_ready(fn(rp, frames))
+
+    from xrseg_tpu.compile import build_pipeline
+    ref = build_pipeline(cfg, params, frame_hw=(256, 256), batch=1)(frames)
+    np.testing.assert_allclose(np.asarray(det["scores"]),
+                               np.asarray(ref["scores"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(det["count"]),
+                                  np.asarray(ref["count"]))
+
+
+def test_pipeline_parallel_matches_single_device():
+    """PP: 2-stage split across devices matches single-device numerics."""
+    from xrseg_tpu.parallel.pipeline import PipelinedRunner
+    cfg = _cfg()
+    params = yolo11.init_params(jax.random.key(4), cfg.model)
+    runner = PipelinedRunner(cfg, params, devices=jax.devices()[:2],
+                             frame_hw=(64, 64), batch=2).warmup()
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    det = jax.block_until_ready(runner(frames))
+
+    from xrseg_tpu.compile import build_pipeline
+    ref = build_pipeline(cfg, params, frame_hw=(64, 64), batch=2)(frames)
+    np.testing.assert_allclose(np.asarray(det["scores"]),
+                               np.asarray(ref["scores"]), atol=1e-4)
+
+    # streaming mode returns one result per input batch
+    stream = [frames, frames]
+    outs = runner.run_stream(iter(stream))
+    assert len(outs) == 2
+
+
+def test_pipeline_parallel_needs_two_devices():
+    from xrseg_tpu.parallel.pipeline import PipelinedRunner
+    cfg = _cfg()
+    params = yolo11.init_params(jax.random.key(0), cfg.model)
+    with pytest.raises(ValueError):
+        PipelinedRunner(cfg, params, devices=jax.devices()[:1])

@@ -152,13 +152,16 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _backbone_neck(p: Params, x: jax.Array, cfg: ModelConfig, dt) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (P3, P4, P5) feature maps at strides 8/16/32. x: [B,H,W,3]."""
-    # NOTE: C3k2's shortcut defaults to True in YOLO11 — for ALL blocks,
-    # including the FPN/PAN head ones (unlike v8's C2f head blocks). The
-    # inner Bottlenecks are c->c so the residual is always active.
-    # Verified against the reference's real weights: head confidences
-    # collapse if these are run shortcut-less.
+def backbone(p: Params, x: jax.Array, cfg: ModelConfig, dt
+             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Backbone: x [B,H,W,3] -> (x4, x6, x10) skip features.
+
+    NOTE: C3k2's shortcut defaults to True in YOLO11 — for ALL blocks,
+    including the FPN/PAN head ones (unlike v8's C2f head blocks). The
+    inner Bottlenecks are c->c so the residual is always active.
+    Verified against the reference's real weights: head confidences
+    collapse if these are run shortcut-less.
+    """
     x = L.conv_apply(p["b0"], x, stride=2, dtype=dt)
     x = L.conv_apply(p["b1"], x, stride=2, dtype=dt)
     x = L.c3k2_apply(p["b2"], x, shortcut=True, dtype=dt)
@@ -170,7 +173,13 @@ def _backbone_neck(p: Params, x: jax.Array, cfg: ModelConfig, dt) -> Tuple[jax.A
     x = L.c3k2_apply(p["b8"], x, shortcut=True, dtype=dt)
     x = L.sppf_apply(p["b9"], x, dtype=dt)
     x10 = L.c2psa_apply(p["b10"], x, dtype=dt)
+    return x4, x6, x10
 
+
+def neck(p: Params, feats: Tuple[jax.Array, jax.Array, jax.Array],
+         cfg: ModelConfig, dt) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """FPN/PAN neck: (x4, x6, x10) -> (P3, P4, P5)."""
+    x4, x6, x10 = feats
     u = L.upsample2x_nearest(x10)
     x13 = L.c3k2_apply(p["h13"], jnp.concatenate([u, x6], -1), shortcut=True, dtype=dt)
     u = L.upsample2x_nearest(x13)
@@ -180,6 +189,10 @@ def _backbone_neck(p: Params, x: jax.Array, cfg: ModelConfig, dt) -> Tuple[jax.A
     d = L.conv_apply(p["h20"], x19, stride=2, dtype=dt)
     x22 = L.c3k2_apply(p["h22"], jnp.concatenate([d, x10], -1), shortcut=True, dtype=dt)
     return x16, x19, x22
+
+
+def _backbone_neck(p: Params, x: jax.Array, cfg: ModelConfig, dt):
+    return neck(p, backbone(p, x, cfg, dt), cfg, dt)
 
 
 def _detect_branches(p: Params, feats, cfg: ModelConfig, dt):
@@ -224,23 +237,18 @@ def dfl_decode(box_logits: jax.Array, reg_max: int) -> jax.Array:
     return jnp.einsum("bafr,r->baf", probs, bins)
 
 
-def forward(params: Params, x: jax.Array, cfg: ModelConfig) -> Dict[str, jax.Array]:
-    """Full raw-head forward.
+def head_outputs(params: Params, feats, cfg: ModelConfig) -> Dict[str, jax.Array]:
+    """Detect/segment heads + DFL decode from (P3, P4, P5) features.
 
     Returns dict:
       preds:  [B, A, 4+nc+nm] float32 — xywh (input pixels), sigmoid scores,
               mask coefficients. (= ONNX output0, transposed)
       protos: [B, H/4, W/4, nm] float32 NHWC  (= ONNX output1, transposed)
     """
-    if tuple(x.shape[1:3]) != tuple(cfg.input_size):
-        raise ValueError(
-            f"input {x.shape} does not match cfg.input_size {cfg.input_size} "
-            "(NHWC expected)")
     dt = jnp.dtype(cfg.dtype)
-    feats = _backbone_neck(params, x, cfg, dt)
     boxes, clss = _detect_branches(params, feats, cfg, dt)
 
-    B = x.shape[0]
+    B = feats[0].shape[0]
     box_flat = jnp.concatenate(
         [b.reshape(B, -1, 4 * cfg.reg_max) for b in boxes], axis=1)
     cls_flat = jnp.concatenate(
@@ -277,6 +285,17 @@ def forward(params: Params, x: jax.Array, cfg: ModelConfig) -> Dict[str, jax.Arr
     else:
         out["preds"] = jnp.concatenate([xywh, scores], axis=-1)
     return out
+
+
+def forward(params: Params, x: jax.Array, cfg: ModelConfig) -> Dict[str, jax.Array]:
+    """Full raw-head forward: backbone -> neck -> heads (see head_outputs)."""
+    if tuple(x.shape[1:3]) != tuple(cfg.input_size):
+        raise ValueError(
+            f"input {x.shape} does not match cfg.input_size {cfg.input_size} "
+            "(NHWC expected)")
+    dt = jnp.dtype(cfg.dtype)
+    feats = _backbone_neck(params, x, cfg, dt)
+    return head_outputs(params, feats, cfg)
 
 
 def forward_train(params: Params, x: jax.Array, cfg: ModelConfig

@@ -1,0 +1,206 @@
+"""Pallas TPU kernels for the pipeline's hot ops.
+
+Three custom kernels, each replacing a multi-op XLA subgraph with one
+VMEM-resident pass:
+
+  nms_greedy_pallas     — the whole greedy suppression (IoU matrix + the
+                          sequential keep scan) in one kernel: the K-step
+                          loop runs on-core with the IoU matrix pinned in
+                          VMEM instead of K fori_loop iterations of small
+                          HBM-bound XLA ops.
+  mask_synth_crop_pallas— coef x proto matmul (MXU) + sigmoid + box crop
+                          fused: the [D, H*W] fp32 intermediate never
+                          round-trips to HBM.
+  resize_normalize_bf16 — (XLA helper, MXU formulation) separable bilinear
+                          resize as two matmuls in bf16 + 1/255 scaling;
+                          used by preprocess for large camera frames.
+
+All kernels are fixed-shape and jit-safe; tests run them with
+interpret=True on CPU and the real pipeline uses them on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# Greedy NMS kernel
+# ---------------------------------------------------------------------------
+
+def _nms_kernel(corners_ref, alive0_ref, out_ref, *, iou_threshold: float):
+    """corners: [4, K] (x1,y1,x2,y2 rows, score-sorted, class-offset),
+    alive0: [1, K] float (1.0 = passes score gate), out: [1, K] float keep."""
+    x1 = corners_ref[0, :]
+    y1 = corners_ref[1, :]
+    x2 = corners_ref[2, :]
+    y2 = corners_ref[3, :]
+    K = x1.shape[0]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+
+    c = lambda v: v.reshape(K, 1)            # column view
+    ix1 = jnp.maximum(c(x1), x1[None, :])
+    iy1 = jnp.maximum(c(y1), y1[None, :])
+    ix2 = jnp.minimum(c(x2), x2[None, :])
+    iy2 = jnp.minimum(c(y2), y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+    union = c(area) + area[None, :] - inter
+    iou = jnp.where(union > 0, inter / union, 0.0)      # [K,K] in VMEM
+
+    suppress = (iou > iou_threshold)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)[0]
+
+    def body(i, alive):
+        kept = alive[i] > 0.0
+        kill = kept & (suppress[i, :]) & (col_ids > i)
+        return jnp.where(kill, 0.0, alive)
+
+    alive = jax.lax.fori_loop(0, K, body, alive0_ref[0, :])
+    out_ref[0, :] = alive
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def nms_greedy_pallas(corners: jax.Array, alive0: jax.Array,
+                      iou_threshold: float, interpret: bool = False
+                      ) -> jax.Array:
+    """corners [K,4] f32 score-sorted; alive0 [K] bool. Returns keep [K] bool.
+    K must be a multiple of 128 (lane width)."""
+    K = corners.shape[0]
+    if K % 128:
+        raise ValueError(f"K={K} must be a multiple of 128")
+    out = pl.pallas_call(
+        functools.partial(_nms_kernel, iou_threshold=iou_threshold),
+        out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(corners.T.astype(jnp.float32),
+      alive0.astype(jnp.float32)[None, :])
+    return out[0] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Fused mask synthesis + crop kernel
+# ---------------------------------------------------------------------------
+
+def _mask_kernel(coefs_ref, protos_ref, boxes_ref, out_ref, *,
+                 mask_w: int, mask_h: int, tile: int,
+                 input_w: float, input_h: float):
+    """Grid over flattened mask pixels.
+    coefs: [D, nm], protos: [nm, tile], boxes: [D, 4] (cxcywh, input px),
+    out: [D, tile]."""
+    t = pl.program_id(0)
+    logits = jnp.dot(coefs_ref[:], protos_ref[:],
+                     preferred_element_type=jnp.float32)     # [D, tile] MXU
+    m = jax.nn.sigmoid(logits)
+
+    # pixel coords of this tile (flattened row-major over [H, W])
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)[0] + t * tile
+    px = (flat % mask_w).astype(jnp.float32)
+    py = (flat // mask_w).astype(jnp.float32)
+
+    # box bounds in mask space (crop_masks semantics, ops/masks.py)
+    sx = mask_w / input_w
+    sy = mask_h / input_h
+    cx = boxes_ref[:, 0] * sx
+    cy = boxes_ref[:, 1] * sy
+    hw = boxes_ref[:, 2] * sx * 0.5
+    hh = boxes_ref[:, 3] * sy * 0.5
+    D = cx.shape[0]
+    col = lambda v: v.reshape(D, 1)
+    inside = ((px[None, :] >= col(cx - hw)) & (px[None, :] <= col(cx + hw)) &
+              (py[None, :] >= col(cy - hh)) & (py[None, :] <= col(cy + hh)))
+    out_ref[:, :] = jnp.where(inside, m, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("mask_hw", "input_size",
+                                             "interpret"))
+def mask_synth_crop_pallas(coefs: jax.Array, protos: jax.Array,
+                           boxes_xywh: jax.Array,
+                           mask_hw: Tuple[int, int] = (160, 160),
+                           input_size: Tuple[int, int] = (640, 640),
+                           interpret: bool = False) -> jax.Array:
+    """coefs [D,nm], protos [h,w,nm], boxes [D,4] -> cropped masks [D,h,w].
+
+    D is padded to a multiple of 8 internally; nm and h*w handled by tiling.
+    """
+    D, nm = coefs.shape
+    h, w = mask_hw
+    Dp = ((D + 7) // 8) * 8
+    if Dp != D:
+        coefs = jnp.pad(coefs, ((0, Dp - D), (0, 0)))
+        boxes_xywh = jnp.pad(boxes_xywh, ((0, Dp - D), (0, 0)))
+    hw_total = h * w
+    TILE = 1600 if hw_total % 1600 == 0 else 128
+    assert hw_total % TILE == 0
+    grid = (hw_total // TILE,)
+
+    protos_flat = protos.reshape(hw_total, nm).T                # [nm, HW]
+    out = pl.pallas_call(
+        functools.partial(_mask_kernel, mask_w=w, mask_h=h, tile=TILE,
+                          input_w=float(input_size[1]),
+                          input_h=float(input_size[0])),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((Dp, hw_total), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((Dp, nm), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nm, TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, 4), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Dp, TILE), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(coefs.astype(jnp.float32), protos_flat.astype(jnp.float32),
+      boxes_xywh.astype(jnp.float32))
+    return out[:D].reshape(D, h, w)
+
+
+# ---------------------------------------------------------------------------
+# MXU-formulated bilinear resize + normalize (XLA; the Pallas-adjacent path)
+# ---------------------------------------------------------------------------
+
+def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] row-stochastic bilinear interpolation matrix
+    (half-pixel-center convention, matching jax.image.resize/cv2)."""
+    out = np.zeros((dst, src), np.float32)
+    scale = src / dst
+    for i in range(dst):
+        s = (i + 0.5) * scale - 0.5
+        s0 = int(np.floor(s))
+        frac = s - s0
+        a = max(0, min(src - 1, s0))
+        b = max(0, min(src - 1, s0 + 1))
+        out[i, a] += 1.0 - frac
+        out[i, b] += frac
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
+def resize_normalize_bf16(frames: jax.Array, out_hw: Tuple[int, int],
+                          dtype=jnp.bfloat16) -> jax.Array:
+    """uint8 [B,H,W,3] -> dtype [B,oh,ow,3] in [0,1].
+
+    Separable bilinear resize expressed as two matmuls so the MXU does the
+    interpolation; the uint8->bf16 conversion and 1/255 fold into the first
+    contraction (no fp32 frame-sized intermediate in HBM).
+    """
+    B, H, W, C = frames.shape
+    oh, ow = out_hw
+    ry = jnp.asarray(_bilinear_matrix(H, oh), dtype)             # [oh, H]
+    rx = jnp.asarray(_bilinear_matrix(W, ow), dtype)             # [ow, W]
+    x = frames.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
+    y = jnp.einsum("oh,bhwc->bowc", ry, x,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    y = jnp.einsum("pw,bowc->bopc", rx, y,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    return y

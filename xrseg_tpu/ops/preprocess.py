@@ -25,26 +25,30 @@ import jax.numpy as jnp
 @partial(jax.jit, static_argnames=("out_hw", "mode", "dtype"))
 def preprocess(frames: jax.Array, out_hw: Tuple[int, int] = (640, 640),
                mode: str = "stretch", dtype=jnp.float32) -> jax.Array:
-    """[B,H,W,3] uint8 (or float 0..255) -> [B,out_h,out_w,3] in [0,1]."""
+    """[B,H,W,3] uint8 (or float 0..255) -> [B,out_h,out_w,3] in [0,1].
+
+    Resize is 2-tap bilinear (GPU-texture-sampling semantics — what the
+    reference's TextureConverter does; cv2.INTER_LINEAR-compatible),
+    formulated as two MXU matmuls with the uint8->compute-dtype conversion
+    and 1/255 folded in (see ops/pallas_kernels.resize_normalize_bf16).
+    """
+    from xrseg_tpu.ops.pallas_kernels import resize_normalize_bf16
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError(f"expected [B,H,W,3] frames, got {frames.shape}")
     B, H, W, _ = frames.shape
     oh, ow = out_hw
-    x = frames.astype(jnp.float32)
 
     if mode == "stretch":
-        y = jax.image.resize(x, (B, oh, ow, 3), method="bilinear")
-        return (y * (1.0 / 255.0)).astype(dtype)
+        return resize_normalize_bf16(frames, (oh, ow), dtype=dtype)
 
     if mode == "letterbox":
         r = min(oh / H, ow / W)
         nh, nw = int(round(H * r)), int(round(W * r))
-        y = jax.image.resize(x, (B, nh, nw, 3), method="bilinear")
+        y = resize_normalize_bf16(frames, (nh, nw), dtype=dtype)
         top = (oh - nh) // 2
         left = (ow - nw) // 2
-        out = jnp.full((B, oh, ow, 3), 114.0, jnp.float32)
-        out = jax.lax.dynamic_update_slice(out, y, (0, top, left, 0))
-        return (out * (1.0 / 255.0)).astype(dtype)
+        out = jnp.full((B, oh, ow, 3), 114.0 / 255.0, dtype)
+        return jax.lax.dynamic_update_slice(out, y, (0, top, left, 0))
 
     raise ValueError(f"unknown preprocess mode {mode!r}")
 
