@@ -21,7 +21,8 @@ import numpy as np
 
 
 def run_device_bench(batch: int = 32, n_chained: int = 50, scale: str = "n",
-                     repeats: int = 3) -> dict:
+                     repeats: int = 3, task: str = "segment",
+                     frame_hw=None, input_size=(640, 640)) -> dict:
     """Pure device throughput: N pipeline invocations CHAINED on-device via
     lax.scan (each batch's input depends on the previous batch's output, so
     nothing can be elided or overlapped away), one scalar readback at the
@@ -37,7 +38,8 @@ def run_device_bench(batch: int = 32, n_chained: int = 50, scale: str = "n",
     from xrseg_tpu.ops import preprocess as pre_ops
     from xrseg_tpu.ops.postprocess import postprocess_single
 
-    cfg = ExecutorConfig(model=ModelConfig(scale=scale))
+    cfg = ExecutorConfig(model=ModelConfig(scale=scale, task=task,
+                                           input_size=tuple(input_size)))
     mcfg, pcfg = cfg.model, cfg.post
     params = yolo11.init_params(jax.random.key(0), mcfg)
 
@@ -46,8 +48,17 @@ def run_device_bench(batch: int = 32, n_chained: int = 50, scale: str = "n",
         out = yolo11.forward(params, x, mcfg)
         det = jax.vmap(lambda pr, po: postprocess_single(
             pr, po, pcfg, mcfg.num_classes, False, mcfg.input_size))(
-                out["preds"], out["protos"])
+                out["preds"], out.get("protos"))
         return det
+
+    if task == "detect":
+        def one(params, frames):   # noqa: F811 — no protos in detect task
+            x = pre_ops.preprocess(frames, mcfg.input_size,
+                                   dtype=jnp.bfloat16)
+            out = yolo11.forward(params, x, mcfg)
+            return jax.vmap(lambda pr: postprocess_single(
+                pr, None, pcfg, mcfg.num_classes, False,
+                mcfg.input_size))(out["preds"])
 
     @jax.jit
     def chained(params, frames):
@@ -58,7 +69,8 @@ def run_device_bench(batch: int = 32, n_chained: int = 50, scale: str = "n",
         c, counts = jax.lax.scan(body, jnp.uint8(0), None, length=n_chained)
         return counts.sum()
 
-    frames = jnp.zeros((batch, 640, 640, 3), jnp.uint8)
+    fh, fw = frame_hw or mcfg.input_size
+    frames = jnp.zeros((batch, fh, fw, 3), jnp.uint8)
     r = chained(params, frames)
     _ = np.asarray(r)                        # compile + absorb first D2H
     best = float("inf")
@@ -122,8 +134,30 @@ def run_bench(batch: int = 32, n_batches: int = 60, warmup_batches: int = 8,
     }
 
 
+# The five BASELINE.json configs (single chip; config 5's two stereo
+# streams = batch 2).
+BASELINE_CONFIGS = {
+    1: dict(scale="n", task="segment", batch=1),
+    2: dict(scale="n", task="detect", batch=8),
+    3: dict(scale="s", task="segment", batch=32),
+    4: dict(scale="m", task="segment", batch=1, frame_hw=(960, 1280)),
+    5: dict(scale="x", task="segment", batch=2),
+}
+
+
 def main() -> int:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    if len(sys.argv) > 1 and sys.argv[1] == "--configs":
+        for i, kw in BASELINE_CONFIGS.items():
+            r = run_device_bench(n_chained=20, repeats=2, **kw)
+            print(json.dumps({
+                "metric": f"config{i}_yolo11{kw['scale']}_"
+                          f"{kw['task']}_b{kw['batch']}",
+                "value": round(r["fps_per_chip"], 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(r["fps_per_chip"] / 30.0, 1),
+            }), flush=True)
+        return 0
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     r = run_device_bench(batch=batch)
     print(json.dumps({
         "metric": f"yolo11n_seg_640_fps_per_chip_b{batch}",

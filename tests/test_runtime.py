@@ -154,3 +154,30 @@ def test_tracer_percentiles():
     assert s["x"]["count"] == 5
     assert 2.5 < s["x"]["p50_ms"] < 3.5
     assert s["x"]["p95_ms"] > 50
+
+
+def test_streaming_runner_order_and_depth():
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.runtime.streaming import StreamingRunner
+    cfg = _tiny_cfg()
+    import jax
+    from xrseg_tpu.models import yolo11
+    params = yolo11.init_params(jax.random.key(0), cfg.model)
+    pipe = build_pipeline(cfg, params, frame_hw=(64, 64), batch=1).warmup()
+    runner = StreamingRunner(pipe, depth=2)
+
+    frames = [np.random.default_rng(i).integers(0, 255, (1, 64, 64, 3),
+                                                np.uint8) for i in range(6)]
+    results = list(runner.run(iter(frames)))
+    assert [r.frame_id for r in results] == list(range(6))
+    assert all(r.latency_s > 0 for r in results)
+    assert "count" in results[0].slate
+    # device-side masks accessible per result
+    assert results[0].device_out["masks"].shape[1:] == (10, 16, 16)
+    assert runner.inflight == 0
+
+
+def test_streaming_runner_depth_validation():
+    from xrseg_tpu.runtime.streaming import StreamingRunner
+    with pytest.raises(ValueError):
+        StreamingRunner(None, depth=0)

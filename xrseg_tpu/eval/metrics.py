@@ -1,0 +1,154 @@
+"""Detection/segmentation evaluation: AP (COCO-style), precision/recall.
+
+Self-contained (no pycocotools): greedy score-ordered matching at IoU
+thresholds, 101-point interpolated AP, box IoU and mask IoU variants. This
+is the parity-measurement tool for the framework's "mask-mAP parity"
+target (BASELINE.json): run the same images through a reference
+implementation and through us, and compare AP on identical ground truth.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Detection:
+    box_xywh: np.ndarray            # [4] cxcywh
+    label: int
+    score: float
+    mask: Optional[np.ndarray] = None   # bool [H,W] (any resolution)
+
+
+@dataclasses.dataclass
+class GroundTruth:
+    box_xywh: np.ndarray
+    label: int
+    mask: Optional[np.ndarray] = None
+
+
+def box_iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
+    ax1, ay1 = a[0] - a[2] / 2, a[1] - a[3] / 2
+    ax2, ay2 = a[0] + a[2] / 2, a[1] + a[3] / 2
+    bx1, by1 = b[0] - b[2] / 2, b[1] - b[3] / 2
+    bx2, by2 = b[0] + b[2] / 2, b[1] + b[3] / 2
+    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+    inter = iw * ih
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, bool)
+    b = np.asarray(b, bool)
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return float(inter) / union if union > 0 else 0.0
+
+
+def _match_image(dets: Sequence[Detection], gts: Sequence[GroundTruth],
+                 iou_thr: float, use_mask: bool) -> Tuple[np.ndarray, int]:
+    """Greedy matching (COCO protocol): detections by descending score, each
+    takes the highest-IoU unmatched same-class GT. Returns (tp flags aligned
+    with score-sorted dets, n_gt)."""
+    order = np.argsort([-d.score for d in dets], kind="stable")
+    matched = [False] * len(gts)
+    tp = np.zeros(len(dets), bool)
+    for oi, di in enumerate(order):
+        d = dets[di]
+        best, best_iou = -1, iou_thr
+        for gi, g in enumerate(gts):
+            if matched[gi] or g.label != d.label:
+                continue
+            if use_mask and d.mask is not None and g.mask is not None:
+                iou = mask_iou(d.mask, g.mask)
+            else:
+                iou = box_iou_xywh(d.box_xywh, g.box_xywh)
+            if iou >= best_iou:
+                best, best_iou = gi, iou
+        if best >= 0:
+            matched[best] = True
+            tp[oi] = True
+    return tp, len(gts)
+
+
+def average_precision(scores: np.ndarray, tps: np.ndarray, n_gt: int) -> float:
+    """101-point interpolated AP from pooled (score, tp) pairs."""
+    if n_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores, kind="stable")
+    tps = tps[order]
+    cum_tp = np.cumsum(tps)
+    cum_fp = np.cumsum(~tps)
+    recall = cum_tp / n_gt
+    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+    # precision envelope, sampled at 101 recall points
+    ap = 0.0
+    for r in np.linspace(0, 1, 101):
+        p = precision[recall >= r].max() if (recall >= r).any() else 0.0
+        ap += p / 101
+    return float(ap)
+
+
+def evaluate(per_image: Sequence[Tuple[Sequence[Detection], Sequence[GroundTruth]]],
+             iou_thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+             use_mask: bool = False) -> Dict[str, float]:
+    """COCO-style mAP over a dataset.
+
+    per_image: list of (detections, ground_truths).
+    Returns {"mAP": mean over IoU thresholds and classes, "AP50", "AP75"}.
+    """
+    classes = sorted({g.label for _, gts in per_image for g in gts})
+    ap_per_thr: Dict[float, List[float]] = {t: [] for t in iou_thresholds}
+    for cls in classes:
+        for thr in iou_thresholds:
+            scores, tps, n_gt = [], [], 0
+            for dets, gts in per_image:
+                cd = [d for d in dets if d.label == cls]
+                cg = [g for g in gts if g.label == cls]
+                tp, ng = _match_image(cd, cg, thr, use_mask)
+                order = np.argsort([-d.score for d in cd], kind="stable")
+                scores += [cd[i].score for i in order]
+                tps += list(tp)
+                n_gt += ng
+            if n_gt:
+                ap_per_thr[thr].append(average_precision(
+                    np.asarray(scores), np.asarray(tps, bool), n_gt))
+    mean_ap = {t: (float(np.mean(v)) if v else float("nan"))
+               for t, v in ap_per_thr.items()}
+    vals = [v for v in mean_ap.values() if not np.isnan(v)]
+    out = {"mAP": float(np.mean(vals)) if vals else float("nan")}
+    t50 = min(iou_thresholds, key=lambda t: abs(t - 0.5))
+    t75 = min(iou_thresholds, key=lambda t: abs(t - 0.75))
+    out["AP50"] = mean_ap[t50]
+    out["AP75"] = mean_ap[t75]
+    return out
+
+
+def detections_from_slate(det: dict, image_index: int = 0,
+                          mask_threshold: float = 0.5,
+                          frame_hw: Optional[Tuple[int, int]] = None,
+                          input_size: Tuple[int, int] = (640, 640),
+                          resize_mode: str = "stretch") -> List[Detection]:
+    """Convert one image's padded pipeline output into Detection objects
+    (boxes mapped back to frame space when frame_hw given)."""
+    from xrseg_tpu.ops.preprocess import boxes_to_frame_space
+    n = int(det["count"][image_index])
+    boxes = np.asarray(det["boxes_xywh"][image_index][:n])
+    if frame_hw is not None:
+        boxes = boxes_to_frame_space(boxes, frame_hw, input_size, resize_mode)
+    labels = np.asarray(det["labels"][image_index][:n])
+    scores = np.asarray(det["scores"][image_index][:n])
+    masks = det.get("masks")
+    out = []
+    for i in range(n):
+        m = None
+        if masks is not None:
+            m = np.asarray(masks[image_index][i]) > mask_threshold
+        out.append(Detection(boxes[i], int(labels[i]), float(scores[i]), m))
+    return out
