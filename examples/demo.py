@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--sentis", default=None,
                     help=".sentis model file (reference artifact) to load")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--score-threshold", type=float, default=None,
+                    help="override the preset NMS score threshold")
     args = ap.parse_args()
 
     from PIL import Image
@@ -96,11 +98,23 @@ def main() -> int:
         return 0
 
     # --- xr mode ---
+    post = XR_PRESET.post
+    if args.score_threshold is not None:
+        import dataclasses as _dc
+        post = _dc.replace(post, score_threshold=args.score_threshold)
     cfg = ExecutorConfig(
-        model=ModelConfig(scale=args.scale), post=XR_PRESET.post,
+        model=ModelConfig(scale=args.scale), post=post,
         depth=XR_PRESET.depth, enable_ui_rendering=True)
+    background = None
+    if args.images:
+        bg_src = FileFrameSource(args.images, image_name=args.image_name,
+                                 loop=False)
+        if bg_src.open():
+            background = next(bg_src.frames()).rgb
+            print(f"using real-image background from {args.images}")
     src = SyntheticCameraSource(frame_hw=(480, 640), depth_hw=(128, 128),
-                                max_frames=args.frames, realtime=True)
+                                max_frames=args.frames, realtime=True,
+                                background_rgb=background)
     ex = Executor(cfg, params=params, frame_hw=(480, 640), seed=args.seed)
     print("model loaded; streaming synthetic passthrough camera")
     selected = False
@@ -115,11 +129,26 @@ def main() -> int:
             continue
         results += 1
         if not selected and r.count > 0:
+            # emulate the right-controller laser (IEPassthroughTrigger.cs:
+            # 87-104,128-134): aim the controller at the first detection,
+            # project the 2 m laser point back to screen, select there.
+            from xrseg_tpu.perception.camera import (laser_screen_position,
+                                                     screen_point_to_ray_in_world)
             b = r.boxes[0]
-            sp = (b.center_x + ex.screen_wh[0] / 2,
-                  b.center_y + ex.screen_wh[1] / 2)
+            frame_sp = (b.center_x + ex.screen_wh[0] / 2,
+                        b.center_y + ex.screen_wh[1] / 2)
+            intr, pose = src.intrinsics, fd.pose
+            # frame pixels -> camera sensor pixels
+            sx = intr.resolution[0] / ex.screen_wh[0]
+            sy = intr.resolution[1] / ex.screen_wh[1]
+            cam_px = (frame_sp[0] * sx, frame_sp[1] * sy)
+            origin, fwd = screen_point_to_ray_in_world(intr, pose, cam_px)
+            fwd = fwd / np.linalg.norm(fwd)
+            laser_px = laser_screen_position(intr, pose, origin, fwd)
+            sp = (laser_px[0] / sx, laser_px[1] / sy)
             selected = ex.select_target_from_screen_pos(sp)
-            print(f"selected target: {b.class_name} @ frame {results}")
+            print(f"laser-selected target: {b.class_name} @ frame {results} "
+                  f"(laser screen pos {tuple(round(v,1) for v in sp)})")
         if r.tracked is not None and r.point_cloud is not None:
             cloud = r.point_cloud
         if results % 10 == 0:

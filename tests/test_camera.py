@@ -85,3 +85,33 @@ def test_latency_clamps_at_one():
     out = lc.compensate(C.Pose(np.array([1.0, 0, 0]), C.quat_identity()),
                         dt=1 / 30)
     np.testing.assert_allclose(out.position, 0, atol=1e-6)   # fully previous
+
+
+def test_world_to_screen_roundtrip():
+    intr = C.CameraIntrinsics((500.0, 500.0), (640.0, 480.0), (1280, 960))
+    pose = C.Pose(np.array([0.5, 1.0, -0.2], np.float32),
+                  C.quat_from_axis_angle([0, 1, 0], 0.3))
+    # take a pixel, cast a ray, pick a point on it, project back
+    px = (800.0, 300.0)
+    origin, direction = C.screen_point_to_ray_in_world(intr, pose, px)
+    point = origin + direction * 2.5
+    back = C.world_point_to_screen(intr, pose, point)
+    np.testing.assert_allclose(back, px, atol=1e-3)
+
+
+def test_world_to_screen_behind_camera():
+    intr = C.CameraIntrinsics((500.0, 500.0), (640.0, 480.0), (1280, 960))
+    pose = C.Pose.identity()
+    assert C.world_point_to_screen(intr, pose, np.array([0, 0, -1.0])) is None
+
+
+def test_laser_screen_position():
+    intr = C.CameraIntrinsics((500.0, 500.0), (640.0, 480.0), (1280, 960))
+    pose = C.Pose.identity()
+    # controller at origin pointing straight ahead -> principal point
+    sp = C.laser_screen_position(intr, pose, np.zeros(3), np.array([0, 0, 1.0]))
+    np.testing.assert_allclose(sp, (640.0, 480.0))
+    # pointing right by atan(0.5) at 2m -> 1m right -> x = fx*0.5 + cx
+    sp2 = C.laser_screen_position(intr, pose, np.zeros(3),
+                                  np.array([0.5, 0, 1.0]) / np.linalg.norm([0.5, 0, 1.0]))
+    np.testing.assert_allclose(sp2, (640.0 + 250.0, 480.0), atol=1e-3)

@@ -181,3 +181,24 @@ def test_streaming_runner_depth_validation():
     from xrseg_tpu.runtime.streaming import StreamingRunner
     with pytest.raises(ValueError):
         StreamingRunner(None, depth=0)
+
+
+def test_executor_error_path_recovers(executor):
+    """Missing output buffer -> ERROR -> COMPLETED -> usable again
+    (ref error handling: IEExecutor.cs:428,453-454)."""
+    assert executor.run_inference(_frame(7))
+    # drive to REQUESTING_OUTPUTS, then corrupt the in-flight outputs
+    for _ in range(10_000):
+        executor.update()
+        if executor.state == ExecState.REQUESTING_OUTPUTS:
+            break
+    executor._inflight = dict(executor._inflight)
+    executor._inflight["slate"] = None
+    executor.update()
+    assert executor.state == ExecState.ERROR
+    executor.update()
+    assert executor.state == ExecState.COMPLETED
+    assert not executor.is_running()
+    # recovers cleanly
+    r = executor.run_sync(_frame(8))
+    assert r is not None

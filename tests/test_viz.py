@@ -99,3 +99,19 @@ def test_ply_writer(tmp_path):
     write_ply(path, pts, cols)
     txt = open(path).read()
     assert "element vertex 2" in txt and "255 0 0" in txt
+
+
+def test_draw_masks_multi():
+    from xrseg_tpu.viz.masker import draw_masks_multi
+    masks = np.zeros((2, 160, 160), np.float32)
+    masks[0, 70:90, 70:90] = 0.9       # centered object
+    masks[1, :, :] = 0.9               # full mask, cropped by its box
+    boxes = [BoundingBox(0, 0, 160, 160, label=0, index=0),
+             BoundingBox(-200, 0, 40, 40, label=1, index=1)]
+    ov = draw_masks_multi(boxes, masks, (640, 480))
+    assert ov.shape == (480, 640, 4)
+    assert ov[240, 320, 3] == 191           # object 0 center lit
+    assert ov[240, 120, 3] == 191           # object 1 (cropped to its box)
+    assert ov[10, 10, 3] == 0
+    # colors differ per class
+    assert tuple(ov[240, 320, :3]) != tuple(ov[240, 120, :3])

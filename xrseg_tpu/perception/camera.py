@@ -17,7 +17,7 @@ host-side: poses are tiny and arrive from the platform layer.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -142,6 +142,34 @@ def screen_point_to_ray_in_world(intr: CameraIntrinsics, cam_pose: Pose,
     """(origin, direction) in world (PassthroughCameraUtils.cs:171-177)."""
     d = screen_point_to_ray_in_camera(intr, screen_point)
     return cam_pose.position, quat_rotate(cam_pose.rotation, d)
+
+
+def world_point_to_screen(intr: CameraIntrinsics, cam_pose: Pose,
+                          world_point: np.ndarray) -> Optional[Tuple[float, float]]:
+    """Project a world point to camera pixel coords (the Camera.
+    WorldToScreenPoint step of the laser pointer, IEPassthroughTrigger.cs:128-134).
+    Returns None if the point is behind the camera."""
+    rel = np.asarray(world_point, np.float32) - cam_pose.position
+    p_cam = quat_rotate(quat_conjugate(cam_pose.rotation), rel)
+    if p_cam[2] <= 1e-6:
+        return None
+    fx, fy = intr.focal_length
+    cx, cy = intr.principal_point
+    return (float(fx * p_cam[0] / p_cam[2] + cx),
+            float(fy * p_cam[1] / p_cam[2] + cy))
+
+
+def laser_screen_position(intr: CameraIntrinsics, cam_pose: Pose,
+                          controller_pos: np.ndarray,
+                          controller_forward: np.ndarray,
+                          plane_distance: float = 2.0
+                          ) -> Optional[Tuple[float, float]]:
+    """The reference's laser-pointer hit test: project the point
+    `plane_distance` meters along the controller ray onto the screen
+    (IEPassthroughTrigger.cs:128-134)."""
+    target = (np.asarray(controller_pos, np.float32)
+              + np.asarray(controller_forward, np.float32) * plane_distance)
+    return world_point_to_screen(intr, cam_pose, target)
 
 
 def camera_pose_from_head(head_pose: Pose, head_from_camera: Pose) -> Pose:

@@ -121,7 +121,13 @@ class SyntheticCameraSource(FrameSource):
     def __init__(self, frame_hw: Tuple[int, int] = (960, 1280),
                  depth_hw: Tuple[int, int] = (256, 256),
                  n_objects: int = 3, fps: float = 30.0, seed: int = 0,
-                 max_frames: Optional[int] = None, realtime: bool = False):
+                 max_frames: Optional[int] = None, realtime: bool = False,
+                 background_rgb: Optional[np.ndarray] = None,
+                 background_depth_m: float = 1.5):
+        """background_rgb: optional [H,W,3] image used as the static scene
+        (with synthetic depth `background_depth_m`) instead of procedural
+        rectangles — lets a real detector exercise the full XR loop
+        (detect -> select -> track -> RGBD) deterministically."""
         self.frame_hw = frame_hw
         self.depth_hw = depth_hw
         self.n_objects = n_objects
@@ -129,6 +135,8 @@ class SyntheticCameraSource(FrameSource):
         self.seed = seed
         self.max_frames = max_frames
         self.realtime = realtime   # sleep to deliver frames at `fps`
+        self.background_rgb = background_rgb
+        self.background_depth_m = background_depth_m
         self.intrinsics = CameraIntrinsics.quest3_like()
 
     def frames(self) -> Iterator[FrameData]:
@@ -142,24 +150,33 @@ class SyntheticCameraSource(FrameSource):
         depths = rng.uniform(0.5, 2.5, self.n_objects)
 
         t = 0
-        yy = np.linspace(0, 80, H, dtype=np.float32)[:, None]
-        xx = np.linspace(0, 80, W, dtype=np.float32)[None, :]
-        bg = np.stack([yy + xx, 40 + 0 * yy + xx, 80 + yy - xx], -1)
-        bg = np.clip(bg, 0, 255).astype(np.uint8)
+        if self.background_rgb is not None:
+            from PIL import Image
+            bg = np.asarray(Image.fromarray(
+                np.asarray(self.background_rgb, np.uint8)).resize((W, H)),
+                np.uint8)
+        else:
+            yy = np.linspace(0, 80, H, dtype=np.float32)[:, None]
+            xx = np.linspace(0, 80, W, dtype=np.float32)[None, :]
+            bg = np.stack([yy + xx, 40 + 0 * yy + xx, 80 + yy - xx], -1)
+            bg = np.clip(bg, 0, 255).astype(np.uint8)
 
         while self.max_frames is None or t < self.max_frames:
             frame = bg.copy()
-            depth = np.full((dh, dw), 3.5, np.float32)   # background beyond range
-            centers_t = (centers + vels * t) % 1.0
-            for i in range(self.n_objects):
-                cy, cx = centers_t[i]
-                hh, hw_ = sizes[i]
-                y1, y2 = int((cy - hh / 2) * H), int((cy + hh / 2) * H)
-                x1, x2 = int((cx - hw_ / 2) * W), int((cx + hw_ / 2) * W)
-                frame[max(0, y1):max(0, y2), max(0, x1):max(0, x2)] = colors[i]
-                dy1, dy2 = int((cy - hh / 2) * dh), int((cy + hh / 2) * dh)
-                dx1, dx2 = int((cx - hw_ / 2) * dw), int((cx + hw_ / 2) * dw)
-                depth[max(0, dy1):max(0, dy2), max(0, dx1):max(0, dx2)] = depths[i]
+            if self.background_rgb is not None:
+                depth = np.full((dh, dw), self.background_depth_m, np.float32)
+            else:
+                depth = np.full((dh, dw), 3.5, np.float32)   # beyond range
+                centers_t = (centers + vels * t) % 1.0
+                for i in range(self.n_objects):
+                    cy, cx = centers_t[i]
+                    hh, hw_ = sizes[i]
+                    y1, y2 = int((cy - hh / 2) * H), int((cy + hh / 2) * H)
+                    x1, x2 = int((cx - hw_ / 2) * W), int((cx + hw_ / 2) * W)
+                    frame[max(0, y1):max(0, y2), max(0, x1):max(0, x2)] = colors[i]
+                    dy1, dy2 = int((cy - hh / 2) * dh), int((cy + hh / 2) * dh)
+                    dx1, dx2 = int((cx - hw_ / 2) * dw), int((cx + hw_ / 2) * dw)
+                    depth[max(0, dy1):max(0, dy2), max(0, dx1):max(0, dx2)] = depths[i]
 
             # orbiting head pose
             ang = 0.02 * t

@@ -163,6 +163,43 @@ class Masker:
         return out
 
 
+def draw_masks_multi(boxes, masks, frame_wh: Tuple[int, int],
+                     confidence_threshold: float = 0.5) -> np.ndarray:
+    """Multi-object mask overlay (the reference's DrawMask variant,
+    IEMasker.cs:82-119): every instance's 160x160 mask thresholded, cropped
+    to its box, colored per class, composited into one RGBA overlay.
+
+    boxes: sequence of BoundingBox; masks: [N,160,160] float.
+    """
+    fw, fh = frame_wh
+    out = np.zeros((fh, fw, 4), np.uint8)
+    masks = np.asarray(masks)
+    H, W = masks.shape[1:]
+    for b in boxes:
+        if b.index < 0 or b.index >= len(masks):
+            continue
+        m = masks[b.index]
+        sx, sy = W / fw, H / fh
+        ccx = b.center_x * sx + W / 2
+        ccy = H / 2 - b.center_y * sy
+        hw = b.width * sx / 2
+        hh = b.height * sy / 2
+        xs = np.arange(W)[None, :]
+        ys = np.arange(H)[:, None]
+        inside = ((xs >= ccx - hw) & (xs <= ccx + hw) &
+                  (ys >= ccy - hh) & (ys <= ccy + hh))
+        binary = (m > confidence_threshold) & inside
+        if not binary.any():
+            continue
+        # nearest-upscale to frame resolution and composite
+        yi = np.clip((np.arange(fh) * H) // fh, 0, H - 1)
+        xi = np.clip((np.arange(fw) * W) // fw, 0, W - 1)
+        big = binary[np.ix_(yi, xi)]
+        r, g, bl = class_color(b.label)
+        out[big] = (r, g, bl, 191)
+    return out
+
+
 def composite_overlay(frame: np.ndarray, overlay_rgba: np.ndarray) -> np.ndarray:
     """Alpha-blend an RGBA overlay onto an RGB frame."""
     a = overlay_rgba[..., 3:4].astype(np.float32) / 255.0
