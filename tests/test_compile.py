@@ -1,0 +1,61 @@
+"""Pipeline compiler: warmup, slate packing, AOT artifact roundtrip."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xrseg_tpu.compile import (build_pipeline, export_compiled, load_compiled,
+                               load_model, unpack_slate)
+from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
+from xrseg_tpu.models import yolo11
+
+
+def _cfg():
+    return ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(pre_nms_topk=64, max_detections=10,
+                               score_threshold=0.01))
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = _cfg()
+    params = yolo11.init_params(jax.random.key(0), cfg.model)
+    return build_pipeline(cfg, params, frame_hw=(64, 64), batch=1).warmup()
+
+
+def test_slate_pack_unpack(pipe):
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3)), jnp.uint8)
+    det = pipe(frames)
+    got = unpack_slate(np.asarray(det["slate"][0]), 10)
+    np.testing.assert_allclose(got["boxes_xywh"],
+                               np.asarray(det["boxes_xywh"][0]), rtol=1e-6)
+    np.testing.assert_array_equal(got["labels"], np.asarray(det["labels"][0]))
+    assert got["count"] == int(det["count"][0])
+    np.testing.assert_array_equal(got["valid"], np.asarray(det["valid"][0]))
+
+
+def test_export_roundtrip(tmp_path, pipe):
+    path = os.path.join(tmp_path, "model.xrseg")
+    export_compiled(pipe, path)
+    assert os.path.getsize(path) > 1_000_000   # weights baked in
+
+    loaded = load_compiled(path)
+    frames = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (1, 64, 64, 3)), jnp.uint8)
+    a = pipe(frames)
+    b = loaded(frames)
+    np.testing.assert_allclose(np.asarray(a["scores"]),
+                               np.asarray(b["scores"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a["count"]),
+                                  np.asarray(b["count"]))
+
+
+def test_load_model_warms_up():
+    cfg = _cfg()
+    pipe = load_model(cfg, seed=1, frame_hw=(64, 64), batch=1)
+    det = pipe(jnp.zeros((1, 64, 64, 3), jnp.uint8))
+    assert "slate" in det

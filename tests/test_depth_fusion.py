@@ -102,3 +102,19 @@ def test_batched_targets():
         *map(jnp.asarray, args[3:]), sampling_step=4)
     assert out["positions"].shape[0] == 2
     assert np.asarray(out["valid"][1]).sum() == 0
+
+
+def test_extract_for_target_matches_indexed():
+    """Device-fused slate-gather path == manual mask indexing."""
+    args = _scenario(seed=2)
+    masks = np.stack([np.zeros((160, 160), np.float32), args[1]])
+    out_fused = df.extract_points_for_target(
+        jnp.asarray(masks), jnp.int32(1), jnp.asarray(args[0]),
+        *map(jnp.asarray, args[2:]), sampling_step=4)
+    out_ref = df.extract_points(
+        jnp.asarray(args[0]), jnp.asarray(args[1]), *map(jnp.asarray, args[2:]),
+        sampling_step=4)
+    np.testing.assert_array_equal(np.asarray(out_fused["valid"]),
+                                  np.asarray(out_ref["valid"]))
+    np.testing.assert_allclose(np.asarray(out_fused["positions"]),
+                               np.asarray(out_ref["positions"]), atol=1e-6)

@@ -202,3 +202,40 @@ def test_executor_error_path_recovers(executor):
     # recovers cleanly
     r = executor.run_sync(_frame(8))
     assert r is not None
+
+
+def test_native_frame_ring_threaded_stress():
+    """SPSC correctness under a real producer/consumer thread pair."""
+    import threading
+    try:
+        from xrseg_tpu.io.native import FrameRing
+        ring = FrameRing(capacity=8, slot_bytes=8)
+    except Exception:
+        pytest.skip("native lib unavailable")
+    N = 20_000
+    consumed = []
+
+    def producer():
+        for i in range(N):
+            ring.push(np.frombuffer(np.int64(i).tobytes(), np.uint8))
+
+    def consumer():
+        done_flag = [False]
+        while True:
+            out = ring.pop((1,), np.int64)
+            if out is not None:
+                consumed.append(int(out[0]))
+            elif producer_done.is_set() and len(ring) == 0:
+                return
+
+    producer_done = threading.Event()
+    t_c = threading.Thread(target=consumer)
+    t_c.start()
+    producer()
+    producer_done.set()
+    t_c.join(timeout=60)
+    assert not t_c.is_alive()
+    # values strictly increasing (drops allowed, reorders/duplicates not)
+    assert consumed == sorted(set(consumed))
+    assert consumed[-1] == N - 1
+    assert len(consumed) + ring.dropped == N

@@ -103,6 +103,42 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                             input_shape=in_shape)
 
 
+def export_compiled(pipe: CompiledPipeline, path: str) -> None:
+    """Serialize the frame->detections pipeline (weights baked in) to a
+    single artifact — the TPU-native equivalent of the reference's compiled
+    .sentis model (IEModelEditorConverter.cs:100-102 compiles+saves;
+    ModelLoader.Load reads it back at IEExecutor.cs:382).
+
+    The artifact is StableHLO (portable across compatible jax/XLA versions
+    and devices); weights are embedded as constants.
+    """
+    import os
+
+    import jax.export
+
+    params = pipe.params
+    fn = pipe.fn
+
+    def closed(frames):
+        return fn(params, frames)
+
+    spec = jax.ShapeDtypeStruct(pipe.input_shape, jnp.uint8)
+    exp = jax.export.export(jax.jit(closed))(spec)
+    blob = exp.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_compiled(path: str):
+    """Load an exported pipeline artifact. Returns fn(frames)->det dict."""
+    import jax.export
+
+    with open(path, "rb") as f:
+        exp = jax.export.deserialize(f.read())
+    return lambda frames: exp.call(frames)
+
+
 def unpack_slate(slate_row, max_det: int) -> Dict[str, Any]:
     """Host-side inverse of the on-device slate packing (one image's row)."""
     import numpy as np

@@ -95,11 +95,38 @@ def extract_points(depth_fp16: jax.Array, mask: jax.Array,
     positions = cam_pos[None, :] + dir_world * depth_m[:, None]
 
     zero = jnp.zeros_like(positions)
+    positions = jnp.where(alive[:, None], positions, zero)
+    depths = jnp.where(alive, depth_m, 0.0)
     return {
-        "positions": jnp.where(alive[:, None], positions, zero),
-        "depths": jnp.where(alive, depth_m, 0.0),
+        "positions": positions,
+        "depths": depths,
         "valid": alive,
+        # single-DMA packed form: [N, 5] = xyz | depth | valid
+        "packed": jnp.concatenate(
+            [positions, depths[:, None], alive[:, None].astype(jnp.float32)],
+            axis=-1),
     }
+
+
+@partial(jax.jit, static_argnames=("confidence_threshold", "min_depth",
+                                   "max_depth", "sampling_step", "mask_hw"))
+def extract_points_for_target(masks: jax.Array, target_index: jax.Array,
+                              depth_fp16: jax.Array, box_xywh_640: jax.Array,
+                              focal: jax.Array, principal: jax.Array,
+                              sensor_res: jax.Array, cam_pos: jax.Array,
+                              cam_quat: jax.Array, **kw):
+    """Device-fused variant for the tracking hot path: gathers the tracked
+    target's mask row from the (device-resident) detection slate and runs
+    the fusion kernel in the SAME dispatch — the host never downloads the
+    mask (the reference copies the full mask to the CPU every frame,
+    IEExecutor.cs:615-621).
+
+    masks: [D,mh,mw] (one image's slate), target_index: scalar int.
+    """
+    mask = masks[target_index]
+    return extract_points(depth_fp16, mask, box_xywh_640, focal, principal,
+                          sensor_res, cam_pos, cam_quat,
+                          mask_hw=masks.shape[1:], **kw)
 
 
 def extract_points_batched(depth_fp16, masks, boxes, focal, principal,

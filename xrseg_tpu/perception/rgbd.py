@@ -86,6 +86,36 @@ class PointCloudExtractor:
             dep = np.asarray(out["depths"])
             valid = np.asarray(out["valid"])
 
+        return self._collect(pos, dep, valid)
+
+    def extract_from_slate(self, depth_fp16: np.ndarray, masks_device,
+                           target_index: int, box_xywh_640,
+                           intrinsics: CameraIntrinsics,
+                           depth_pose: Pose) -> PointCloud:
+        """Device-fused path: the tracked target's mask stays on device; the
+        gather + fusion run in one dispatch and only the (tiny) point set
+        comes back (vs the reference's full-mask CPU copy,
+        IEExecutor.cs:615-621)."""
+        import jax.numpy as jnp
+        c = self.cfg
+        out = df.extract_points_for_target(
+            masks_device, jnp.int32(target_index),
+            jnp.asarray(np.ascontiguousarray(depth_fp16, np.uint16)),
+            jnp.asarray(np.asarray(box_xywh_640, np.float32)),
+            jnp.asarray(np.asarray(intrinsics.focal_length, np.float32)),
+            jnp.asarray(np.asarray(intrinsics.principal_point, np.float32)),
+            jnp.asarray(np.asarray(intrinsics.resolution, np.float32)),
+            jnp.asarray(depth_pose.position, dtype=jnp.float32),
+            jnp.asarray(depth_pose.rotation, dtype=jnp.float32),
+            confidence_threshold=c.confidence_threshold,
+            min_depth=c.min_depth_m, max_depth=c.max_depth_m,
+            sampling_step=c.sampling_step)
+        packed = np.asarray(out["packed"])          # ONE host transfer
+        return self._collect(packed[:, :3], packed[:, 3], packed[:, 4] > 0.5)
+
+    def _collect(self, pos, dep, valid) -> PointCloud:
+        """CollectJobResults semantics (IEExecutor.cs:653-682)."""
+        c = self.cfg
         idx = np.nonzero(valid)[0][:c.max_points]   # cap (IEExecutor.cs:658)
         cloud = PointCloud(
             positions=pos[idx],

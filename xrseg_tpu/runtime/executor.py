@@ -257,16 +257,24 @@ class Executor:
             return np.asarray(self._inflight["masks"][0, slate_index])
 
     def _extract_depth_for(self, box: BoundingBox) -> Optional[PointCloud]:
-        """ExtractDepthData (IEExecutor.cs:561-651)."""
+        """ExtractDepthData (IEExecutor.cs:561-651).
+
+        On the jax backend the target's mask never leaves the device: the
+        slate-row gather + fusion kernel run in one dispatch
+        (extract_points_for_target)."""
         if self._depth_frame is None or self._depth_pose is None:
             return None
         meta = self._inflight_meta
         intr = meta.intrinsics if meta is not None else None
         if intr is None:
             return None
-        mask = self._fetch_target_mask(box.index)
         raw_box = box_to_model_space(box, self.screen_wh)
         with self.tracer.section("depth_fusion"):
+            if self.points.backend == "jax":
+                return self.points.extract_from_slate(
+                    self._depth_frame, self._inflight["masks"][0], box.index,
+                    raw_box, intr, self._depth_pose)
+            mask = self._fetch_target_mask(box.index)
             return self.points.extract(self._depth_frame, mask, raw_box,
                                        intr, self._depth_pose)
 
