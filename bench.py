@@ -36,29 +36,26 @@ def run_device_bench(batch: int = 32, n_chained: int = 50, scale: str = "n",
     from xrseg_tpu.config import ExecutorConfig, ModelConfig
     from xrseg_tpu.models import yolo11
     from xrseg_tpu.ops import preprocess as pre_ops
-    from xrseg_tpu.ops.postprocess import postprocess_single
-
+    
     cfg = ExecutorConfig(model=ModelConfig(scale=scale, task=task,
                                            input_size=tuple(input_size)))
     mcfg, pcfg = cfg.model, cfg.post
     params = yolo11.init_params(jax.random.key(0), mcfg)
 
+    from xrseg_tpu.ops.postprocess import postprocess_single_parts
+
     def one(params, frames):
         x = pre_ops.preprocess(frames, mcfg.input_size, dtype=jnp.bfloat16)
-        out = yolo11.forward(params, x, mcfg)
-        det = jax.vmap(lambda pr, po: postprocess_single(
-            pr, po, pcfg, mcfg.num_classes, False, mcfg.input_size))(
-                out["preds"], out.get("protos"))
-        return det
-
-    if task == "detect":
-        def one(params, frames):   # noqa: F811 — no protos in detect task
-            x = pre_ops.preprocess(frames, mcfg.input_size,
-                                   dtype=jnp.bfloat16)
-            out = yolo11.forward(params, x, mcfg)
-            return jax.vmap(lambda pr: postprocess_single(
-                pr, None, pcfg, mcfg.num_classes, False,
-                mcfg.input_size))(out["preds"])
+        out = yolo11.forward(params, x, mcfg, concat_preds=False)
+        if task == "detect":
+            return jax.vmap(lambda b, s: postprocess_single_parts(
+                b, s, None, None, pcfg, False, mcfg.input_size))(
+                    out["boxes_xywh"], out["scores"])
+        return jax.vmap(lambda b, s, c, p: postprocess_single_parts(
+            b, s, c, p, pcfg, False, mcfg.input_size,
+            mask_dtype=jnp.bfloat16))(
+                out["boxes_xywh"], out["scores"], out["mask_coefs"],
+                out["protos"])
 
     @jax.jit
     def chained(params, frames):

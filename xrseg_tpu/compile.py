@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
 from xrseg_tpu.models import yolo11
 from xrseg_tpu.ops import preprocess as pre_ops
-from xrseg_tpu.ops.postprocess import postprocess_single
+from xrseg_tpu.ops.postprocess import postprocess_single, postprocess_single_parts
 
 
 @dataclasses.dataclass
@@ -55,6 +55,7 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                    batch: Optional[int] = None,
                    resize_mode: str = "stretch",
                    crop_masks: bool = False,
+                   mask_dtype: str = "float32",
                    donate_frames: bool = False) -> CompiledPipeline:
     """Compile the full pipeline for a fixed frame geometry.
 
@@ -68,21 +69,23 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     fh, fw = frame_hw or mcfg.input_size
     in_shape = (B, fh, fw, 3)
 
+    mdt = jnp.dtype(mask_dtype)
+
     def _run(params, frames):
         x = pre_ops.preprocess(frames, mcfg.input_size, mode=resize_mode,
                                dtype=jnp.dtype(mcfg.dtype))
-        out = yolo11.forward(params, x, mcfg)
+        out = yolo11.forward(params, x, mcfg, concat_preds=False)
         protos = out.get("protos")
-        def single(preds, protos):
-            return postprocess_single(
-                preds, protos, pcfg, mcfg.num_classes, crop_masks,
-                mcfg.input_size)
         if protos is None:
-            det = jax.vmap(lambda p: postprocess_single(
-                p, None, pcfg, mcfg.num_classes, crop_masks,
-                mcfg.input_size))(out["preds"])
+            det = jax.vmap(lambda b, s: postprocess_single_parts(
+                b, s, None, None, pcfg, crop_masks, mcfg.input_size))(
+                    out["boxes_xywh"], out["scores"])
         else:
-            det = jax.vmap(single)(out["preds"], protos)
+            det = jax.vmap(lambda b, s, c, p: postprocess_single_parts(
+                b, s, c, p, pcfg, crop_masks, mcfg.input_size,
+                mask_dtype=mdt))(
+                    out["boxes_xywh"], out["scores"], out["mask_coefs"],
+                    protos)
         # Pack the small per-frame outputs into ONE flat f32 array so the
         # host readback is a single DMA (boxes | scores | labels | valid |
         # count), instead of five round-trips. Masks/coefs stay on device;

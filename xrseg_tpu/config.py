@@ -53,7 +53,7 @@ class PostprocessConfig:
     iou_threshold: float = 0.6
     score_threshold: float = 0.23
     max_detections: int = 50
-    pre_nms_topk: int = 256          # candidates entering NMS (power-of-2 friendly)
+    pre_nms_topk: int = 128          # candidates entering NMS (power-of-2 friendly)
     class_aware: bool = True
 
 

@@ -237,13 +237,16 @@ def dfl_decode(box_logits: jax.Array, reg_max: int) -> jax.Array:
     return jnp.einsum("bafr,r->baf", probs, bins)
 
 
-def head_outputs(params: Params, feats, cfg: ModelConfig) -> Dict[str, jax.Array]:
+def head_outputs(params: Params, feats, cfg: ModelConfig,
+                 concat_preds: bool = True) -> Dict[str, jax.Array]:
     """Detect/segment heads + DFL decode from (P3, P4, P5) features.
 
     Returns dict:
-      preds:  [B, A, 4+nc+nm] float32 — xywh (input pixels), sigmoid scores,
-              mask coefficients. (= ONNX output0, transposed)
-      protos: [B, H/4, W/4, nm] float32 NHWC  (= ONNX output1, transposed)
+      boxes_xywh [B,A,4], scores [B,A,nc], mask_coefs [B,A,nm],
+      protos [B,H/4,W/4,nm], and (when concat_preds) the ONNX-contract
+      concat preds [B, A, 4+nc+nm] float32. The hot serving path passes
+      concat_preds=False — the concat would materialize a huge [B,A,116]
+      intermediate that postprocess immediately re-slices.
     """
     dt = jnp.dtype(cfg.dtype)
     boxes, clss = _detect_branches(params, feats, cfg, dt)
@@ -280,14 +283,16 @@ def head_outputs(params: Params, feats, cfg: ModelConfig) -> Dict[str, jax.Array
             [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1)
         out["mask_coefs"] = mc_flat.astype(jnp.float32)
         out["protos"] = protos.astype(jnp.float32)
-        out["preds"] = jnp.concatenate(
-            [xywh, scores, out["mask_coefs"]], axis=-1)
-    else:
+        if concat_preds:
+            out["preds"] = jnp.concatenate(
+                [xywh, scores, out["mask_coefs"]], axis=-1)
+    elif concat_preds:
         out["preds"] = jnp.concatenate([xywh, scores], axis=-1)
     return out
 
 
-def forward(params: Params, x: jax.Array, cfg: ModelConfig) -> Dict[str, jax.Array]:
+def forward(params: Params, x: jax.Array, cfg: ModelConfig,
+            concat_preds: bool = True) -> Dict[str, jax.Array]:
     """Full raw-head forward: backbone -> neck -> heads (see head_outputs)."""
     if tuple(x.shape[1:3]) != tuple(cfg.input_size):
         raise ValueError(
@@ -295,7 +300,7 @@ def forward(params: Params, x: jax.Array, cfg: ModelConfig) -> Dict[str, jax.Arr
             "(NHWC expected)")
     dt = jnp.dtype(cfg.dtype)
     feats = _backbone_neck(params, x, cfg, dt)
-    return head_outputs(params, feats, cfg)
+    return head_outputs(params, feats, cfg, concat_preds=concat_preds)
 
 
 def forward_train(params: Params, x: jax.Array, cfg: ModelConfig

@@ -53,12 +53,15 @@ def _nms_kernel(corners_ref, alive0_ref, out_ref, *, iou_threshold: float):
     union = c(area) + area[None, :] - inter
     iou = jnp.where(union > 0, inter / union, 0.0)      # [K,K] in VMEM
 
-    suppress = (iou > iou_threshold)
+    suppress = (iou > iou_threshold).astype(jnp.float32)   # [K,K]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)[0]
 
     def body(i, alive):
-        kept = alive[i] > 0.0
-        kill = kept & (suppress[i, :]) & (col_ids > i)
+        # one-hot row select (vmap/Mosaic-safe: no dynamic_slice)
+        onehot = (col_ids == i).astype(jnp.float32)          # [K]
+        kept = jnp.sum(alive * onehot) > 0.0
+        row = jnp.sum(suppress * onehot[:, None], axis=0)    # iou[i, :]
+        kill = kept & (row > 0.0) & (col_ids > i)
         return jnp.where(kill, 0.0, alive)
 
     alive = jax.lax.fori_loop(0, K, body, alive0_ref[0, :])
@@ -70,7 +73,14 @@ def nms_greedy_pallas(corners: jax.Array, alive0: jax.Array,
                       iou_threshold: float, interpret: bool = False
                       ) -> jax.Array:
     """corners [K,4] f32 score-sorted; alive0 [K] bool. Returns keep [K] bool.
-    K must be a multiple of 128 (lane width)."""
+    K must be a multiple of 128 (lane width).
+
+    NOTE: single-image kernel. The production pipeline uses the XLA greedy
+    NMS (ops/nms.py) which measures ~0.55 ms for a 128-image batch and
+    vmaps cleanly; vmapping this pallas_call crashes the Mosaic compiler on
+    the current toolchain (grid-lifting of the scan), so the kernel is kept
+    as the single-stream/latency-path option and a reference.
+    """
     K = corners.shape[0]
     if K % 128:
         raise ValueError(f"K={K} must be a multiple of 128")
@@ -185,22 +195,42 @@ def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
     return out
 
 
+def _tap_indices(src: int, dst: int):
+    """2-tap bilinear gather plan: (idx0, idx1, w1) per output coordinate
+    (half-pixel-center convention)."""
+    s = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+    s0 = np.floor(s).astype(np.int64)
+    frac = (s - s0).astype(np.float32)
+    i0 = np.clip(s0, 0, src - 1)
+    i1 = np.clip(s0 + 1, 0, src - 1)
+    return i0, i1, frac
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
 def resize_normalize_bf16(frames: jax.Array, out_hw: Tuple[int, int],
                           dtype=jnp.bfloat16) -> jax.Array:
     """uint8 [B,H,W,3] -> dtype [B,oh,ow,3] in [0,1].
 
-    Separable bilinear resize expressed as two matmuls so the MXU does the
-    interpolation; the uint8->bf16 conversion and 1/255 fold into the first
-    contraction (no fp32 frame-sized intermediate in HBM).
+    2-tap separable bilinear as four row/col gathers + lerps (the bilinear
+    matrix is 2-sparse; a dense MXU matmul wastes ~H/2 x the FLOPs). The
+    uint8->dtype conversion and 1/255 fold into the first lerp. Identity
+    sizes skip the resample entirely.
     """
     B, H, W, C = frames.shape
     oh, ow = out_hw
-    ry = jnp.asarray(_bilinear_matrix(H, oh), dtype)             # [oh, H]
-    rx = jnp.asarray(_bilinear_matrix(W, ow), dtype)             # [ow, W]
-    x = frames.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
-    y = jnp.einsum("oh,bhwc->bowc", ry, x,
-                   preferred_element_type=jnp.float32).astype(dtype)
-    y = jnp.einsum("pw,bowc->bopc", rx, y,
-                   preferred_element_type=jnp.float32).astype(dtype)
-    return y
+    scale = jnp.asarray(1.0 / 255.0, dtype)
+    if (H, W) == (oh, ow):
+        return frames.astype(dtype) * scale
+
+    x = frames.astype(dtype) * scale
+    if H != oh:
+        i0, i1, f = _tap_indices(H, oh)
+        f = jnp.asarray(f, dtype)[None, :, None, None]
+        x = (jnp.take(x, jnp.asarray(i0), axis=1) * (1 - f)
+             + jnp.take(x, jnp.asarray(i1), axis=1) * f)
+    if W != ow:
+        i0, i1, f = _tap_indices(W, ow)
+        f = jnp.asarray(f, dtype)[None, None, :, None]
+        x = (jnp.take(x, jnp.asarray(i0), axis=2) * (1 - f)
+             + jnp.take(x, jnp.asarray(i1), axis=2) * f)
+    return x

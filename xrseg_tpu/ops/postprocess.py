@@ -28,13 +28,16 @@ from xrseg_tpu.ops import masks as mask_ops
 from xrseg_tpu.ops import nms as nms_ops
 
 
-def postprocess_single(preds: jax.Array, protos: jax.Array | None,
-                       cfg: PostprocessConfig, num_classes: int = 80,
-                       crop: bool = False,
-                       input_size: tuple = (640, 640)) -> Dict[str, jax.Array]:
-    """preds: [A, 4+nc(+nm)]; protos: [h,w,nm] or None (detect-only)."""
-    boxes = preds[:, :4]
-    cls_scores = preds[:, 4:4 + num_classes]
+def postprocess_single_parts(boxes: jax.Array, cls_scores: jax.Array,
+                             coefs_all: jax.Array | None,
+                             protos: jax.Array | None,
+                             cfg: PostprocessConfig,
+                             crop: bool = False,
+                             input_size: tuple = (640, 640),
+                             mask_dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """Un-concatenated inputs (the hot path — avoids materializing the
+    [A, 4+nc+nm] preds tensor): boxes [A,4], cls_scores [A,nc],
+    coefs_all [A,nm] or None, protos [h,w,nm] or None."""
     scores = jnp.max(cls_scores, axis=-1)
     labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
 
@@ -44,15 +47,27 @@ def postprocess_single(preds: jax.Array, protos: jax.Array | None,
         pre_topk=cfg.pre_nms_topk, max_det=cfg.max_detections,
         class_aware=cfg.class_aware)
 
-    if protos is not None:
-        coefs = preds[:, 4 + num_classes:][det["indices"]]    # [D,nm]
+    if protos is not None and coefs_all is not None:
+        coefs = coefs_all[det["indices"]]                     # [D,nm]
         coefs = coefs * det["valid"][:, None]                 # zero invalid
-        m = mask_ops.synthesize_masks(coefs, protos)          # [D,h,w]
+        m = mask_ops.synthesize_masks(
+            coefs.astype(mask_dtype), protos.astype(mask_dtype))
         if crop:
             m = mask_ops.crop_masks(m, det["boxes_xywh"], input_size)
         det["coefs"] = coefs
-        det["masks"] = m
+        det["masks"] = m.astype(mask_dtype)
     return det
+
+
+def postprocess_single(preds: jax.Array, protos: jax.Array | None,
+                       cfg: PostprocessConfig, num_classes: int = 80,
+                       crop: bool = False,
+                       input_size: tuple = (640, 640)) -> Dict[str, jax.Array]:
+    """preds: [A, 4+nc(+nm)]; protos: [h,w,nm] or None (detect-only)."""
+    coefs_all = preds[:, 4 + num_classes:] if protos is not None else None
+    return postprocess_single_parts(
+        preds[:, :4], preds[:, 4:4 + num_classes], coefs_all, protos, cfg,
+        crop, input_size)
 
 
 @partial(jax.jit, static_argnames=("num_classes", "crop", "input_size",
