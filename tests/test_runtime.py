@@ -239,3 +239,35 @@ def test_native_frame_ring_threaded_stress():
     assert consumed == sorted(set(consumed))
     assert consumed[-1] == N - 1
     assert len(consumed) + ring.dropped == N
+
+
+def test_leveled_logging(capsys):
+    import io
+    from xrseg_tpu.runtime import logging as xlog
+    buf = io.StringIO()
+    xlog.configure(xlog.DebugLevel.ONLY_ERROR, stream=buf)
+    xlog.log("info msg")
+    xlog.warning("warn msg")
+    xlog.error("error msg")
+    out = buf.getvalue()
+    assert "error msg" in out and "warn msg" not in out and "info msg" not in out
+    xlog.configure(xlog.DebugLevel.NONE)
+    xlog.error("silent")
+    assert "silent" not in buf.getvalue()
+    xlog.configure(xlog.DebugLevel.ALL, stream=buf)
+
+
+def test_deploy_check():
+    from xrseg_tpu.runtime.deploy_check import check_environment
+    cfg = _tiny_cfg()
+    r = check_environment(cfg, batch=8, mesh_shape=(8, 1))
+    assert r.ok, r.checks
+    r.raise_if_failed()
+    # failing case: mesh larger than devices
+    r2 = check_environment(cfg, batch=8, mesh_shape=(64, 1))
+    assert not r2.ok
+    with pytest.raises(RuntimeError):
+        r2.raise_if_failed()
+    # failing case: bad batch divisibility
+    r3 = check_environment(cfg, batch=3, mesh_shape=(2, 1))
+    assert not r3.ok
