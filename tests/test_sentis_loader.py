@@ -118,3 +118,30 @@ def test_masks_concentrate_inside_boxes(pipe_factory):
                                             jnp.asarray(boxes[i][None]),
                                             (640, 640)))[0]
             assert (cropped > 0.5).sum() > 20, dets[i][0]
+
+
+def test_eval_integration_self_consistency(pipe_factory):
+    """evaluate() + detections_from_slate over real pipeline outputs:
+    detections evaluated against themselves as GT give mAP == 1."""
+    import jax
+    import numpy as np
+    from PIL import Image
+    from xrseg_tpu.eval.metrics import (Detection, GroundTruth,
+                                        detections_from_slate, evaluate)
+    per_image = []
+    for name in ("000000002006.jpg", "000000000139.jpg"):
+        img = np.asarray(Image.open(os.path.join(IMAGES, name)).convert("RGB"),
+                         np.uint8)
+        det = jax.block_until_ready(pipe_factory(img.shape[:2])(img[None]))
+        dets = detections_from_slate(det, frame_hw=img.shape[:2])
+        assert dets, name
+        gts = [GroundTruth(d.box_xywh, d.label, d.mask) for d in dets]
+        per_image.append((dets, gts))
+    r_box = evaluate(per_image)
+    r_mask = evaluate(per_image, use_mask=True)
+    assert r_box["mAP"] == pytest.approx(1.0, abs=1e-6)
+    assert r_mask["mAP"] == pytest.approx(1.0, abs=1e-6)
+    # boxes are in frame space: all within image bounds
+    for dets, _ in per_image:
+        for d in dets:
+            assert 0 <= d.box_xywh[0] <= 640 and 0 <= d.box_xywh[1] <= 640
