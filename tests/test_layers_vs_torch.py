@@ -116,3 +116,13 @@ def test_upsample_nearest(rng):
     y = L.upsample2x_nearest(jnp.asarray(x))
     yt = T.to_nhwc(T.upsample2x(T.to_nchw(x)))
     _close(y, yt)
+
+
+def test_conv0_s2d_matches_plain(rng):
+    """Space-to-depth stem == plain k3 s2 conv (exact weight transform)."""
+    kg = L.KeyGen(jax.random.key(9))
+    p = L.conv_init(kg, 3, 16, 3)
+    x = jnp.asarray(_x(rng, (2, 64, 64, 3)))
+    ref = L.conv_apply(p, x, stride=2, dtype=F32)
+    s2d = L.conv0_s2d_apply(p, x, dtype=F32)
+    _close(s2d, ref, tol=1e-5)

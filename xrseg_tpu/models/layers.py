@@ -76,6 +76,54 @@ def conv_apply(p: Params, x: jax.Array, *, stride: int = 1, groups: int = 1,
     return y.astype(dtype)
 
 
+def conv0_s2d_apply(p: Params, x: jax.Array, *, act: bool = True,
+                    dtype=jnp.bfloat16) -> jax.Array:
+    """Stem conv (k=3, s=2) via space-to-depth — exact same math, 4x the
+    input channels on the MXU lanes.
+
+    A 3-channel 640px stride-2 conv runs at ~2% MXU utilization (lanes are
+    128-wide; 3 input channels starve them). Rearranging the input as
+    [B,H/2,W/2,4C] (space-to-depth 2x2) turns the k=3 s=2 conv into an
+    equivalent k=2 s=1 conv over 12 channels with weights scattered from
+    the original kernel:
+
+      out[y,x] = sum_{o in -1..1} in[2y+o] W[o+1]  ==
+      sum_{KY in 0..1, py in 0..1} X[y-1+KY, (py,c)] W'[KY,(py,c)]
+      with ky = 2*KY + py - 1 (ky=-1 slot zero), pad top/left 1.
+
+    Measured END-TO-END on v5e this is ~3% slower than the plain conv (the
+    s2d transpose is HBM-bound and XLA already specializes low-channel
+    stems); kept as an option for platforms where it wins.
+    """
+    w = p["w"]                                  # [3,3,C,O]
+    k, _, C, O = w.shape
+    assert k == 3, "space-to-depth stem expects k=3"
+    B, H, W_, _ = x.shape
+    # X: [B, H/2, W/2, (py,px,c)] with channel index (py*2+px)*C + c
+    xs = x.reshape(B, H // 2, 2, W_ // 2, 2, C)
+    xs = jnp.transpose(xs, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // 2, W_ // 2, 4 * C)
+    # W': [2,2,4C,O]
+    wp = jnp.zeros((2, 2, 2, 2, C, O), w.dtype)
+    for KY in (0, 1):
+        for KX in (0, 1):
+            for py in (0, 1):
+                for px in (0, 1):
+                    ky, kx = 2 * KY + py - 1, 2 * KX + px - 1
+                    if 0 <= ky < 3 and 0 <= kx < 3:
+                        wp = wp.at[KY, KX, py, px].set(w[ky, kx])
+    wp = wp.reshape(2, 2, 4 * C, O)
+    y = lax.conv_general_dilated(
+        xs.astype(dtype), wp.astype(dtype), window_strides=(1, 1),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + p["b"].astype(jnp.float32)
+    if act:
+        y = jax.nn.silu(y)
+    return y.astype(dtype)
+
+
 def dwconv_init(kg: KeyGen, c: int, k: int = 3, param_dtype=jnp.float32) -> Params:
     """Depthwise conv (groups == channels), used by the v11 Detect cls branch."""
     return conv_init(kg, c, c, k, groups=c, param_dtype=param_dtype)

@@ -162,6 +162,9 @@ def backbone(p: Params, x: jax.Array, cfg: ModelConfig, dt
     Verified against the reference's real weights: head confidences
     collapse if these are run shortcut-less.
     """
+    # NOTE: an exact space-to-depth stem (L.conv0_s2d_apply) was measured
+    # and is 3% SLOWER end-to-end on v5e — XLA already handles the
+    # low-channel stem well and the explicit s2d transpose is HBM-bound.
     x = L.conv_apply(p["b0"], x, stride=2, dtype=dt)
     x = L.conv_apply(p["b1"], x, stride=2, dtype=dt)
     x = L.c3k2_apply(p["b2"], x, shortcut=True, dtype=dt)
