@@ -14,14 +14,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def run_device_bench(batch: int = 32, n_chained: int = 50, scale: str = "n",
-                     repeats: int = 3, task: str = "segment",
+def _enable_compile_cache() -> None:
+    try:
+        from xrseg_tpu import enable_compile_cache
+        enable_compile_cache()
+    except Exception:
+        pass
+
+
+def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
+                     repeats: int = 2, task: str = "segment",
                      frame_hw=None, input_size=(640, 640)) -> dict:
     """Pure device throughput: N pipeline invocations CHAINED on-device via
     lax.scan (each batch's input depends on the previous batch's output, so
@@ -143,6 +152,7 @@ BASELINE_CONFIGS = {
 
 
 def main() -> int:
+    _enable_compile_cache()
     if len(sys.argv) > 1 and sys.argv[1] == "--configs":
         for i, kw in BASELINE_CONFIGS.items():
             r = run_device_bench(n_chained=20, repeats=2, **kw)

@@ -42,6 +42,8 @@ def main() -> int:
 
     from PIL import Image
 
+    import xrseg_tpu
+    xrseg_tpu.enable_compile_cache()
     from xrseg_tpu.config import (TEST_PRESET, XR_PRESET, ExecutorConfig,
                                   ModelConfig)
     from xrseg_tpu.runtime.executor import Executor

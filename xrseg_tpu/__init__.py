@@ -25,3 +25,14 @@ from xrseg_tpu.config import (  # noqa: F401
     PostprocessConfig,
     DepthConfig,
 )
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (repeat runs skip multi-minute
+    pipeline compiles). Safe to call multiple times."""
+    import os
+    import jax
+    cache = path or os.path.expanduser("~/.cache/xrseg_jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
