@@ -59,3 +59,26 @@ def test_load_model_warms_up():
     pipe = load_model(cfg, seed=1, frame_hw=(64, 64), batch=1)
     det = pipe(jnp.zeros((1, 64, 64, 3), jnp.uint8))
     assert "slate" in det
+
+
+def test_converter_cli(tmp_path):
+    """The offline-converter CLI (editor-button equivalent): npz -> artifact."""
+    import subprocess, sys as _sys
+    from xrseg_tpu.io.weights import save_npz
+    cfg = _cfg()
+    params = yolo11.init_params(jax.random.key(3), cfg.model)
+    ckpt = os.path.join(tmp_path, "w.npz")
+    save_npz(ckpt, params)
+    out = os.path.join(tmp_path, "model.xrseg")
+    r = subprocess.run(
+        [_sys.executable, "-m", "xrseg_tpu.compile", ckpt, "--out", out,
+         "--frame-hw", "64", "64"],
+        capture_output=True, text=True, timeout=400,
+        env={k: v for k, v in {**os.environ, "JAX_PLATFORMS": "cpu"}.items()
+             if k != "PALLAS_AXON_POOL_IPS"},
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    fn = load_compiled(out)
+    det = fn(jnp.zeros((1, 64, 64, 3), jnp.uint8))
+    assert "slate" in det

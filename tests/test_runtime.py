@@ -271,3 +271,13 @@ def test_deploy_check():
     # failing case: bad batch divisibility
     r3 = check_environment(cfg, batch=3, mesh_shape=(2, 1))
     assert not r3.ok
+
+
+def test_resolution_selection():
+    src = SyntheticCameraSource(max_frames=1)
+    sizes = src.supported_output_sizes()
+    assert (1280, 960) in sizes
+    assert src.request_resolution((640, 480))
+    f = next(src.frames())
+    assert f.rgb.shape[:2] == (480, 640)
+    assert not src.request_resolution((123, 45))

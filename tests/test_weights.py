@@ -26,8 +26,14 @@ def test_npz_roundtrip(tmp_path, small_params):
     assert flat_a.keys() == flat_b.keys()
     for k in flat_a:
         np.testing.assert_array_equal(flat_a[k], flat_b[k])
-    # structure preserved: lists still lists
+    # structure preserved: lists still lists, dicts still dicts
     assert isinstance(loaded["det"]["cv2"], list)
+    assert isinstance(loaded["det"]["cv2"][0], dict)
+    # loaded params must be USABLE (the digit-key/list ambiguity bug):
+    from xrseg_tpu.models.yolo11 import forward
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    out = forward(loaded, x, cfg)
+    assert out["preds"].shape[0] == 1
 
 
 def test_quantize_dequantize_error_small(small_params):

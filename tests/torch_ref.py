@@ -147,12 +147,12 @@ def detect_heads(p, feats):
     boxes, clss = [], []
     for i, f in enumerate(feats):
         d2 = p["det"]["cv2"][i]
-        b = conv(d2["1"], conv(d2["0"], f))
-        boxes.append(conv(d2["2"], b, act=False))
+        b = conv(d2["conv1"], conv(d2["conv0"], f))
+        boxes.append(conv(d2["out"], b, act=False))
         d3 = p["det"]["cv3"][i]
         c = conv(d3["pw0"], dwconv(d3["dw0"], f))
         c = conv(d3["pw1"], dwconv(d3["dw1"], c))
-        clss.append(conv(d3["2"], c, act=False))
+        clss.append(conv(d3["out"], c, act=False))
     return boxes, clss
 
 
@@ -160,8 +160,8 @@ def seg_heads(p, feats):
     mcs = []
     for i, f in enumerate(feats):
         c4 = p["seg_cv4"][i]
-        m = conv(c4["1"], conv(c4["0"], f))
-        mcs.append(conv(c4["2"], m, act=False))
+        m = conv(c4["conv1"], conv(c4["conv0"], f))
+        mcs.append(conv(c4["out"], m, act=False))
     return mcs
 
 

@@ -162,3 +162,53 @@ def load_model(cfg: ExecutorConfig, params=None, seed: int = 0,
     if params is None:
         params = yolo11.init_params(jax.random.key(seed), cfg.model)
     return build_pipeline(cfg, params, **kw).warmup()
+
+
+def _main() -> int:
+    """Offline model converter CLI — the reference's editor-button pipeline
+    ("Generate YOLOv11 Sentis model with NMS layer",
+    IEModelEditorConverter.cs:24) as a command:
+
+      python -m xrseg_tpu.compile weights.{sentis|onnx|npz} \\
+          --out model.xrseg [--scale n] [--iou 0.6] [--score 0.23] \\
+          [--frame-hw 480 640] [--batch 1]
+
+    Loads weights, bakes preprocess+network+decode+NMS+masks into one
+    program, and saves the AOT StableHLO artifact.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("weights")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--scale", default="n")
+    ap.add_argument("--iou", type=float, default=0.6)
+    ap.add_argument("--score", type=float, default=0.23)
+    ap.add_argument("--frame-hw", type=int, nargs=2, default=None)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    mcfg = ModelConfig(scale=args.scale)
+    if args.weights.endswith(".sentis"):
+        from xrseg_tpu.io.sentis import load_yolo11_params
+        params, mcfg = load_yolo11_params(args.weights, mcfg)
+    elif args.weights.endswith(".onnx"):
+        from xrseg_tpu.io.onnx_loader import load_yolo11_onnx
+        params, mcfg = load_yolo11_onnx(args.weights, mcfg)
+    else:
+        from xrseg_tpu.io.weights import load_npz
+        params = load_npz(args.weights)
+    cfg = ExecutorConfig(model=mcfg, post=PostprocessConfig(
+        iou_threshold=args.iou, score_threshold=args.score))
+    pipe = build_pipeline(cfg, params,
+                          frame_hw=tuple(args.frame_hw) if args.frame_hw
+                          else None, batch=args.batch)
+    export_compiled(pipe, args.out)
+    import os
+    print(f"compiled {args.weights} -> {args.out} "
+          f"({os.path.getsize(args.out) / 1e6:.1f} MB)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -118,22 +118,22 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     p["det"] = {"cv2": [], "cv3": []}
     for i, ci in enumerate(s.head_ch):
         p["det"]["cv2"].append({
-            "0": L.conv_init(kg, ci, s.c2, 3, param_dtype=pd),
-            "1": L.conv_init(kg, s.c2, s.c2, 3, param_dtype=pd),
-            "2": L.head_conv_init(kg, s.c2, 4 * reg_max, 1, pd),
+            "conv0": L.conv_init(kg, ci, s.c2, 3, param_dtype=pd),
+            "conv1": L.conv_init(kg, s.c2, s.c2, 3, param_dtype=pd),
+            "out": L.head_conv_init(kg, s.c2, 4 * reg_max, 1, pd),
         })
         p["det"]["cv3"].append({
             "dw0": L.dwconv_init(kg, ci, 3, pd),
             "pw0": L.conv_init(kg, ci, s.c3, 1, param_dtype=pd),
             "dw1": L.dwconv_init(kg, s.c3, 3, pd),
             "pw1": L.conv_init(kg, s.c3, s.c3, 1, param_dtype=pd),
-            "2": L.head_conv_init(kg, s.c3, nc, 1, pd),
+            "out": L.head_conv_init(kg, s.c3, nc, 1, pd),
         })
         # bias init for stable random-weight behavior (standard YOLO recipe)
         stride = s.strides[i]
-        p["det"]["cv2"][i]["2"]["b"] = jnp.full((4 * reg_max,), 1.0, pd)
+        p["det"]["cv2"][i]["out"]["b"] = jnp.full((4 * reg_max,), 1.0, pd)
         cls_bias = math.log(5 / nc / (640 / stride) ** 2)
-        p["det"]["cv3"][i]["2"]["b"] = jnp.full((nc,), cls_bias, pd)
+        p["det"]["cv3"][i]["out"]["b"] = jnp.full((nc,), cls_bias, pd)
 
     # --- segmentation extras ---
     if cfg.task == "segment":
@@ -141,9 +141,9 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         p["seg_cv4"] = []
         for ci in s.head_ch:
             p["seg_cv4"].append({
-                "0": L.conv_init(kg, ci, s.c4, 3, param_dtype=pd),
-                "1": L.conv_init(kg, s.c4, s.c4, 3, param_dtype=pd),
-                "2": L.head_conv_init(kg, s.c4, cfg.num_masks, 1, pd),
+                "conv0": L.conv_init(kg, ci, s.c4, 3, param_dtype=pd),
+                "conv1": L.conv_init(kg, s.c4, s.c4, 3, param_dtype=pd),
+                "out": L.head_conv_init(kg, s.c4, cfg.num_masks, 1, pd),
             })
     return p
 
@@ -203,15 +203,15 @@ def _detect_branches(p: Params, feats, cfg: ModelConfig, dt):
     boxes, clss = [], []
     for i, f in enumerate(feats):
         d2 = p["det"]["cv2"][i]
-        b = L.conv_apply(d2["0"], f, dtype=dt)
-        b = L.conv_apply(d2["1"], b, dtype=dt)
-        boxes.append(L.head_conv_apply(d2["2"], b, dtype=dt))
+        b = L.conv_apply(d2["conv0"], f, dtype=dt)
+        b = L.conv_apply(d2["conv1"], b, dtype=dt)
+        boxes.append(L.head_conv_apply(d2["out"], b, dtype=dt))
         d3 = p["det"]["cv3"][i]
         c = L.dwconv_apply(d3["dw0"], f, dtype=dt)
         c = L.conv_apply(d3["pw0"], c, dtype=dt)
         c = L.dwconv_apply(d3["dw1"], c, dtype=dt)
         c = L.conv_apply(d3["pw1"], c, dtype=dt)
-        clss.append(L.head_conv_apply(d3["2"], c, dtype=dt))
+        clss.append(L.head_conv_apply(d3["out"], c, dtype=dt))
     return boxes, clss
 
 
@@ -279,9 +279,9 @@ def head_outputs(params: Params, feats, cfg: ModelConfig,
         mcs = []
         for i, f in enumerate(feats):
             c4 = params["seg_cv4"][i]
-            m = L.conv_apply(c4["0"], f, dtype=dt)
-            m = L.conv_apply(c4["1"], m, dtype=dt)
-            mcs.append(L.head_conv_apply(c4["2"], m, dtype=dt))
+            m = L.conv_apply(c4["conv0"], f, dtype=dt)
+            m = L.conv_apply(c4["conv1"], m, dtype=dt)
+            mcs.append(L.head_conv_apply(c4["out"], m, dtype=dt))
         mc_flat = jnp.concatenate(
             [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1)
         out["mask_coefs"] = mc_flat.astype(jnp.float32)
@@ -341,9 +341,9 @@ def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
         mcs = []
         for i, f in enumerate(feats):
             c4 = params["seg_cv4"][i]
-            m = L.conv_apply(c4["0"], f, dtype=dt)
-            m = L.conv_apply(c4["1"], m, dtype=dt)
-            mcs.append(L.head_conv_apply(c4["2"], m, dtype=dt))
+            m = L.conv_apply(c4["conv0"], f, dtype=dt)
+            m = L.conv_apply(c4["conv1"], m, dtype=dt)
+            mcs.append(L.head_conv_apply(c4["out"], m, dtype=dt))
         out["mask_coefs"] = jnp.concatenate(
             [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1
         ).astype(jnp.float32)
@@ -418,14 +418,14 @@ def ordered_param_slots(cfg: ModelConfig):
     c3k2("h16", fc3k or False)
 
     def detect_level(i):
-        conv("det", "cv2", i, "0")
-        conv("det", "cv2", i, "1")
-        conv("det", "cv2", i, "2")
+        conv("det", "cv2", i, "conv0")
+        conv("det", "cv2", i, "conv1")
+        conv("det", "cv2", i, "out")
         conv("det", "cv3", i, "dw0")
         conv("det", "cv3", i, "pw0")
         conv("det", "cv3", i, "dw1")
         conv("det", "cv3", i, "pw1")
-        conv("det", "cv3", i, "2")
+        conv("det", "cv3", i, "out")
 
     detect_level(0)
     conv("h17")
@@ -438,9 +438,9 @@ def ordered_param_slots(cfg: ModelConfig):
 
     if cfg.task == "segment":
         for i in range(3):
-            conv("seg_cv4", i, "0")
-            conv("seg_cv4", i, "1")
-            conv("seg_cv4", i, "2")
+            conv("seg_cv4", i, "conv0")
+            conv("seg_cv4", i, "conv1")
+            conv("seg_cv4", i, "out")
         conv("proto", "cv1")
         slots.append((("proto",), "convtranspose"))
         conv("proto", "cv2")

@@ -53,6 +53,16 @@ class FrameSource:
     def is_ready(self) -> bool:
         return True
 
+    def supported_output_sizes(self) -> list:
+        """(w, h) resolutions this source can deliver (the reference's
+        GetOutputSizes, PassthroughCameraUtils.cs:81-84); the default single
+        entry mirrors 'highest if unset' (WebCamTextureManager.cs:110-118)."""
+        return []
+
+    def request_resolution(self, wh: Tuple[int, int]) -> bool:
+        """Ask for a specific output size before open(); False if unsupported."""
+        return False
+
     def frames(self) -> Iterator[FrameData]:
         raise NotImplementedError
 
@@ -138,6 +148,20 @@ class SyntheticCameraSource(FrameSource):
         self.background_rgb = background_rgb
         self.background_depth_m = background_depth_m
         self.intrinsics = CameraIntrinsics.quest3_like()
+
+    # Quest-3-like passthrough camera mode list (ref: YUV_420_888 sizes,
+    # PassthroughCameraUtils.cs:287-311; highest picked when unset,
+    # WebCamTextureManager.cs:110-118)
+    _MODES = [(320, 240), (640, 480), (800, 600), (1280, 960)]
+
+    def supported_output_sizes(self) -> list:
+        return list(self._MODES)
+
+    def request_resolution(self, wh) -> bool:
+        if tuple(wh) not in self._MODES:
+            return False
+        self.frame_hw = (wh[1], wh[0])
+        return True
 
     def frames(self) -> Iterator[FrameData]:
         rng = np.random.default_rng(self.seed)
