@@ -281,3 +281,17 @@ def test_resolution_selection():
     f = next(src.frames())
     assert f.rgb.shape[:2] == (480, 640)
     assert not src.request_resolution((123, 45))
+
+
+def test_executor_auto_recompile():
+    ex = Executor(_tiny_cfg(), frame_hw=(64, 64), auto_recompile=True)
+    r1 = ex.run_sync(_frame(0))
+    # new geometry: auto-compiles instead of raising
+    big = FrameData(rgb=np.zeros((96, 64, 3), np.uint8))
+    r2 = ex.run_sync(big)
+    assert ex.frame_hw == (96, 64)
+    assert ex.screen_wh == (64.0, 96.0)
+    # back to the first geometry: cached pipeline reused
+    r3 = ex.run_sync(_frame(1))
+    assert ex.frame_hw == (64, 64)
+    assert len(ex._pipelines) == 2

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
 from xrseg_tpu.models import yolo11
 from xrseg_tpu.ops import preprocess as pre_ops
-from xrseg_tpu.ops.postprocess import postprocess_single, postprocess_single_parts
+from xrseg_tpu.ops.postprocess import postprocess_single_parts
 
 
 @dataclasses.dataclass

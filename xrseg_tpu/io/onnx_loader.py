@@ -12,7 +12,6 @@ Covers fp32 and fp16 initializers, raw_data and typed fields.
 """
 from __future__ import annotations
 
-import struct
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np

@@ -12,9 +12,8 @@ Assets/Scripts/InferenceEngine/Editor/IEModelEditorConverter.cs:101). Here:
 """
 from __future__ import annotations
 
-import io as _io
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

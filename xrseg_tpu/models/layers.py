@@ -17,7 +17,7 @@ Param trees are plain nested dicts so they shard/serialize trivially.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ exact ONNX/Sentis layout for golden tests.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 import jax

@@ -8,7 +8,7 @@ reference's CollectJobResults (IEExecutor.cs:653-682).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

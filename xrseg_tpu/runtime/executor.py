@@ -25,9 +25,8 @@ from __future__ import annotations
 import dataclasses
 import enum
 import time
-from typing import Any, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
-import jax
 import numpy as np
 
 from xrseg_tpu.compile import CompiledPipeline, load_model
@@ -69,14 +68,18 @@ class Executor:
     def __init__(self, cfg: ExecutorConfig = ExecutorConfig(), params=None,
                  frame_hw: Optional[Tuple[int, int]] = None,
                  screen_wh: Optional[Tuple[float, float]] = None,
-                 labels=None, seed: int = 0, depth_backend: str = "jax"):
+                 labels=None, seed: int = 0, depth_backend: str = "jax",
+                 auto_recompile: bool = False):
         self.cfg = cfg
+        self.auto_recompile = auto_recompile
+        self._pipelines: dict = {}
         self.tracer = Tracer()
         with self.tracer.section("load_model"):
             self.pipeline: CompiledPipeline = load_model(
                 cfg, params=params, seed=seed, frame_hw=frame_hw, batch=1)
         self.is_model_loaded = True
-        self.frame_hw = frame_hw or cfg.model.input_size
+        self.frame_hw = tuple(frame_hw or cfg.model.input_size)
+        self._pipelines[tuple(self.frame_hw)] = self.pipeline
         self.screen_wh = screen_wh or (float(self.frame_hw[1]),
                                        float(self.frame_hw[0]))
         self.labels = list(labels) if labels is not None else list(COCO_LABELS)
@@ -126,16 +129,33 @@ class Executor:
 
     def run_inference(self, frame: FrameData) -> bool:
         """Non-blocking dispatch (RunInference, IEExecutor.cs:363-376).
-        Returns False if a frame is already in flight."""
+        Returns False if a frame is already in flight.
+
+        The pipeline is compiled per frame geometry; with auto_recompile a
+        new geometry compiles (and caches) a fresh pipeline — the reference
+        likewise re-derives its input size per texture (IEExecutor.cs:369).
+        """
         if self.is_running():
             return False
         self.prepare_depth_data(frame)
         with self.tracer.section("dispatch"):
             frames = frame.rgb[None]
-            if frames.shape[1:3] != tuple(self.frame_hw):
-                raise ValueError(
-                    f"frame {frames.shape[1:3]} != executor frame_hw "
-                    f"{self.frame_hw}")
+            hw = tuple(frames.shape[1:3])
+            if hw != tuple(self.frame_hw):
+                if not self.auto_recompile:
+                    raise ValueError(
+                        f"frame {hw} != executor frame_hw {self.frame_hw} "
+                        "(construct with auto_recompile=True to allow "
+                        "mixed frame sizes)")
+                if hw not in self._pipelines:
+                    from xrseg_tpu.compile import load_model as _lm
+                    with self.tracer.section("recompile"):
+                        self._pipelines[hw] = _lm(
+                            self.cfg, params=self.pipeline.params,
+                            frame_hw=hw, batch=1)
+                self.pipeline = self._pipelines[hw]
+                self.frame_hw = hw
+                self.screen_wh = (float(hw[1]), float(hw[0]))
             self._inflight = self.pipeline(frames)   # async: returns futures
         self._inflight_meta = frame
         self._dispatch_t0 = time.perf_counter()

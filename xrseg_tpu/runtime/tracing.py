@@ -11,7 +11,7 @@ import collections
 import contextlib
 import json
 import time
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator
 
 
 class StageTimer:

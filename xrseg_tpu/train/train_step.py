@@ -83,7 +83,6 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(step)
 
-    psh = mesh_lib.param_shardings(None, mesh, tp_min_channels)  # placeholder
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 

@@ -8,7 +8,7 @@ is rasterizing rectangle outlines + label text. Caps mirror the reference:
 from __future__ import annotations
 
 import colorsys
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
