@@ -82,3 +82,34 @@ def test_converter_cli(tmp_path):
     fn = load_compiled(out)
     det = fn(jnp.zeros((1, 64, 64, 3), jnp.uint8))
     assert "slate" in det
+
+
+def test_yuv420_input_pipeline():
+    """On-device YUV420 ingestion == RGB ingestion within chroma tolerance."""
+    from xrseg_tpu.ops.yuv import rgb_to_yuv420_numpy
+    cfg = _cfg()
+    params = yolo11.init_params(jax.random.key(0), cfg.model)
+    rgb_pipe = build_pipeline(cfg, params, frame_hw=(64, 64), batch=1)
+    yuv_pipe = build_pipeline(cfg, params, frame_hw=(64, 64), batch=1,
+                              input_format="yuv420").warmup()
+
+    rng = np.random.default_rng(0)
+    # smooth image: chroma subsampling error stays small
+    base = rng.uniform(0, 255, (1, 8, 8, 3))
+    frame = np.clip(np.kron(base, np.ones((1, 8, 8, 1))), 0, 255).astype(np.uint8)
+    y, u, v = rgb_to_yuv420_numpy(frame.astype(np.float32))
+
+    det_rgb = rgb_pipe(jnp.asarray(frame))
+    det_yuv = yuv_pipe((jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    # scores from the two ingestion paths track closely
+    np.testing.assert_allclose(np.asarray(det_yuv["scores"]),
+                               np.asarray(det_rgb["scores"]), atol=0.05)
+
+
+def test_bad_input_format():
+    cfg = _cfg()
+    params = yolo11.init_params(jax.random.key(0), cfg.model)
+    pipe = build_pipeline(cfg, params, frame_hw=(64, 64), batch=1,
+                          input_format="nv12")
+    with pytest.raises(ValueError):
+        pipe(jnp.zeros((1, 64, 64, 3), jnp.uint8))

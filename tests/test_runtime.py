@@ -295,3 +295,23 @@ def test_executor_auto_recompile():
     r3 = ex.run_sync(_frame(1))
     assert ex.frame_hw == (64, 64)
     assert len(ex._pipelines) == 2
+
+
+def test_executor_detect_only_task():
+    """Tracking with the detect task (no masks) stays boxes-only."""
+    from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="detect"),
+        post=PostprocessConfig(pre_nms_topk=64, max_detections=10,
+                               score_threshold=1e-7))
+    ex = Executor(cfg, frame_hw=(64, 64), seed=3)
+    r = ex.run_sync(_frame(11, with_depth=True))
+    if r.count == 0:
+        pytest.skip("no detections at this seed")
+    b = r.boxes[0]
+    sp = (b.center_x + ex.screen_wh[0] / 2, b.center_y + ex.screen_wh[1] / 2)
+    assert ex.select_target_from_screen_pos(sp)
+    r2 = ex.run_sync(_frame(11, with_depth=True))
+    # detect task: no mask/point-cloud, no crash
+    assert r2.point_cloud is None

@@ -30,9 +30,18 @@ class CompiledPipeline:
     params: Any
     fn: Callable                      # (params, frames_uint8) -> dict
     input_shape: Tuple[int, ...]
+    input_format: str = "rgb"
 
     def __call__(self, frames) -> Dict[str, jax.Array]:
         return self.fn(self.params, frames)
+
+    def _dummy_input(self):
+        if self.input_format == "yuv420":
+            B, H, W, _ = self.input_shape
+            return (jnp.zeros((B, H, W), jnp.uint8),
+                    jnp.zeros((B, H // 2, W // 2), jnp.uint8),
+                    jnp.zeros((B, H // 2, W // 2), jnp.uint8))
+        return jnp.zeros(self.input_shape, jnp.uint8)
 
     def warmup(self) -> "CompiledPipeline":
         """Compile + allocate before first real frame (the reference warms its
@@ -43,8 +52,7 @@ class CompiledPipeline:
         must not land on the first real frame.
         """
         import numpy as np
-        dummy = jnp.zeros(self.input_shape, jnp.uint8)
-        out = self.fn(self.params, dummy)
+        out = self.fn(self.params, self._dummy_input())
         jax.block_until_ready(out)
         np.asarray(out["slate"])     # absorb first-transfer setup cost
         return self
@@ -56,12 +64,18 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                    resize_mode: str = "stretch",
                    crop_masks: bool = False,
                    mask_dtype: str = "float32",
+                   input_format: str = "rgb",
                    donate_frames: bool = False) -> CompiledPipeline:
     """Compile the full pipeline for a fixed frame geometry.
 
     frames: [B, frame_h, frame_w, 3] uint8 -> padded detection slate
     (boxes_xywh in model 640-space, labels, scores, coefs, masks, valid,
     count) — the same logical contract as the reference's 4 baked outputs.
+
+    input_format="yuv420" takes planar camera frames instead: a tuple
+    (y [B,H,W]u8, u [B,H/2,W/2]u8, v [B,H/2,W/2]u8); the YUV->RGB
+    conversion fuses into the device program (the reference's camera
+    surface is YUV_420_888, converted on-GPU before ToTensor).
     """
     mcfg = cfg.model
     pcfg = cfg.post
@@ -71,8 +85,18 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
 
     mdt = jnp.dtype(mask_dtype)
 
+    def _to_rgb(frames):
+        if input_format == "rgb":
+            return frames
+        if input_format == "yuv420":
+            from xrseg_tpu.ops.yuv import yuv420_to_rgb
+            y, u, v = frames
+            return yuv420_to_rgb(y, u, v)
+        raise ValueError(f"unknown input_format {input_format!r}")
+
     def _run(params, frames):
-        x = pre_ops.preprocess(frames, mcfg.input_size, mode=resize_mode,
+        x = pre_ops.preprocess(_to_rgb(frames), mcfg.input_size,
+                               mode=resize_mode,
                                dtype=jnp.dtype(mcfg.dtype))
         out = yolo11.forward(params, x, mcfg, concat_preds=False)
         protos = out.get("protos")
@@ -103,7 +127,7 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     donate = (1,) if donate_frames else ()
     fn = jax.jit(_run, donate_argnums=donate)
     return CompiledPipeline(cfg=cfg, params=params, fn=fn,
-                            input_shape=in_shape)
+                            input_shape=in_shape, input_format=input_format)
 
 
 def export_compiled(pipe: CompiledPipeline, path: str) -> None:

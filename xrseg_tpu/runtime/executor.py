@@ -315,8 +315,11 @@ class Executor:
 
         # Case 2: tracking (IEExecutor.cs:485-526)
         matched = self.tracker.update(self.current_frame_boxes)
+        has_masks = self._inflight is not None and "masks" in self._inflight
         if matched is not None:
             result.tracked = matched
+            if not has_masks:          # detect-only task: boxes-only tracking
+                return result
             if self.cfg.enable_ui_rendering:
                 mask = self._fetch_target_mask(matched.index)
                 dt = 1 / 30
