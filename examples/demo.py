@@ -86,7 +86,14 @@ def main() -> int:
             t0 = time.perf_counter()
             r = ex.run_sync(fd)
             dt = time.perf_counter() - t0
-            over = ex.boxer.draw_boxes(fd.rgb, r.boxes)
+            over = fd.rgb
+            if r.count > 0 and "masks" in (ex.last_device_out or {}):
+                from xrseg_tpu.viz.masker import draw_masks_multi
+                masks = np.asarray(ex.last_device_out["masks"][0])
+                mover = draw_masks_multi(r.boxes, masks, (fw, fh),
+                                         cfg.confidence_threshold)
+                over = composite_overlay(over, mover)
+            over = ex.boxer.draw_boxes(over, r.boxes)
             out_path = os.path.join(args.out, f"test_{n:03d}.png")
             Image.fromarray(over).save(out_path)
             print(f"frame {n}: {r.count} detections in {dt*1e3:.1f} ms "

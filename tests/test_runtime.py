@@ -315,3 +315,18 @@ def test_executor_detect_only_task():
     r2 = ex.run_sync(_frame(11, with_depth=True))
     # detect task: no mask/point-cloud, no crash
     assert r2.point_cloud is None
+
+
+def test_extract_point_cloud_between_frames(executor):
+    """Laser-held extraction between frames uses the retained outputs
+    (ref calls ExtractPointCloudAtScreenPos on stored tensors any time)."""
+    from xrseg_tpu.perception.camera import CameraIntrinsics, Pose, quat_identity
+    r = executor.run_sync(_frame(12, with_depth=True))
+    if r.count == 0:
+        pytest.skip("no detections at this seed")
+    assert not executor.is_running()        # between frames now
+    b = r.boxes[0]
+    sp = (b.center_x + executor.screen_wh[0] / 2,
+          b.center_y + executor.screen_wh[1] / 2)
+    # must not crash even though _inflight was cleaned up
+    executor.extract_point_cloud_at_screen_pos(sp)

@@ -98,6 +98,9 @@ class Executor:
         self._host: dict = {}
         self.current_frame_boxes: List[BoundingBox] = []
         self.last_result: Optional[FrameResult] = None
+        # device-side outputs of the last completed frame (masks/coefs stay
+        # on device; consumers gather what they need)
+        self.last_device_out: Optional[dict] = None
         # depth double-buffer (PrepareDepthData, IEExecutor.cs:317-361)
         self._depth_frame: Optional[np.ndarray] = None
         self._depth_pose: Optional[Pose] = None
@@ -183,6 +186,7 @@ class Executor:
                 result = self._process_result()
             self._state = ExecState.CLEANUP
             self.last_result = result
+            self.last_device_out = self._inflight
             return result
 
         if self._state in (ExecState.ERROR, ExecState.CLEANUP):
@@ -273,8 +277,10 @@ class Executor:
 
     def _fetch_target_mask(self, slate_index: int) -> np.ndarray:
         """Device-side gather of one mask row -> tiny D2H copy."""
+        dev = self._inflight if (self._inflight and "masks" in self._inflight) \
+            else self.last_device_out
         with self.tracer.section("mask_fetch"):
-            return np.asarray(self._inflight["masks"][0, slate_index])
+            return np.asarray(dev["masks"][0, slate_index])
 
     def _extract_depth_for(self, box: BoundingBox) -> Optional[PointCloud]:
         """ExtractDepthData (IEExecutor.cs:561-651).
@@ -288,13 +294,20 @@ class Executor:
         intr = meta.intrinsics if meta is not None else None
         if intr is None:
             return None
+        # masks live on device in the in-flight outputs, or — between
+        # frames (e.g. laser-held extraction, IEPassthroughTrigger.cs:98) —
+        # in the retained last completed outputs
+        dev = self._inflight if (self._inflight and "masks" in self._inflight) \
+            else self.last_device_out
+        if dev is None or "masks" not in dev:
+            return None
         raw_box = box_to_model_space(box, self.screen_wh)
         with self.tracer.section("depth_fusion"):
             if self.points.backend == "jax":
                 return self.points.extract_from_slate(
-                    self._depth_frame, self._inflight["masks"][0], box.index,
+                    self._depth_frame, dev["masks"][0], box.index,
                     raw_box, intr, self._depth_pose)
-            mask = self._fetch_target_mask(box.index)
+            mask = np.asarray(dev["masks"][0, box.index])
             return self.points.extract(self._depth_frame, mask, raw_box,
                                        intr, self._depth_pose)
 
