@@ -57,12 +57,13 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
         out = yolo11.forward(params, x, mcfg, concat_preds=False)
         if task == "detect":
             return jax.vmap(lambda b, s: postprocess_single_parts(
-                b, s, None, None, pcfg, False, mcfg.input_size))(
-                    out["boxes_xywh"], out["scores"])
+                b, s, None, None, pcfg, False, mcfg.input_size,
+                scores_are_logits=True))(
+                    out["boxes_xywh"], out["cls_logits"])
         return jax.vmap(lambda b, s, c, p: postprocess_single_parts(
             b, s, c, p, pcfg, False, mcfg.input_size,
-            mask_dtype=jnp.bfloat16))(
-                out["boxes_xywh"], out["scores"], out["mask_coefs"],
+            mask_dtype=jnp.bfloat16, scores_are_logits=True))(
+                out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
                 out["protos"])
 
     @jax.jit

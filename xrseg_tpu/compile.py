@@ -102,13 +102,14 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
         protos = out.get("protos")
         if protos is None:
             det = jax.vmap(lambda b, s: postprocess_single_parts(
-                b, s, None, None, pcfg, crop_masks, mcfg.input_size))(
-                    out["boxes_xywh"], out["scores"])
+                b, s, None, None, pcfg, crop_masks, mcfg.input_size,
+                scores_are_logits=True))(
+                    out["boxes_xywh"], out["cls_logits"])
         else:
             det = jax.vmap(lambda b, s, c, p: postprocess_single_parts(
                 b, s, c, p, pcfg, crop_masks, mcfg.input_size,
-                mask_dtype=mdt))(
-                    out["boxes_xywh"], out["scores"], out["mask_coefs"],
+                mask_dtype=mdt, scores_are_logits=True))(
+                    out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
                     protos)
         # Pack the small per-frame outputs into ONE flat f32 array so the
         # host readback is a single DMA (boxes | scores | labels | valid |

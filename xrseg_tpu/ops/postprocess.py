@@ -22,6 +22,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from xrseg_tpu.config import PostprocessConfig
 from xrseg_tpu.ops import masks as mask_ops
@@ -34,18 +35,35 @@ def postprocess_single_parts(boxes: jax.Array, cls_scores: jax.Array,
                              cfg: PostprocessConfig,
                              crop: bool = False,
                              input_size: tuple = (640, 640),
-                             mask_dtype=jnp.float32) -> Dict[str, jax.Array]:
+                             mask_dtype=jnp.float32,
+                             scores_are_logits: bool = False
+                             ) -> Dict[str, jax.Array]:
     """Un-concatenated inputs (the hot path — avoids materializing the
     [A, 4+nc+nm] preds tensor): boxes [A,4], cls_scores [A,nc],
-    coefs_all [A,nm] or None, protos [h,w,nm] or None."""
-    scores = jnp.max(cls_scores, axis=-1)
+    coefs_all [A,nm] or None, protos [h,w,nm] or None.
+
+    scores_are_logits: cls_scores are pre-sigmoid logits (any float dtype).
+    Sigmoid is monotonic, so max/argmax/ranking/NMS run on the logits and
+    the probability transform applies only to the selected top-K — this
+    skips an [A,nc] fp32 sigmoid materialization per image.
+    """
+    scores = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
     labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+
+    if scores_are_logits:
+        t = float(cfg.score_threshold)
+        t = min(max(t, 1e-7), 1 - 1e-7)
+        thr = float(np.log(t / (1.0 - t)))          # logit-space threshold
+    else:
+        thr = cfg.score_threshold
 
     det = nms_ops.nms_fixed(
         boxes, scores, labels,
-        iou_threshold=cfg.iou_threshold, score_threshold=cfg.score_threshold,
+        iou_threshold=cfg.iou_threshold, score_threshold=thr,
         pre_topk=cfg.pre_nms_topk, max_det=cfg.max_detections,
         class_aware=cfg.class_aware)
+    if scores_are_logits:
+        det["scores"] = jax.nn.sigmoid(det["scores"]) * det["valid"]
 
     if protos is not None and coefs_all is not None:
         coefs = coefs_all[det["indices"]]                     # [D,nm]
