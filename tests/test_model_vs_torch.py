@@ -77,3 +77,42 @@ def test_anchor_layout():
     assert (s[:6400] == 8).all() and (s[6400:8000] == 16).all() and (s[8000:] == 32).all()
     # row-major: second anchor advances in x
     assert np.allclose(a[1], [1.5, 0.5])
+
+
+@pytest.mark.parametrize("scale", ["n", "s", "m", "l", "x"])
+def test_ordered_slots_consistent_with_params(scale):
+    """Loader slot walk must cover every conv-like param exactly once for
+    every scale (guards the sentis/onnx mapping against structure drift)."""
+    cfg = ModelConfig(scale=scale, dtype="float32")
+    params = yolo11.init_params(jax.random.key(0), cfg)
+    slots = yolo11.ordered_param_slots(cfg)
+
+    # count conv-like leaves in the pytree: every dict with a 4D "w" or
+    # "up_w" counts once
+    def count(node):
+        n = 0
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 4:
+                n += 1
+            if "up_w" in node:
+                n += 1
+            for k, v in node.items():
+                if k not in ("w", "up_w", "b", "up_b"):
+                    n += count(v)
+        elif isinstance(node, list):
+            n += sum(count(v) for v in node)
+        return n
+
+    n_params = count(params)
+    n_slots = len([s for s in slots if s[1] != "dfl"])
+    assert n_params == n_slots, (scale, n_params, n_slots)
+
+    # every slot path resolves to a real param node
+    for pathk, kind in slots:
+        if kind == "dfl":
+            continue
+        node = params
+        for k in pathk:
+            node = node[k]
+        key = "up_w" if kind == "convtranspose" else "w"
+        assert key in node or (kind == "convtranspose" and "up_w" in node), pathk

@@ -145,3 +145,24 @@ def test_eval_integration_self_consistency(pipe_factory):
     for dets, _ in per_image:
         for d in dets:
             assert 0 <= d.box_xywh[0] <= 640 and 0 <= d.box_xywh[1] <= 640
+
+
+def test_int8_quantized_real_weights_still_detect(real_params, pipe_factory):
+    """Our int8 weight quantization on the real model keeps detections."""
+    import jax
+    from PIL import Image
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.config import ExecutorConfig, PostprocessConfig
+    from xrseg_tpu.io.weights import dequantize_int8, quantize_int8
+    params, cfg = real_params
+    qparams = dequantize_int8(quantize_int8(params))
+    img = np.asarray(Image.open(os.path.join(IMAGES, "000000002006.jpg"))
+                     .convert("RGB"), np.uint8)
+    ecfg = ExecutorConfig(model=cfg, post=PostprocessConfig(
+        iou_threshold=0.6, score_threshold=0.23))
+    pipe = build_pipeline(ecfg, qparams, frame_hw=img.shape[:2], batch=1)
+    det = jax.block_until_ready(pipe(img[None]))
+    from xrseg_tpu.viz.labels import COCO_LABELS
+    n = int(det["count"][0])
+    names = [COCO_LABELS[int(det["labels"][0, i])] for i in range(n)]
+    assert "bus" in names and float(det["scores"][0, 0]) > 0.6
