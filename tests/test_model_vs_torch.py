@@ -116,3 +116,13 @@ def test_ordered_slots_consistent_with_params(scale):
             node = node[k]
         key = "up_w" if kind == "convtranspose" else "w"
         assert key in node or (kind == "convtranspose" and "up_w" in node), pathk
+
+
+def test_model_info():
+    from xrseg_tpu.models.yolo11 import model_info
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32")
+    info = model_info(cfg)
+    assert info["params"] == 2_868_648
+    assert info["anchors"] == cfg.num_anchors
+    if "gflops" in info:
+        assert 0.01 < info["gflops"] < 5.0   # 64x64 input

@@ -452,6 +452,31 @@ def ordered_param_slots(cfg: ModelConfig):
     return slots
 
 
+def model_info(cfg: ModelConfig, params: Params | None = None) -> Dict[str, Any]:
+    """Model summary (the ultralytics `model.info()` equivalent): parameter
+    count and compiled-FLOPs estimate from XLA's cost analysis."""
+    if params is None:
+        params = init_params(jax.random.key(0), cfg)
+    n_params = count_params(params)
+    info: Dict[str, Any] = {
+        "scale": cfg.scale, "task": cfg.task,
+        "input_size": tuple(cfg.input_size),
+        "params": n_params, "params_m": round(n_params / 1e6, 3),
+        "anchors": cfg.num_anchors,
+    }
+    try:
+        x = jax.ShapeDtypeStruct((1,) + tuple(cfg.input_size) + (3,),
+                                 jnp.float32)
+        compiled = jax.jit(lambda p, xx: forward(p, xx, cfg)).lower(
+            params, x).compile()
+        cost = compiled.cost_analysis()
+        if cost and "flops" in cost:
+            info["gflops"] = round(float(cost["flops"]) / 1e9, 2)
+    except Exception:
+        pass
+    return info
+
+
 def count_params(params: Params) -> int:
     return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params)
                if hasattr(a, "shape"))
