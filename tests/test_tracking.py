@@ -99,3 +99,42 @@ def test_reset_clears_state():
     tr.select_target([_box(0, 0)], (640, 480), (1280, 960))
     tr.reset()
     assert not tr.is_tracking and tr.locked_box is None
+
+
+def test_multi_target_tracker_lifecycle():
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+    tr = MultiTargetTracker(iou_threshold=0.3, max_misses=2, min_hits=2)
+    a0 = _box(0, 0)
+    b0 = _box(300, 300, "car", 2)
+    assert tr.update([a0, b0]) == []          # first frame: unconfirmed
+    # second frame: both move slightly -> confirmed, ids stable
+    a1 = _box(10, 0)
+    b1 = _box(305, 300, "car", 2)
+    conf = tr.update([a1, b1])
+    assert len(conf) == 2
+    ids = {t.box.class_name: t.track_id for t in conf}
+    # third frame: person disappears; car persists
+    conf = tr.update([_box(310, 300, "car", 2)])
+    assert [t.box.class_name for t in conf if t.misses == 0] == ["car"]
+    car = [t for t in conf if t.box.class_name == "car"][0]
+    assert car.track_id == ids["car"]
+    # person track survives max_misses frames then retires
+    tr.update([]); tr.update([])
+    assert all(t.box.class_name != "person" for t in tr.tracks)
+
+
+def test_multi_target_no_cross_class_match():
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+    tr = MultiTargetTracker(min_hits=1)
+    tr.update([_box(0, 0, "person", 0)])
+    conf = tr.update([_box(0, 0, "car", 2)])   # same spot, wrong class
+    names = {t.box.class_name for t in tr.tracks}
+    assert names == {"person", "car"}          # two tracks, not one
+
+
+def test_multi_target_reset():
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+    tr = MultiTargetTracker(min_hits=1)
+    tr.update([_box(0, 0)])
+    tr.reset()
+    assert tr.tracks == [] and tr.update([_box(0, 0)])[0].track_id == 1

@@ -88,6 +88,80 @@ def iou(a: BoundingBox, b: BoundingBox) -> float:
     return inter / union if union > 0 else 0.0
 
 
+@dataclasses.dataclass
+class Track:
+    """One tracked object (multi-target tracking extension)."""
+    track_id: int
+    box: BoundingBox
+    hits: int = 1
+    misses: int = 0
+    age: int = 1
+
+
+class MultiTargetTracker:
+    """Greedy IoU tracker over the per-frame detection slate.
+
+    Capability extension beyond the reference's single-target lock: the
+    reference ships the IoU helper (TrackingUtils.cs:8-39) but only uses
+    nearest-center matching for one object. This tracker matches every
+    detection to existing tracks by best IoU (same class), spawns tracks
+    for unmatched detections, and retires tracks after `max_misses` lost
+    frames — the "keep last state briefly" behavior the reference applies
+    to its single mask (IEMasker.cs:201-208), generalized.
+    """
+
+    def __init__(self, iou_threshold: float = 0.3, max_misses: int = 5,
+                 min_hits: int = 2):
+        self.iou_threshold = iou_threshold
+        self.max_misses = max_misses
+        self.min_hits = min_hits
+        self.tracks: List[Track] = []
+        self._next_id = 1
+
+    def reset(self) -> None:
+        self.tracks = []
+        self._next_id = 1
+
+    @property
+    def confirmed(self) -> List[Track]:
+        return [t for t in self.tracks if t.hits >= self.min_hits]
+
+    def update(self, boxes: Sequence[BoundingBox]) -> List[Track]:
+        """Advance one frame; returns confirmed tracks."""
+        # score all (track, detection) same-class pairs by IoU
+        pairs = []
+        for ti, t in enumerate(self.tracks):
+            for di, d in enumerate(boxes):
+                if d.class_name != t.box.class_name:
+                    continue
+                v = iou(t.box, d)
+                if v >= self.iou_threshold:
+                    pairs.append((v, ti, di))
+        pairs.sort(reverse=True)
+        used_t, used_d = set(), set()
+        for v, ti, di in pairs:          # greedy best-first assignment
+            if ti in used_t or di in used_d:
+                continue
+            used_t.add(ti)
+            used_d.add(di)
+            t = self.tracks[ti]
+            t.box = boxes[di]
+            t.hits += 1
+            t.misses = 0
+        # unmatched tracks age out
+        for ti, t in enumerate(self.tracks):
+            t.age += 1
+            if ti not in used_t:
+                t.misses += 1
+        self.tracks = [t for t in self.tracks if t.misses <= self.max_misses]
+        # unmatched detections spawn tracks
+        for di, d in enumerate(boxes):
+            if di not in used_d:
+                self.tracks.append(Track(self._next_id, d))
+                self._next_id += 1
+        return self.confirmed
+
+
 class TargetTracker:
     """Single-target lock state machine (IEExecutor.cs:228-238,470-526)."""
 
