@@ -150,7 +150,13 @@ def export_compiled(pipe: CompiledPipeline, path: str) -> None:
     def closed(frames):
         return fn(params, frames)
 
-    spec = jax.ShapeDtypeStruct(pipe.input_shape, jnp.uint8)
+    if pipe.input_format == "yuv420":
+        B, H, W, _ = pipe.input_shape
+        spec = (jax.ShapeDtypeStruct((B, H, W), jnp.uint8),
+                jax.ShapeDtypeStruct((B, H // 2, W // 2), jnp.uint8),
+                jax.ShapeDtypeStruct((B, H // 2, W // 2), jnp.uint8))
+    else:
+        spec = jax.ShapeDtypeStruct(pipe.input_shape, jnp.uint8)
     exp = jax.export.export(jax.jit(closed))(spec)
     blob = exp.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
