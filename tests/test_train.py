@@ -105,3 +105,36 @@ def test_sharded_train_step():
     _, m2 = step2(state2, jax.device_get(batch))
     np.testing.assert_allclose(float(metrics["loss"]), float(m2["loss"]),
                                rtol=1e-4)
+
+
+def test_train_checkpoint_resume(tmp_path):
+    """Save full TrainState mid-run, restore, continue: bitwise-identical
+    trajectory to an uninterrupted run."""
+    import os
+    cfg = _cfg()
+    rng = np.random.default_rng(7)
+    opt = ts.make_optimizer(lr=1e-3, warmup_steps=1, total_steps=20)
+    step = ts.make_train_step(cfg, opt, use_remat=False)
+    batches = [_batch(np.random.default_rng(i)) for i in range(6)]
+
+    # uninterrupted run
+    s_ref = ts.init_train_state(jax.random.key(1), cfg, opt)
+    for b in batches:
+        s_ref, m_ref = step(s_ref, b)
+
+    # interrupted run: checkpoint after 3 steps, restore, continue
+    s = ts.init_train_state(jax.random.key(1), cfg, opt)
+    for b in batches[:3]:
+        s, _ = step(s, b)
+    path = os.path.join(tmp_path, "state")
+    ts.save_train_state(path, s)
+    s2 = ts.load_train_state(path, like=s)
+    assert int(s2.step) == 3
+    for b in batches[3:]:
+        s2, m2 = step(s2, b)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    a = jax.tree.leaves(s_ref.params)[0]
+    b_ = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-7)

@@ -92,6 +92,26 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                    out_shardings=(None, repl))
 
 
+def save_train_state(path: str, state: TrainState) -> None:
+    """Checkpoint the FULL training state (params + optimizer moments +
+    step) for resume — the framework's training-side elastic-recovery story
+    (the reference has nothing to checkpoint; SURVEY §5)."""
+    from xrseg_tpu.io.weights import save_orbax
+    save_orbax(path, {"params": jax.device_get(state.params),
+                      "opt_state": jax.device_get(state.opt_state),
+                      "step": jax.device_get(state.step)})
+
+
+def load_train_state(path: str, like: TrainState) -> TrainState:
+    from xrseg_tpu.io.weights import load_orbax
+    restored = load_orbax(path, like={"params": like.params,
+                                      "opt_state": like.opt_state,
+                                      "step": like.step})
+    return TrainState(params=restored["params"],
+                      opt_state=restored["opt_state"],
+                      step=restored["step"])
+
+
 def shard_train_state(state: TrainState, mesh: Mesh,
                       tp_min_channels: int = 100000) -> TrainState:
     params = mesh_lib.shard_params(state.params, mesh, tp_min_channels)
