@@ -37,14 +37,18 @@ def parse_boxes(boxes_xywh_640: np.ndarray, labels: np.ndarray,
                 scores: np.ndarray, count: int,
                 screen_wh: Tuple[float, float],
                 class_names: Sequence[str] = (),
-                max_boxes: int = 50) -> List[BoundingBox]:
-    """Model-space (640) cxcywh -> center-origin screen space.
+                max_boxes: int = 50,
+                model_size: Tuple[float, float] = (640.0, 640.0)
+                ) -> List[BoundingBox]:
+    """Model-space cxcywh -> center-origin screen space.
 
-    Exact ParseBoxes math (IEExecutor.cs:534,543-544):
-      offsetX = (cx - 320) * scaleX ; offsetY = (320 - cy) * scaleY  (Y flip)
+    Exact ParseBoxes math (IEExecutor.cs:534,543-544), with the reference's
+    hardcoded 640/320 generalized to the configured model input size:
+      offsetX = (cx - mw/2) * scaleX ; offsetY = (mh/2 - cy) * scaleY (Y flip)
     """
     sw, sh = screen_wh
-    sx, sy = sw / 640.0, sh / 640.0
+    mh, mw = model_size
+    sx, sy = sw / mw, sh / mh
     out: List[BoundingBox] = []
     n = min(int(count), max_boxes)
     for i in range(n):
@@ -53,8 +57,8 @@ def parse_boxes(boxes_xywh_640: np.ndarray, labels: np.ndarray,
         name = (class_names[lab].replace(" ", "_")
                 if 0 <= lab < len(class_names) else "unknown")
         out.append(BoundingBox(
-            center_x=(cx - 320.0) * sx,
-            center_y=(320.0 - cy) * sy,
+            center_x=(cx - mw / 2.0) * sx,
+            center_y=(mh / 2.0 - cy) * sy,
             width=w * sx,
             height=h * sy,
             label=lab,
@@ -65,12 +69,14 @@ def parse_boxes(boxes_xywh_640: np.ndarray, labels: np.ndarray,
     return out
 
 
-def box_to_model_space(box: BoundingBox, screen_wh: Tuple[float, float]):
+def box_to_model_space(box: BoundingBox, screen_wh: Tuple[float, float],
+                       model_size: Tuple[float, float] = (640.0, 640.0)):
     """Inverse of parse_boxes (the mapping at IEExecutor.cs:585-588)."""
     sw, sh = screen_wh
-    sx, sy = sw / 640.0, sh / 640.0
-    return (box.center_x / sx + 320.0,
-            320.0 - box.center_y / sy,
+    mh, mw = model_size
+    sx, sy = sw / mw, sh / mh
+    return (box.center_x / sx + mw / 2.0,
+            mh / 2.0 - box.center_y / sy,
             box.width / sx,
             box.height / sy)
 

@@ -301,7 +301,9 @@ class Executor:
             else self.last_device_out
         if dev is None or "masks" not in dev:
             return None
-        raw_box = box_to_model_space(box, self.screen_wh)
+        raw_box = box_to_model_space(
+            box, self.screen_wh,
+            tuple(map(float, self.cfg.model.input_size)))
         with self.tracer.section("depth_fusion"):
             if self.points.backend == "jax":
                 return self.points.extract_from_slate(
@@ -317,7 +319,9 @@ class Executor:
         count = int(h["count"])
         self.current_frame_boxes = parse_boxes(
             h["boxes_xywh"], h["labels"], h["scores"], count,
-            self.screen_wh, self.labels)
+            self.screen_wh, self.labels,
+            max_boxes=self.cfg.post.max_detections,
+            model_size=tuple(map(float, self.cfg.model.input_size)))
         latency = time.perf_counter() - self._dispatch_t0
         result = FrameResult(boxes=self.current_frame_boxes, count=count,
                              latency_s=latency)
