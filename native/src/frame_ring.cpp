@@ -65,10 +65,13 @@ int32_t xrseg_ring_push(void* ring, const uint8_t* frame, int64_t nbytes) {
   int64_t tail = r->tail.load(std::memory_order_acquire);
   if (head - tail >= r->capacity) {
     // full: advance tail (drop oldest). Safe for SPSC with a single
-    // producer because the consumer re-validates its read below.
-    r->tail.compare_exchange_strong(tail, tail + 1,
-                                    std::memory_order_acq_rel);
-    r->dropped.fetch_add(1, std::memory_order_relaxed);
+    // producer because the consumer re-validates its read below. Count the
+    // drop ONLY if our CAS won — if the consumer popped concurrently, no
+    // frame was actually lost.
+    if (r->tail.compare_exchange_strong(tail, tail + 1,
+                                        std::memory_order_acq_rel)) {
+      r->dropped.fetch_add(1, std::memory_order_relaxed);
+    }
   }
   std::memcpy(r->data + (head % r->capacity) * r->slot_bytes, frame, nbytes);
   r->head.store(head + 1, std::memory_order_release);
