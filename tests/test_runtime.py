@@ -330,3 +330,20 @@ def test_extract_point_cloud_between_frames(executor):
           b.center_y + executor.screen_wh[1] / 2)
     # must not crash even though _inflight was cleaned up
     executor.extract_point_cloud_at_screen_pos(sp)
+
+
+def test_executor_pipeline_cache_lru_eviction():
+    """Per-geometry pipeline cache is bounded: LRU geometry is evicted
+    once max_cached_pipelines is exceeded (each entry costs a full XLA
+    compile + device buffers; a long-running server must not grow
+    unboundedly)."""
+    ex = Executor(_tiny_cfg(), frame_hw=(64, 64), auto_recompile=True,
+                  max_cached_pipelines=2)
+    ex.run_sync(_frame(0))                                    # (64, 64)
+    ex.run_sync(FrameData(rgb=np.zeros((96, 64, 3), np.uint8)))   # (96, 64)
+    assert set(ex._pipelines) == {(64, 64), (96, 64)}
+    # reuse (64,64) so (96,64) becomes LRU
+    ex.run_sync(_frame(1))
+    ex.run_sync(FrameData(rgb=np.zeros((128, 64, 3), np.uint8)))  # evicts
+    assert set(ex._pipelines) == {(64, 64), (128, 64)}
+    assert len(ex._pipelines) == 2

@@ -115,3 +115,23 @@ def test_draw_masks_multi():
     assert ov[10, 10, 3] == 0
     # colors differ per class
     assert tuple(ov[240, 320, :3]) != tuple(ov[240, 120, :3])
+
+
+def test_masker_lost_frame_keeps_damping():
+    """A lost frame must keep SmoothDamp advancing toward the last target
+    (ref runs SmoothDamp from Update() every frame, IEMasker.cs:65-80)."""
+    mk = Masker()
+    mask = np.ones((160, 160), np.float32)
+    mk.draw_single_mask(BoundingBox(0, 0, 100, 100), mask, (640, 640))
+    # target jumps; one short-dt draw leaves the smoothed pos lagging
+    mk.draw_single_mask(BoundingBox(200, 100, 100, 100), mask, (640, 640),
+                        dt=1e-3)
+    target = mk._target_pos.copy()
+    d0 = np.linalg.norm(mk._pos - target)
+    assert d0 > 1.0                      # still far from the new target
+    mk.keep_current_mask(dt=1 / 30)      # lost frame
+    d1 = np.linalg.norm(mk._pos - target)
+    assert d1 < d0                       # kept moving, didn't freeze
+    mk.keep_current_mask(dt=1 / 30)
+    d2 = np.linalg.norm(mk._pos - target)
+    assert d2 < d1

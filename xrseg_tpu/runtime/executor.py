@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import time
+from collections import OrderedDict
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -69,10 +70,15 @@ class Executor:
                  frame_hw: Optional[Tuple[int, int]] = None,
                  screen_wh: Optional[Tuple[float, float]] = None,
                  labels=None, seed: int = 0, depth_backend: str = "jax",
-                 auto_recompile: bool = False):
+                 auto_recompile: bool = False, max_cached_pipelines: int = 4):
         self.cfg = cfg
         self.auto_recompile = auto_recompile
-        self._pipelines: dict = {}
+        # LRU cache of per-geometry pipelines. Each geometry costs a full
+        # XLA compile (~30-60 s on TPU) and holds device buffers, so a
+        # long-running server feeding many resolutions must evict — the
+        # reference re-derives per texture instead (IEExecutor.cs:369).
+        self.max_cached_pipelines = max(1, int(max_cached_pipelines))
+        self._pipelines: "OrderedDict[tuple, CompiledPipeline]" = OrderedDict()
         self.tracer = Tracer()
         with self.tracer.section("load_model"):
             self.pipeline: CompiledPipeline = load_model(
@@ -105,6 +111,7 @@ class Executor:
         self._depth_frame: Optional[np.ndarray] = None
         self._depth_pose: Optional[Pose] = None
         self._last_ts: Optional[float] = None
+        self._prev_result_ts: Optional[float] = None
 
     # ------------------------------------------------------------------
     # public API (mirrors IEExecutor's surface)
@@ -156,6 +163,9 @@ class Executor:
                         self._pipelines[hw] = _lm(
                             self.cfg, params=self.pipeline.params,
                             frame_hw=hw, batch=1)
+                self._pipelines.move_to_end(hw)
+                while len(self._pipelines) > self.max_cached_pipelines:
+                    self._pipelines.popitem(last=False)   # evict LRU geometry
                 self.pipeline = self._pipelines[hw]
                 self.frame_hw = hw
                 self.screen_wh = (float(hw[1]), float(hw[0]))
@@ -333,18 +343,27 @@ class Executor:
         # Case 2: tracking (IEExecutor.cs:485-526)
         matched = self.tracker.update(self.current_frame_boxes)
         has_masks = self._inflight is not None and "masks" in self._inflight
+        # per-frame dt for the masker's SmoothDamp (the reference damps from
+        # Update() every frame, IEMasker.cs:65-80)
+        meta = self._inflight_meta
+        ts = meta.timestamp if meta is not None else None
+        dt = 1 / 30
+        if ts is not None and self._prev_result_ts is not None:
+            dt = min(0.5, max(1e-3, ts - self._prev_result_ts))
+        self._prev_result_ts = ts
         if matched is not None:
             result.tracked = matched
             if not has_masks:          # detect-only task: boxes-only tracking
                 return result
             if self.cfg.enable_ui_rendering:
                 mask = self._fetch_target_mask(matched.index)
-                dt = 1 / 30
                 self.masker.draw_single_mask(matched, mask,
                                              (int(self.screen_wh[0]),
                                               int(self.screen_wh[1])), dt)
             result.point_cloud = self._extract_depth_for(matched)
         else:
-            self.masker.keep_current_mask()   # lost frame (IEMasker.cs:201)
+            # lost frame: keep the overlay but continue damping toward the
+            # last target (IEMasker.cs:201-208 + per-Update SmoothDamp)
+            self.masker.keep_current_mask(dt)
             result.point_cloud = self.points.current
         return result

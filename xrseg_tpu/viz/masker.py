@@ -111,9 +111,14 @@ class Masker:
         self._target_size = target_size
         self.update_transform(dt)
 
-    def keep_current_mask(self) -> None:
-        """KeepCurrentMask (IEMasker.cs:201-208): lost frame, keep overlay."""
-        pass   # cached mask persists; smoothing continues via update_transform
+    def keep_current_mask(self, dt: float = 1 / 30) -> None:
+        """KeepCurrentMask (IEMasker.cs:201-208): lost frame, keep overlay.
+
+        The reference runs SmoothDamp from Update() every frame regardless
+        of detection outcome (IEMasker.cs:65-80), so a lost frame still
+        damps the sprite toward the last target instead of freezing it.
+        """
+        self.update_transform(dt)
 
     def update_transform(self, dt: float) -> None:
         """Per-frame SmoothDamp of position/size (IEMasker.cs:65-80)."""
