@@ -92,6 +92,38 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
     }
 
 
+def run_latency_bench(n_frames: int = 60, warmup: int = 8,
+                      scale: str = "n") -> dict:
+    """Interactive single-frame latency: batch=1, synchronous dispatch ->
+    slate materialized on host each frame (host-transfer-anchored, the only
+    timing this tunneled PJRT reports honestly). This is the p50-latency
+    half of the BASELINE metric (SURVEY §6: "fps + p50 latency"); the
+    reference's analogue is one full inference spread over ~display frames
+    at 20-30 FPS (33-50 ms)."""
+    import jax.numpy as jnp
+
+    from xrseg_tpu.compile import load_model
+    from xrseg_tpu.config import ExecutorConfig, ModelConfig
+
+    cfg = ExecutorConfig(model=ModelConfig(scale=scale))
+    pipe = load_model(cfg, batch=1)   # warms up + absorbs first D2H
+    rng = np.random.default_rng(0)
+    frames = [jnp.asarray(rng.integers(0, 255, (1, 640, 640, 3)), jnp.uint8)
+              for _ in range(2)]
+    lat = []
+    for i in range(warmup + n_frames):
+        t0 = time.perf_counter()
+        out = pipe(frames[i % 2])
+        np.asarray(out["slate"])     # block: frame result on host
+        if i >= warmup:
+            lat.append(time.perf_counter() - t0)
+    return {
+        "p50_latency_ms": float(np.percentile(lat, 50) * 1e3),
+        "p95_latency_ms": float(np.percentile(lat, 95) * 1e3),
+        "n_frames": n_frames,
+    }
+
+
 def run_bench(batch: int = 32, n_batches: int = 60, warmup_batches: int = 8,
               scale: str = "n", inflight: int = 4) -> dict:
     import jax
@@ -166,11 +198,17 @@ def main() -> int:
         return 0
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     r = run_device_bench(batch=batch)
+    lat = run_latency_bench()
+    # ONE JSON line; headline metric is throughput, and the BASELINE's
+    # second metric (p50 single-frame latency, batch=1, host-anchored)
+    # rides along as extra keys.
     print(json.dumps({
         "metric": f"yolo11n_seg_640_fps_per_chip_b{batch}",
         "value": round(r["fps_per_chip"], 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(r["fps_per_chip"] / 30.0, 1),
+        "p50_latency_ms_b1": round(lat["p50_latency_ms"], 2),
+        "p95_latency_ms_b1": round(lat["p95_latency_ms"], 2),
     }))
     return 0
 
