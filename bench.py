@@ -30,7 +30,8 @@ def _enable_compile_cache() -> None:
 
 def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
                      repeats: int = 2, task: str = "segment",
-                     frame_hw=None, input_size=(640, 640)) -> dict:
+                     frame_hw=None, input_size=(640, 640),
+                     post_overrides: dict | None = None) -> dict:
     """Pure device throughput: N pipeline invocations CHAINED on-device via
     lax.scan (each batch's input depends on the previous batch's output, so
     nothing can be elided or overlapped away), one scalar readback at the
@@ -47,6 +48,9 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
     
     cfg = ExecutorConfig(model=ModelConfig(scale=scale, task=task,
                                            input_size=tuple(input_size)))
+    if post_overrides:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, post=_dc.replace(cfg.post, **post_overrides))
     mcfg, pcfg = cfg.model, cfg.post
     params = yolo11.init_params(jax.random.key(0), mcfg)
 

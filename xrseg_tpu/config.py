@@ -53,7 +53,14 @@ class PostprocessConfig:
     iou_threshold: float = 0.6
     score_threshold: float = 0.23
     max_detections: int = 50
-    pre_nms_topk: int = 128          # candidates entering NMS (power-of-2 friendly)
+    # Static cap on NMS candidates (threshold-compaction, ops/nms.py).
+    # 0 (default) = no cap: NMS considers EVERY anchor, giving exact parity
+    # with the reference's unbounded Functional.NMS
+    # (IEModelEditorConverter.cs:76) at any scene density — and on TPU the
+    # full-width selection loop measured FASTER than any capped variant
+    # (top_k's sort and scatter-compaction both cost more than the wide
+    # vector ops they save). >0 caps candidates for tiny-model tests.
+    pre_nms_topk: int = 0
     class_aware: bool = True
 
 

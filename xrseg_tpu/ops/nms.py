@@ -7,14 +7,21 @@ TPU-native formulation is:
 
   1. per-anchor best class score/label (ReduceMax/ArgMax of the ref graph,
      IEModelEditorConverter.cs:69-70),
-  2. top-K score pre-selection (static K),
-  3. exact greedy suppression over the sorted slate with a lax.fori_loop and
-     a precomputed KxK IoU matrix,
-  4. compaction into a padded top-`max_det` slate + a valid count.
+  2. select-and-suppress over max_det steps: each lax.scan step picks the
+     highest-scoring alive candidate and suppresses everything it overlaps
+     (one [A]-wide IoU row, no KxK matrix). This is exactly greedy NMS
+     truncated at the output cap, evaluated over ALL anchors — bit-equal to
+     the reference's unbounded Functional.NMS + the 50-box parse cap
+     (IEExecutor.cs:534), with a sequential chain of max_det (50) steps
+     instead of K.
+  3. the selections land directly in a padded top-`max_det` slate + count.
 
 Everything is trace-once/compile-once: no host sync, no data-dependent
 shapes. Class-aware behavior uses the coordinate-offset trick instead of a
-per-class loop.
+per-class loop. `pre_topk` compacts the above-threshold candidates into a
+static slate (cumsum scatter, no sort) so the selection loop runs narrow;
+it is exact unless more than pre_topk anchors clear the score gate.
+`pre_topk=0` disables compaction for guaranteed exactness at any density.
 """
 from __future__ import annotations
 
@@ -50,27 +57,46 @@ def pairwise_iou(corners: jax.Array) -> jax.Array:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def _greedy_suppress(iou: jax.Array, alive0: jax.Array, iou_threshold: float) -> jax.Array:
-    """Exact greedy NMS over a score-sorted slate.
+def _select_and_suppress(corners: jax.Array, scores: jax.Array,
+                         alive0: jax.Array, iou_threshold: float,
+                         max_det: int):
+    """max_det steps of: pick argmax-score alive candidate, kill overlaps.
 
-    alive0[k]: candidate k passes the score gate. Returns keep mask [K].
-    Sequential by nature; each of the K steps is one cheap [K]-vector op.
+    corners: [K,4] (class-offset already applied when class-aware).
+    Returns (indices [max_det] int32, ok [max_det] bool) in selection
+    (descending-score) order; ok is monotone (all True then all False).
     """
-    K = iou.shape[0]
-    idx = jnp.arange(K)
+    sc = scores.astype(jnp.float32)
+    x1, y1, x2, y2 = (corners[:, i].astype(jnp.float32) for i in range(4))
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    k_idx = jnp.arange(sc.shape[0])
 
-    def body(i, alive):
-        kept = alive[i]
-        suppress = kept & (iou[i] > iou_threshold) & (idx > i)
-        return alive & ~suppress
+    # carry the -inf-masked scores directly (suppression = write -inf):
+    # one [K] array read+write per step instead of a separate alive mask
+    masked0 = jnp.where(alive0, sc, -jnp.inf)
 
-    return jax.lax.fori_loop(0, K, body, alive0)
+    def body(masked, _):
+        i = jnp.argmax(masked)
+        ok = masked[i] != -jnp.inf
+        iw = jnp.maximum(jnp.minimum(x2, x2[i]) - jnp.maximum(x1, x1[i]), 0)
+        ih = jnp.maximum(jnp.minimum(y2, y2[i]) - jnp.maximum(y1, y1[i]), 0)
+        inter = iw * ih
+        union = area + area[i] - inter
+        iou = jnp.where(union > 0, inter / union, 0.0)
+        # the selected candidate leaves the pool too (k_idx == i covers
+        # degenerate zero-area boxes whose self-IoU is 0)
+        suppress = (iou > iou_threshold) | (k_idx == i)
+        masked = jnp.where(ok & suppress, -jnp.inf, masked)
+        return masked, (i.astype(jnp.int32), ok)
+
+    _, (idxs, oks) = jax.lax.scan(body, masked0, None, length=max_det)
+    return idxs, oks
 
 
 @partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware"))
 def nms_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
               *, iou_threshold: float, score_threshold: float,
-              pre_topk: int = 256, max_det: int = 50,
+              pre_topk: int = 0, max_det: int = 50,
               class_aware: bool = True) -> Dict[str, jax.Array]:
     """Single-image fixed-shape NMS.
 
@@ -78,43 +104,66 @@ def nms_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
       boxes_xywh: [A,4] centers+wh in input-pixel space.
       scores:     [A]   best-class score per anchor.
       labels:     [A]   best-class id per anchor (int32).
+      pre_topk:   0 = consider every anchor (guaranteed exact parity with
+                  the reference's unbounded NMS); >0 = static candidate cap
+                  via threshold-compaction (exact unless more than pre_topk
+                  anchors clear score_threshold, in which case the excess
+                  is dropped in anchor order).
     Returns dict of padded arrays:
       indices [max_det] int32 — anchor index of each detection (0 where invalid)
       boxes_xywh [max_det,4], scores [max_det], labels [max_det]
       valid [max_det] bool, count [] int32
     """
     A = scores.shape[0]
-    k = min(pre_topk, A)
-    top_scores, top_idx = jax.lax.top_k(scores, k)          # sorted desc
-    top_boxes = boxes_xywh[top_idx]
-    top_labels = labels[top_idx]
+    alive_full = scores > score_threshold
+    if pre_topk and pre_topk < A:
+        # Threshold-compaction: scatter above-threshold candidates into a
+        # static pre_topk-wide slate (cumsum slot assignment — one pass, no
+        # sort; lax.top_k's full sort costs ~1.5 ms/batch at A=8400 b=128).
+        # The selection loop below re-ranks by score anyway, so slate order
+        # is irrelevant. Overflow (more than pre_topk anchors above the
+        # score gate) drops the excess in anchor order — unreachable in
+        # practice at deployment thresholds; set pre_topk=0 for a
+        # guaranteed-exact full-width pass.
+        slot = jnp.where(alive_full, jnp.cumsum(alive_full) - 1, pre_topk)
+
+        def compact(x, fill=0):
+            out = jnp.full((pre_topk,) + x.shape[1:], fill, x.dtype)
+            return out.at[slot].set(x, mode="drop")
+
+        top_scores = compact(scores)
+        top_idx = compact(jnp.arange(A, dtype=jnp.int32))
+        top_boxes = compact(boxes_xywh)
+        top_labels = compact(labels)
+        alive0 = compact(alive_full, fill=False)
+    else:
+        top_scores = scores
+        top_idx = jnp.arange(A, dtype=jnp.int32)
+        top_boxes, top_labels = boxes_xywh, labels
+        alive0 = alive_full
 
     corners = xywh_to_corners(top_boxes)
     if class_aware:
         corners = corners + (top_labels[:, None].astype(corners.dtype)
                              * _CLASS_OFFSET)
-    iou = pairwise_iou(corners)
-    alive0 = top_scores > score_threshold
-    keep = _greedy_suppress(iou, alive0, iou_threshold)
+    sel, ok = _select_and_suppress(corners, top_scores, alive0,
+                                   iou_threshold, max_det)
 
-    # Compact kept candidates (already score-sorted) into max_det slots.
-    rank = jnp.cumsum(keep) - 1                              # slot per kept cand
-    slot = jnp.where(keep & (rank < max_det), rank, max_det)
-    count = jnp.minimum(keep.sum(), max_det).astype(jnp.int32)
+    safe = jnp.where(ok, sel, 0)
 
-    def compact(x, fill=0):
-        out_shape = (max_det,) + x.shape[1:]
-        out = jnp.full(out_shape, fill, x.dtype)
-        return out.at[slot].set(x, mode="drop")
+    def take(x):
+        picked = x[safe]
+        mask_shape = (max_det,) + (1,) * (picked.ndim - 1)
+        return jnp.where(ok.reshape(mask_shape), picked,
+                         jnp.zeros_like(picked))
 
-    valid = jnp.arange(max_det) < count
     return {
-        "indices": compact(top_idx.astype(jnp.int32)),
-        "boxes_xywh": compact(top_boxes),
-        "scores": compact(top_scores),
-        "labels": compact(top_labels.astype(jnp.int32)),
-        "valid": valid,
-        "count": count,
+        "indices": take(top_idx.astype(jnp.int32)),
+        "boxes_xywh": take(top_boxes),
+        "scores": take(top_scores),
+        "labels": take(top_labels.astype(jnp.int32)),
+        "valid": ok,
+        "count": ok.sum().astype(jnp.int32),
     }
 
 

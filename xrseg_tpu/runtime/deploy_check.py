@@ -60,8 +60,9 @@ def check_environment(cfg=None, *, batch: int = 1,
                        f"score={cfg.post.score_threshold} "
                        f"iou={cfg.post.iou_threshold}"))
         checks.append(("topk_covers_maxdet",
-                       cfg.post.pre_nms_topk >= cfg.post.max_detections,
-                       f"topk={cfg.post.pre_nms_topk} "
+                       cfg.post.pre_nms_topk == 0
+                       or cfg.post.pre_nms_topk >= cfg.post.max_detections,
+                       f"topk={cfg.post.pre_nms_topk} (0=all anchors) "
                        f"max_det={cfg.post.max_detections}"))
 
     # native runtime availability (degraded mode is allowed, but surfaced)
