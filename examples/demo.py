@@ -126,38 +126,31 @@ def main() -> int:
                                 background_rgb=background)
     ex = Executor(cfg, params=params, frame_hw=(480, 640), seed=args.seed)
     print("model loaded; streaming synthetic passthrough camera")
-    selected = False
+    # The app loop is now a library module (runtime/xr_loop.py); the demo
+    # only scripts the controller: once a detection appears, aim at it and
+    # hold the trigger (point-cloud extraction + lock on the down edge).
+    from xrseg_tpu.runtime.xr_loop import XRLoop, aim_controller_at_frame_point
+    loop = XRLoop(ex, intrinsics=src.intrinsics)
     results = 0
     cloud = None
+    ctl = None
     for fd in src.frames():
-        if not ex.is_running():
-            ex.run_inference(fd)
-        # a display tick runs a couple of state-machine steps
-        r = ex.update() or ex.update()
+        r = loop.tick(fd, ctl)
         if r is None:
             continue
         results += 1
-        if not selected and r.count > 0:
-            # emulate the right-controller laser (IEPassthroughTrigger.cs:
-            # 87-104,128-134): aim the controller at the first detection,
-            # project the 2 m laser point back to screen, select there.
-            from xrseg_tpu.perception.camera import (laser_screen_position,
-                                                     screen_point_to_ray_in_world)
+        if not loop.selected and r.count > 0:
             b = r.boxes[0]
             frame_sp = (b.center_x + ex.screen_wh[0] / 2,
                         b.center_y + ex.screen_wh[1] / 2)
-            intr, pose = src.intrinsics, fd.pose
-            # frame pixels -> camera sensor pixels
-            sx = intr.resolution[0] / ex.screen_wh[0]
-            sy = intr.resolution[1] / ex.screen_wh[1]
-            cam_px = (frame_sp[0] * sx, frame_sp[1] * sy)
-            origin, fwd = screen_point_to_ray_in_world(intr, pose, cam_px)
-            fwd = fwd / np.linalg.norm(fwd)
-            laser_px = laser_screen_position(intr, pose, origin, fwd)
-            sp = (laser_px[0] / sx, laser_px[1] / sy)
-            selected = ex.select_target_from_screen_pos(sp)
-            print(f"laser-selected target: {b.class_name} @ frame {results} "
-                  f"(laser screen pos {tuple(round(v,1) for v in sp)})")
+            ctl = aim_controller_at_frame_point(src.intrinsics, fd.pose,
+                                                frame_sp, ex.screen_wh)
+            ctl.trigger = True
+            loop.tick(fd, ctl)        # trigger-down edge: select + extract
+            if loop.selected:
+                print(f"laser-selected target: {b.class_name} @ frame "
+                      f"{results} (laser screen pos "
+                      f"{tuple(round(v, 1) for v in loop.last_laser_frame_pos)})")
         if r.tracked is not None and r.point_cloud is not None:
             cloud = r.point_cloud
         if results % 10 == 0:
@@ -167,7 +160,6 @@ def main() -> int:
                     over, ex.masker.render_overlay((640, 480)))
             Image.fromarray(over).save(
                 os.path.join(args.out, f"xr_{results:03d}.png"))
-        ex.update()
     if cloud is not None and len(cloud.positions):
         ply = os.path.join(args.out, "cloud.ply")
         write_ply(ply, cloud.positions, cloud.colors)

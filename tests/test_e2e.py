@@ -42,40 +42,44 @@ def source():
 
 
 def test_full_xr_loop(xr_executor, source, tmp_path):
-    from xrseg_tpu.perception.camera import (laser_screen_position,
-                                             screen_point_to_ray_in_world)
+    from xrseg_tpu.runtime.xr_loop import XRLoop, aim_controller_at_frame_point
     from xrseg_tpu.viz.masker import composite_overlay
     from xrseg_tpu.viz.pointcloud import write_ply
 
     ex = xr_executor
+    loop = XRLoop(ex, intrinsics=source.intrinsics)
     results = []
-    selected = False
     cloud = None
+    ctl = None
     for fd in source.frames():
-        r = ex.run_sync(fd)
+        # drain the state machine synchronously (tick until a result;
+        # one frame takes seconds on this 1-core CPU box)
+        import time
+        r = None
+        deadline = time.monotonic() + 300
+        while r is None and time.monotonic() < deadline:
+            r = loop.tick(fd, ctl)
+            if r is None:
+                time.sleep(0.005)
+        assert r is not None
         results.append(r)
-        if not selected and r.count > 0:
-            # laser-select the top detection (bus)
+        if not loop.selected and r.count > 0:
+            # laser-select the top detection (bus) through the library loop
             b = r.boxes[0]
             assert b.class_name == "bus" and b.score > 0.7
             frame_sp = (b.center_x + ex.screen_wh[0] / 2,
                         b.center_y + ex.screen_wh[1] / 2)
-            intr = source.intrinsics
-            sx = intr.resolution[0] / ex.screen_wh[0]
-            sy = intr.resolution[1] / ex.screen_wh[1]
-            origin, fwd = screen_point_to_ray_in_world(
-                intr, fd.pose, (frame_sp[0] * sx, frame_sp[1] * sy))
-            fwd = fwd / np.linalg.norm(fwd)
-            lp = laser_screen_position(intr, fd.pose, origin, fwd)
-            selected = ex.select_target_from_screen_pos(
-                (lp[0] / sx, lp[1] / sy))
-            assert selected
+            ctl = aim_controller_at_frame_point(
+                source.intrinsics, fd.pose, frame_sp, ex.screen_wh)
+            ctl.trigger = True                 # held: extract every tick
+            loop.tick(fd, ctl)                 # down edge: select
+            assert loop.selected
         if r.tracked is not None:
             assert r.tracked.class_name == "bus"
             if r.point_cloud is not None and len(r.point_cloud.positions):
                 cloud = r.point_cloud
 
-    assert selected, "bus was never detected/selected"
+    assert loop.selected, "bus was never detected/selected"
     assert any(r.tracked is not None for r in results), "tracking never locked"
     assert cloud is not None and len(cloud.positions) > 100
     # depth plane at 1.5 m: extracted points sit near it

@@ -90,7 +90,8 @@ class Executor:
                                        float(self.frame_hw[0]))
         self.labels = list(labels) if labels is not None else list(COCO_LABELS)
         self.boxer = Boxer(self.labels)
-        self.masker = Masker(cfg.confidence_threshold)
+        self.masker = Masker(cfg.confidence_threshold,
+                             mask_hw=cfg.model.mask_size)
         self.tracker = TargetTracker(cfg.tracking_gate_px,
                                      cfg.select_margin_px)
         self.points = PointCloudExtractor(cfg.depth, backend=depth_backend)

@@ -50,12 +50,13 @@ def smooth_damp(current: np.ndarray, target: np.ndarray,
 class Masker:
     """Single-target mask overlay with smoothed placement."""
 
-    MASK_H = 160   # ref: IEMasker.cs:11-12
-    MASK_W = 160
-
     def __init__(self, confidence_threshold: float = 0.5,
                  position_smooth_time: float = 0.05,
-                 size_smooth_time: float = 0.1):
+                 size_smooth_time: float = 0.1,
+                 mask_hw: Tuple[int, int] = (160, 160)):
+        # ref: 160x160 prototypes (IEMasker.cs:11-12); generalizes to the
+        # model's input/4 mask size for non-640 configs
+        self.MASK_H, self.MASK_W = mask_hw
         self.confidence = confidence_threshold
         self.pos_tau = position_smooth_time
         self.size_tau = size_smooth_time
