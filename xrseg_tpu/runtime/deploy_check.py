@@ -28,11 +28,28 @@ class CheckResult:
 
 def check_environment(cfg=None, *, batch: int = 1,
                       mesh_shape: Optional[Tuple[int, int]] = None,
-                      require_tpu: bool = False) -> CheckResult:
-    """Validate devices/config for serving. Returns per-check results."""
+                      require_tpu: bool = False,
+                      frame_source=None) -> CheckResult:
+    """Validate devices/config for serving. Returns per-check results.
+
+    frame_source: optional ManagedFrameSource — its support/permission/
+    availability gates are surfaced as checks (the reference gates these
+    at scene startup, WebCamTextureManager.cs:40-56)."""
     import jax
 
     checks: List[Tuple[str, bool, str]] = []
+
+    if frame_source is not None:
+        from xrseg_tpu.runtime.permissions import ManagedSourceState
+        checks.append(("camera_supported", frame_source.is_supported,
+                       "passthrough camera device support"))
+        perm = frame_source.permissions.has_camera_permission
+        checks.append(("camera_permission", perm is True,
+                       f"has_camera_permission={perm}"))
+        checks.append(("camera_available",
+                       frame_source.state != ManagedSourceState.FAILED,
+                       f"state={frame_source.state.value} after "
+                       f"{frame_source.open_attempts} open attempt(s)"))
 
     devs = jax.devices()
     checks.append(("devices_present", len(devs) > 0,
