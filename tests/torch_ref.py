@@ -201,3 +201,48 @@ def full_forward(p, x_nhwc: np.ndarray, cfg):
     else:
         out["preds"] = np.concatenate([xywh, scores], -1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline oracle: preprocess + forward + ultralytics-style postprocess
+# (threshold -> class-aware NMS -> mask synthesis), all torch/numpy.
+# Used to measure end-to-end accuracy parity (ACCURACY.md); mirrors the
+# reference's baked graph contract (IEModelEditorConverter.cs:31-106).
+# ---------------------------------------------------------------------------
+
+def oracle_preprocess(img_uint8: np.ndarray, out_hw=(640, 640)) -> np.ndarray:
+    """uint8 [H,W,3] -> float [1,oh,ow,3] in [0,1]; 2-tap bilinear stretch
+    (TextureConverter.ToTensor semantics) via torch interpolate."""
+    x = _t(img_uint8[None]).permute(0, 3, 1, 2) / 255.0
+    x = F.interpolate(x, size=tuple(out_hw), mode="bilinear",
+                      align_corners=False, antialias=False)
+    return to_nhwc(x)
+
+
+def oracle_detections(out: dict, iou_threshold: float, score_threshold: float,
+                      max_det: int = 50) -> list:
+    """full_forward() outputs -> final detections, via numpy threshold +
+    class-aware greedy NMS + per-instance mask synthesis (sigmoid 160x160,
+    uncropped — cropping is display-layer semantics, IEMasker.cs:232-247).
+
+    Returns a list of dicts {box_xywh, label, score, mask|None}.
+    """
+    from xrseg_tpu.ops.nms import nms_reference_numpy
+    boxes = np.asarray(out["boxes_xywh"][0], np.float32)
+    scores_all = np.asarray(out["scores"][0], np.float32)
+    scores = scores_all.max(-1)
+    labels = scores_all.argmax(-1)
+    keep = nms_reference_numpy(boxes, scores, labels, iou_threshold,
+                               score_threshold)[:max_det]
+    protos = out.get("protos")
+    coefs = out.get("mask_coefs")
+    dets = []
+    for i in keep:
+        m = None
+        if protos is not None:
+            logit = np.einsum("c,hwc->hw", np.asarray(coefs[0][i], np.float32),
+                              np.asarray(protos[0], np.float32))
+            m = 1.0 / (1.0 + np.exp(-logit))
+        dets.append({"box_xywh": boxes[i], "label": int(labels[i]),
+                     "score": float(scores[i]), "mask": m})
+    return dets
