@@ -51,6 +51,13 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
     if post_overrides:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, post=_dc.replace(cfg.post, **post_overrides))
+    if cfg.post.nms_backend == "auto":
+        # same batch-aware resolution as compile.build_pipeline
+        import dataclasses as _dc
+        import jax as _jax
+        be = ("pallas" if batch == 1 and _jax.default_backend() == "tpu"
+              else "scan")
+        cfg = _dc.replace(cfg, post=_dc.replace(cfg.post, nms_backend=be))
     mcfg, pcfg = cfg.model, cfg.post
     params = yolo11.init_params(jax.random.key(0), mcfg)
 

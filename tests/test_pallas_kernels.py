@@ -6,33 +6,66 @@ import pytest
 
 from xrseg_tpu.ops import masks as mask_ops
 from xrseg_tpu.ops import nms as nms_ops
-from xrseg_tpu.ops.pallas_kernels import (mask_synth_crop_pallas,
-                                          nms_greedy_pallas,
+from xrseg_tpu.ops.pallas_kernels import (_NEG, mask_synth_crop_pallas,
+                                          nms_select_pallas,
                                           resize_normalize_bf16)
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_nms_pallas_matches_xla(seed):
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nms_select_pallas_matches_scan(seed):
+    """The on-core select-and-suppress kernel is bit-identical to the
+    lax.scan path (both exact greedy NMS)."""
     rng = np.random.default_rng(seed)
-    K = 128
+    K = 300                      # non-lane-aligned: exercises padding
     cxy = rng.uniform(50, 600, (K, 2)).astype(np.float32)
     wh = rng.uniform(10, 120, (K, 2)).astype(np.float32)
-    scores = np.sort(rng.uniform(0, 1, K).astype(np.float32))[::-1].copy()
-    corners = np.asarray(nms_ops.xywh_to_corners(
-        jnp.asarray(np.concatenate([cxy, wh], -1))))
-    alive0 = scores > 0.2
+    boxes = np.concatenate([cxy, wh], -1)
+    scores = rng.uniform(0, 1, K).astype(np.float32)
+    labels = rng.integers(0, 8, K).astype(np.int32)
 
-    keep_p = nms_greedy_pallas(jnp.asarray(corners), jnp.asarray(alive0),
-                               0.5, interpret=True)
-    iou = nms_ops.pairwise_iou(jnp.asarray(corners))
-    keep_x = nms_ops._greedy_suppress(iou, jnp.asarray(alive0), 0.5)
-    np.testing.assert_array_equal(np.asarray(keep_p), np.asarray(keep_x))
+    out_scan = nms_ops.nms_fixed(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_threshold=0.45, score_threshold=0.2, max_det=50,
+        backend="scan")
+    corners = nms_ops.xywh_to_corners(jnp.asarray(boxes))
+    corners = corners + jnp.asarray(labels)[:, None].astype(jnp.float32) * 8192.0
+    masked = jnp.where(jnp.asarray(scores) > 0.2, jnp.asarray(scores), _NEG)
+    idx, ok = nms_select_pallas(corners, masked, 0.45, max_det=50,
+                                interpret=True)
+    n = int(out_scan["count"])
+    assert int(np.asarray(ok).sum()) == n
+    np.testing.assert_array_equal(np.asarray(idx)[:n],
+                                  np.asarray(out_scan["indices"])[:n])
 
 
-def test_nms_pallas_rejects_bad_k():
-    with pytest.raises(ValueError):
-        nms_greedy_pallas(jnp.zeros((100, 4)), jnp.ones(100, bool), 0.5,
-                          interpret=True)
+def test_nms_select_pallas_vmap():
+    """vmap lifts the batch onto the pallas grid (interpret mode)."""
+    rng = np.random.default_rng(3)
+    B, K = 4, 256
+    boxes = np.concatenate([rng.uniform(50, 600, (B, K, 2)),
+                            rng.uniform(10, 120, (B, K, 2))], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (B, K)).astype(np.float32)
+    corners = np.asarray(nms_ops.xywh_to_corners(jnp.asarray(boxes)))
+    masked = np.where(scores > 0.3, scores, _NEG).astype(np.float32)
+    f = jax.vmap(lambda c, s: nms_select_pallas(c, s, 0.5, max_det=20,
+                                                interpret=True))
+    idxs, oks = f(jnp.asarray(corners), jnp.asarray(masked))
+    assert idxs.shape == (B, 20)
+    for b in range(B):
+        si, so = nms_select_pallas(jnp.asarray(corners[b]),
+                                   jnp.asarray(masked[b]), 0.5, max_det=20,
+                                   interpret=True)
+        n = int(np.asarray(so).sum())
+        np.testing.assert_array_equal(np.asarray(idxs[b])[:n],
+                                      np.asarray(si)[:n])
+
+
+def test_nms_select_pallas_empty():
+    corners = jnp.zeros((128, 4), jnp.float32)
+    masked = jnp.full((128,), _NEG, jnp.float32)
+    idx, ok = nms_select_pallas(corners, masked, 0.5, max_det=10,
+                                interpret=True)
+    assert not np.asarray(ok).any()
 
 
 def test_mask_synth_crop_pallas_matches_reference():

@@ -80,6 +80,15 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     mcfg = cfg.model
     pcfg = cfg.post
     B = batch or cfg.batch_size
+    if pcfg.nms_backend == "auto":
+        # measured on v5e: the on-core pallas NMS kernel wins at batch=1
+        # (2.37 vs 2.74 ms/frame) but its vmapped grid serializes per-image
+        # programs, losing at large batch (scan: full-width VPU steps).
+        import dataclasses as _dc
+        import jax as _jax
+        backend = ("pallas" if B == 1 and _jax.default_backend() == "tpu"
+                   else "scan")
+        pcfg = _dc.replace(pcfg, nms_backend=backend)
     fh, fw = frame_hw or mcfg.input_size
     in_shape = (B, fh, fw, 3)
 

@@ -61,6 +61,11 @@ class PostprocessConfig:
     # (top_k's sort and scatter-compaction both cost more than the wide
     # vector ops they save). >0 caps candidates for tiny-model tests.
     pre_nms_topk: int = 0
+    # NMS execution backend: "scan" = lax.scan select-and-suppress loop
+    # (portable); "pallas" = the same loop as one on-core Pallas kernel
+    # (ops/pallas_kernels.nms_select_pallas); "auto" = pallas on TPU,
+    # scan elsewhere. Both are exact greedy NMS — identical results.
+    nms_backend: str = "auto"
     class_aware: bool = True
 
 

@@ -93,11 +93,15 @@ def _select_and_suppress(corners: jax.Array, scores: jax.Array,
     return idxs, oks
 
 
-@partial(jax.jit, static_argnames=("pre_topk", "max_det", "class_aware"))
+# iou_threshold is static so it reaches the pallas kernel as a Python
+# constant (closure-captured tracers are rejected by pallas_call)
+@partial(jax.jit, static_argnames=("iou_threshold", "pre_topk", "max_det",
+                                   "class_aware", "backend"))
 def nms_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
               *, iou_threshold: float, score_threshold: float,
               pre_topk: int = 0, max_det: int = 50,
-              class_aware: bool = True) -> Dict[str, jax.Array]:
+              class_aware: bool = True,
+              backend: str = "scan") -> Dict[str, jax.Array]:
     """Single-image fixed-shape NMS.
 
     Args:
@@ -146,8 +150,16 @@ def nms_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
     if class_aware:
         corners = corners + (top_labels[:, None].astype(corners.dtype)
                              * _CLASS_OFFSET)
-    sel, ok = _select_and_suppress(corners, top_scores, alive0,
-                                   iou_threshold, max_det)
+    if backend == "pallas":
+        # same greedy loop, but on-core in one Pallas kernel: the scan
+        # path pays ~50 tiny-op launches per image (ops/pallas_kernels.py)
+        from xrseg_tpu.ops.pallas_kernels import _NEG, nms_select_pallas
+        masked0 = jnp.where(alive0, top_scores.astype(jnp.float32), _NEG)
+        sel, ok = nms_select_pallas(corners.astype(jnp.float32), masked0,
+                                    iou_threshold, max_det)
+    else:
+        sel, ok = _select_and_suppress(corners, top_scores, alive0,
+                                       iou_threshold, max_det)
 
     safe = jnp.where(ok, sel, 0)
 

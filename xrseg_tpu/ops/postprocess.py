@@ -57,11 +57,18 @@ def postprocess_single_parts(boxes: jax.Array, cls_scores: jax.Array,
     else:
         thr = cfg.score_threshold
 
+    backend = cfg.nms_backend
+    if backend == "auto":
+        # this function can't see whether it's vmapped over a large batch,
+        # so "auto" here falls back to the portable scan path; batch-aware
+        # callers (compile.build_pipeline, postprocess) resolve "auto" to
+        # the pallas kernel for batch=1 on TPU (measured: -0.37 ms/frame)
+        backend = "scan"
     det = nms_ops.nms_fixed(
         boxes, scores, labels,
         iou_threshold=cfg.iou_threshold, score_threshold=thr,
         pre_topk=cfg.pre_nms_topk, max_det=cfg.max_detections,
-        class_aware=cfg.class_aware)
+        class_aware=cfg.class_aware, backend=backend)
     if scores_are_logits:
         det["scores"] = jax.nn.sigmoid(det["scores"]) * det["valid"]
 
@@ -89,11 +96,14 @@ def postprocess_single(preds: jax.Array, protos: jax.Array | None,
 
 
 @partial(jax.jit, static_argnames=("num_classes", "crop", "input_size",
-                                   "iou", "score", "pre_topk", "max_det"))
+                                   "iou", "score", "pre_topk", "max_det",
+                                   "nms_backend"))
 def _postprocess_batch_impl(preds, protos, *, num_classes, crop, input_size,
-                            iou, score, pre_topk, max_det):
+                            iou, score, pre_topk, max_det,
+                            nms_backend="auto"):
     cfg = PostprocessConfig(iou_threshold=iou, score_threshold=score,
-                            pre_nms_topk=pre_topk, max_detections=max_det)
+                            pre_nms_topk=pre_topk, max_detections=max_det,
+                            nms_backend=nms_backend)
     fn = lambda p, pr: postprocess_single(p, pr, cfg, num_classes, crop,
                                           input_size)
     if protos is None:
@@ -107,8 +117,13 @@ def postprocess(preds: jax.Array, protos: jax.Array | None,
                 crop: bool = False,
                 input_size: tuple = (640, 640)) -> Dict[str, jax.Array]:
     """Batched postprocess: preds [B,A,C], protos [B,h,w,nm] -> [B,D,...]."""
+    backend = cfg.nms_backend
+    if backend == "auto":
+        import jax as _jax
+        backend = ("pallas" if preds.shape[0] == 1
+                   and _jax.default_backend() == "tpu" else "scan")
     return _postprocess_batch_impl(
         preds, protos, num_classes=num_classes, crop=crop,
         input_size=tuple(input_size), iou=cfg.iou_threshold,
         score=cfg.score_threshold, pre_topk=cfg.pre_nms_topk,
-        max_det=cfg.max_detections)
+        max_det=cfg.max_detections, nms_backend=backend)
