@@ -51,31 +51,18 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
     if post_overrides:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, post=_dc.replace(cfg.post, **post_overrides))
-    if cfg.post.nms_backend == "auto":
-        # same batch-aware resolution as compile.build_pipeline
-        import dataclasses as _dc
-        import jax as _jax
-        be = ("pallas" if batch == 1 and _jax.default_backend() == "tpu"
-              else "scan")
-        cfg = _dc.replace(cfg, post=_dc.replace(cfg.post, nms_backend=be))
     mcfg, pcfg = cfg.model, cfg.post
     params = yolo11.init_params(jax.random.key(0), mcfg)
 
-    from xrseg_tpu.ops.postprocess import postprocess_single_parts
+    from xrseg_tpu.ops.postprocess import postprocess_batch_parts
 
     def one(params, frames):
         x = pre_ops.preprocess(frames, mcfg.input_size, dtype=jnp.bfloat16)
         out = yolo11.forward(params, x, mcfg, concat_preds=False)
-        if task == "detect":
-            return jax.vmap(lambda b, s: postprocess_single_parts(
-                b, s, None, None, pcfg, False, mcfg.input_size,
-                scores_are_logits=True))(
-                    out["boxes_xywh"], out["cls_logits"])
-        return jax.vmap(lambda b, s, c, p: postprocess_single_parts(
-            b, s, c, p, pcfg, False, mcfg.input_size,
-            mask_dtype=jnp.bfloat16, scores_are_logits=True))(
-                out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
-                out["protos"])
+        return postprocess_batch_parts(
+            out["boxes_xywh"], out["cls_logits"], out.get("mask_coefs"),
+            out.get("protos"), pcfg, False, mcfg.input_size,
+            mask_dtype=jnp.bfloat16, scores_are_logits=True)
 
     @jax.jit
     def chained(params, frames):

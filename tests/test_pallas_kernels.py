@@ -100,3 +100,30 @@ def test_resize_normalize_matches_cv2():
         assert np.abs(out[b] - ref).max() < 1e-3
     out_bf = resize_normalize_bf16(jnp.asarray(img), (64, 64))
     assert out_bf.dtype == jnp.bfloat16
+
+
+def test_nms_select_batched_pallas_matches_scan():
+    """Batched kernel (grid-blocked rows) equals the per-image scan path."""
+    from xrseg_tpu.ops.pallas_kernels import nms_select_batched_pallas
+    rng = np.random.default_rng(5)
+    B, K = 5, 300                      # odd batch + non-aligned K: padding
+    boxes = np.concatenate([rng.uniform(50, 600, (B, K, 2)),
+                            rng.uniform(10, 120, (B, K, 2))], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (B, K)).astype(np.float32)
+    labels = rng.integers(0, 8, (B, K)).astype(np.int32)
+    corners = np.asarray(nms_ops.xywh_to_corners(jnp.asarray(boxes)))
+    corners = corners + labels[..., None].astype(np.float32) * 8192.0
+    masked = np.where(scores > 0.25, scores, _NEG).astype(np.float32)
+    idx, ok = nms_select_batched_pallas(jnp.asarray(corners),
+                                        jnp.asarray(masked), 0.45,
+                                        max_det=30, block_b=2,
+                                        interpret=True)
+    for b in range(B):
+        ref = nms_ops.nms_fixed(
+            jnp.asarray(boxes[b]), jnp.asarray(scores[b]),
+            jnp.asarray(labels[b]), iou_threshold=0.45,
+            score_threshold=0.25, max_det=30, backend="scan")
+        n = int(ref["count"])
+        assert int(np.asarray(ok[b]).sum()) == n
+        np.testing.assert_array_equal(np.asarray(idx[b])[:n],
+                                      np.asarray(ref["indices"])[:n])

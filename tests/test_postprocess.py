@@ -187,3 +187,32 @@ def test_nms_pre_topk_divergence_documented():
     # the truncated variant keeps at most the candidates inside its top-128
     # prefix — strictly fewer than the unbounded result in this scene
     assert int(small["count"]) < n
+
+
+def test_postprocess_batch_parts_matches_vmapped_single():
+    """The batched hot path (postprocess_batch_parts) must equal
+    vmap(postprocess_single_parts) exactly (scan backend on CPU)."""
+    from xrseg_tpu.ops.postprocess import (postprocess_batch_parts,
+                                           postprocess_single_parts)
+    rng = np.random.default_rng(7)
+    B, A, nc, nm = 3, 400, 20, 8
+    boxes = np.concatenate([rng.uniform(100, 500, (B, A, 2)),
+                            rng.uniform(10, 80, (B, A, 2))], -1).astype(np.float32)
+    logits = rng.standard_normal((B, A, nc)).astype(np.float32)
+    coefs = rng.standard_normal((B, A, nm)).astype(np.float32)
+    protos = rng.standard_normal((B, 40, 40, nm)).astype(np.float32)
+    cfg = PostprocessConfig(iou_threshold=0.5, score_threshold=0.3,
+                            max_detections=20)
+    a = postprocess_batch_parts(jnp.asarray(boxes), jnp.asarray(logits),
+                                jnp.asarray(coefs), jnp.asarray(protos),
+                                cfg, scores_are_logits=True)
+    b = jax.vmap(lambda bx, lg, cf, pr: postprocess_single_parts(
+        bx, lg, cf, pr, cfg, scores_are_logits=True))(
+            jnp.asarray(boxes), jnp.asarray(logits), jnp.asarray(coefs),
+            jnp.asarray(protos))
+    np.testing.assert_array_equal(np.asarray(a["count"]),
+                                  np.asarray(b["count"]))
+    np.testing.assert_array_equal(np.asarray(a["indices"]),
+                                  np.asarray(b["indices"]))
+    np.testing.assert_allclose(np.asarray(a["masks"]),
+                               np.asarray(b["masks"]), atol=1e-6)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
 from xrseg_tpu.models import yolo11
 from xrseg_tpu.ops import preprocess as pre_ops
-from xrseg_tpu.ops.postprocess import postprocess_single_parts
+from xrseg_tpu.ops.postprocess import postprocess_batch_parts
 
 
 @dataclasses.dataclass
@@ -80,15 +80,6 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     mcfg = cfg.model
     pcfg = cfg.post
     B = batch or cfg.batch_size
-    if pcfg.nms_backend == "auto":
-        # measured on v5e: the on-core pallas NMS kernel wins at batch=1
-        # (2.37 vs 2.74 ms/frame) but its vmapped grid serializes per-image
-        # programs, losing at large batch (scan: full-width VPU steps).
-        import dataclasses as _dc
-        import jax as _jax
-        backend = ("pallas" if B == 1 and _jax.default_backend() == "tpu"
-                   else "scan")
-        pcfg = _dc.replace(pcfg, nms_backend=backend)
     fh, fw = frame_hw or mcfg.input_size
     in_shape = (B, fh, fw, 3)
 
@@ -109,17 +100,10 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                                dtype=jnp.dtype(mcfg.dtype))
         out = yolo11.forward(params, x, mcfg, concat_preds=False)
         protos = out.get("protos")
-        if protos is None:
-            det = jax.vmap(lambda b, s: postprocess_single_parts(
-                b, s, None, None, pcfg, crop_masks, mcfg.input_size,
-                scores_are_logits=True))(
-                    out["boxes_xywh"], out["cls_logits"])
-        else:
-            det = jax.vmap(lambda b, s, c, p: postprocess_single_parts(
-                b, s, c, p, pcfg, crop_masks, mcfg.input_size,
-                mask_dtype=mdt, scores_are_logits=True))(
-                    out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
-                    protos)
+        det = postprocess_batch_parts(
+            out["boxes_xywh"], out["cls_logits"],
+            out.get("mask_coefs"), protos, pcfg, crop_masks,
+            mcfg.input_size, mask_dtype=mdt, scores_are_logits=True)
         # Pack the small per-frame outputs into ONE flat f32 array so the
         # host readback is a single DMA (boxes | scores | labels | valid |
         # count), instead of five round-trips. Masks/coefs stay on device;

@@ -56,7 +56,7 @@ def _our_detections(images: Sequence[np.ndarray], params,
 
     from xrseg_tpu.models import yolo11
     from xrseg_tpu.ops import preprocess as pre_ops
-    from xrseg_tpu.ops.postprocess import postprocess_single_parts
+    from xrseg_tpu.ops.postprocess import postprocess_batch_parts
 
     dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
 
@@ -64,11 +64,10 @@ def _our_detections(images: Sequence[np.ndarray], params,
     def run(params, frames):
         x = pre_ops.preprocess(frames, mcfg.input_size, dtype=dtype)
         out = yolo11.forward(params, x, mcfg, concat_preds=False)
-        return jax.vmap(lambda b, s, c, p: postprocess_single_parts(
-            b, s, c, p, pcfg, False, mcfg.input_size,
-            scores_are_logits=True))(
-                out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
-                out["protos"])
+        return postprocess_batch_parts(
+            out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
+            out["protos"], pcfg, False, mcfg.input_size,
+            scores_are_logits=True)
 
     per_image = []
     for img in images:

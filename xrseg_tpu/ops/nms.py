@@ -161,6 +161,13 @@ def nms_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
         sel, ok = _select_and_suppress(corners, top_scores, alive0,
                                        iou_threshold, max_det)
 
+    return _take_slate(sel, ok, top_idx, top_boxes, top_scores, top_labels,
+                       max_det)
+
+
+def _take_slate(sel, ok, top_idx, top_boxes, top_scores, top_labels,
+                max_det: int) -> Dict[str, jax.Array]:
+    """Selection (indices, ok) -> padded output slate (single image)."""
     safe = jnp.where(ok, sel, 0)
 
     def take(x):
@@ -177,6 +184,42 @@ def nms_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
         "valid": ok,
         "count": ok.sum().astype(jnp.int32),
     }
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_det", "class_aware",
+                                   "backend"))
+def nms_fixed_batched(boxes_xywh: jax.Array, scores: jax.Array,
+                      labels: jax.Array, *, iou_threshold: float,
+                      score_threshold: float, max_det: int = 50,
+                      class_aware: bool = True,
+                      backend: str = "scan") -> Dict[str, jax.Array]:
+    """Batched NMS over [B,A,...] inputs (always full-width: no pre_topk).
+
+    backend="pallas" runs ONE grid-blocked kernel for the whole batch
+    (nms_select_batched_pallas: full sublane utilization, candidate data
+    VMEM-resident for the entire greedy loop); "scan" vmaps the per-image
+    lax.scan path. Results are identical.
+    """
+    if backend == "pallas":
+        from xrseg_tpu.ops.pallas_kernels import (_NEG,
+                                                  nms_select_batched_pallas)
+        corners = xywh_to_corners(boxes_xywh)
+        if class_aware:
+            corners = corners + (labels[..., None].astype(corners.dtype)
+                                 * _CLASS_OFFSET)
+        masked = jnp.where(scores > score_threshold,
+                           scores.astype(jnp.float32), _NEG)
+        sel, ok = nms_select_batched_pallas(corners.astype(jnp.float32),
+                                            masked, iou_threshold, max_det)
+        A = scores.shape[-1]
+        idx = jnp.arange(A, dtype=jnp.int32)
+        return jax.vmap(lambda s_, o_, b_, sc_, lb_: _take_slate(
+            s_, o_, idx, b_, sc_, lb_, max_det))(sel, ok, boxes_xywh,
+                                                 scores, labels)
+    return jax.vmap(lambda b, s, l: nms_fixed(
+        b, s, l, iou_threshold=iou_threshold,
+        score_threshold=score_threshold, max_det=max_det,
+        class_aware=class_aware, backend="scan"))(boxes_xywh, scores, labels)
 
 
 def nms_reference_numpy(boxes_xywh, scores, labels, iou_threshold,

@@ -131,6 +131,99 @@ def nms_select_pallas(corners: jax.Array, masked_scores: jax.Array,
     return idx[0, :max_det], ok[0, :max_det] > 0.0
 
 
+def _nms_select_batched_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref,
+                               idx_ref, ok_ref, *, iou_threshold: float,
+                               max_det: int, out_pad: int):
+    """Row-parallel variant: each grid program owns a [TB, K] block of TB
+    images and runs the whole select-and-suppress loop for all of them at
+    once (full sublane utilization — the vmapped single-image kernel only
+    drives 1 of 8 sublanes). All per-step reductions are axis=1 row
+    reductions, so images never interact.
+    """
+    x1 = x1_ref[:, :]
+    y1 = y1_ref[:, :]
+    x2 = x2_ref[:, :]
+    y2 = y2_ref[:, :]
+    TB, K = x1.shape
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TB, K), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (TB, out_pad), 1)
+
+    idx_ref[:, :] = jnp.zeros((TB, out_pad), jnp.int32)
+    ok_ref[:, :] = jnp.zeros((TB, out_pad), jnp.float32)
+
+    def body(t, masked):
+        m = jnp.max(masked, axis=1, keepdims=True)            # [TB,1]
+        ok = (m > _NEG * 0.5).astype(jnp.float32)
+        at_max = masked == m
+        i = jnp.min(jnp.where(at_max, col, K), axis=1, keepdims=True)
+        onehot = (col == i).astype(jnp.float32)
+        gather = lambda v: jnp.sum(v * onehot, axis=1, keepdims=True)
+        bx1, by1 = gather(x1), gather(y1)
+        bx2, by2 = gather(x2), gather(y2)
+        barea = gather(area)
+        iw = jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+        inter = iw * ih
+        union = area + barea - inter
+        iou = jnp.where(union > 0, inter / union, 0.0)
+        suppress = (iou > iou_threshold) | (col == i)
+        masked = jnp.where((ok > 0) & suppress, _NEG, masked)
+        sel = out_col == t
+        idx_ref[:, :] = jnp.where(sel, i, idx_ref[:, :])
+        ok_ref[:, :] = jnp.where(sel, ok, ok_ref[:, :])
+        return masked
+
+    jax.lax.fori_loop(0, max_det, body, scores_ref[:, :])
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_det",
+                                             "block_b", "interpret"))
+def nms_select_batched_pallas(corners: jax.Array, masked_scores: jax.Array,
+                              iou_threshold: float, max_det: int = 50,
+                              block_b: int = 8, interpret: bool = False):
+    """Batched NMS: corners [B,K,4] f32 (class-offset applied),
+    masked_scores [B,K] f32 (below-gate = float32 min). Returns
+    (indices [B,max_det] i32, ok [B,max_det] bool).
+
+    Grid = ceil(B/block_b) programs; each keeps its images' candidate data
+    VMEM-resident for the whole greedy loop (~1.6 MB per 8x8448 block) —
+    the lax.scan formulation re-reads ~35 MB of HBM per step instead.
+    """
+    B, K = masked_scores.shape
+    Kp = ((K + 127) // 128) * 128
+    out_pad = ((max_det + 127) // 128) * 128
+    if Kp != K:
+        corners = jnp.pad(corners, ((0, 0), (0, Kp - K), (0, 0)))
+        masked_scores = jnp.pad(masked_scores, ((0, 0), (0, Kp - K)),
+                                constant_values=_NEG)
+    TB = min(block_b, B)
+    Bp = ((B + TB - 1) // TB) * TB
+    if Bp != B:
+        corners = jnp.pad(corners, ((0, Bp - B), (0, 0), (0, 0)))
+        masked_scores = jnp.pad(masked_scores, ((0, Bp - B), (0, 0)),
+                                constant_values=_NEG)
+    grid = (Bp // TB,)
+    row_spec = pl.BlockSpec((TB, Kp), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((TB, out_pad), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+    c = corners.astype(jnp.float32)
+    idx, ok = pl.pallas_call(
+        functools.partial(_nms_select_batched_kernel,
+                          iou_threshold=iou_threshold, max_det=max_det,
+                          out_pad=out_pad),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((Bp, out_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((Bp, out_pad), jnp.float32)),
+        in_specs=[row_spec] * 5,
+        out_specs=(out_spec, out_spec),
+        interpret=interpret,
+    )(c[:, :, 0], c[:, :, 1], c[:, :, 2], c[:, :, 3],
+      masked_scores.astype(jnp.float32))
+    return idx[:B, :max_det], ok[:B, :max_det] > 0.0
+
+
 # ---------------------------------------------------------------------------
 # Fused mask synthesis + crop kernel
 # ---------------------------------------------------------------------------

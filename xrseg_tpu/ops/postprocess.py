@@ -84,6 +84,58 @@ def postprocess_single_parts(boxes: jax.Array, cls_scores: jax.Array,
     return det
 
 
+def postprocess_batch_parts(boxes: jax.Array, cls_scores: jax.Array,
+                            coefs_all: jax.Array | None,
+                            protos: jax.Array | None,
+                            cfg: PostprocessConfig,
+                            crop: bool = False,
+                            input_size: tuple = (640, 640),
+                            mask_dtype=jnp.float32,
+                            scores_are_logits: bool = False
+                            ) -> Dict[str, jax.Array]:
+    """Batched hot path: boxes [B,A,4], cls_scores [B,A,nc],
+    coefs_all [B,A,nm]|None, protos [B,h,w,nm]|None.
+
+    Same math as vmap(postprocess_single_parts) but the NMS backend is
+    chosen batch-aware: on TPU the whole batch runs through ONE
+    grid-blocked pallas kernel (nms_fixed_batched) — the vmapped scan
+    path re-reads ~35 MB of HBM per greedy step at b=128.
+    """
+    scores = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
+    labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+
+    if scores_are_logits:
+        t = float(cfg.score_threshold)
+        t = min(max(t, 1e-7), 1 - 1e-7)
+        thr = float(np.log(t / (1.0 - t)))
+    else:
+        thr = cfg.score_threshold
+
+    backend = cfg.nms_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    det = nms_ops.nms_fixed_batched(
+        boxes, scores, labels,
+        iou_threshold=cfg.iou_threshold, score_threshold=thr,
+        max_det=cfg.max_detections, class_aware=cfg.class_aware,
+        backend=backend)
+    if scores_are_logits:
+        det["scores"] = jax.nn.sigmoid(det["scores"]) * det["valid"]
+
+    if protos is not None and coefs_all is not None:
+        coefs = jnp.take_along_axis(coefs_all,
+                                    det["indices"][..., None], axis=1)
+        coefs = coefs * det["valid"][..., None]
+        m = jax.vmap(lambda c, p: mask_ops.synthesize_masks(
+            c.astype(mask_dtype), p.astype(mask_dtype)))(coefs, protos)
+        if crop:
+            m = jax.vmap(lambda mm, b: mask_ops.crop_masks(
+                mm, b, input_size))(m, det["boxes_xywh"])
+        det["coefs"] = coefs
+        det["masks"] = m.astype(mask_dtype)
+    return det
+
+
 def postprocess_single(preds: jax.Array, protos: jax.Array | None,
                        cfg: PostprocessConfig, num_classes: int = 80,
                        crop: bool = False,
