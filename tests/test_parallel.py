@@ -134,10 +134,15 @@ def test_pipeline_parallel_matches_single_device():
     np.testing.assert_allclose(np.asarray(det["scores"]),
                                np.asarray(ref["scores"]), atol=1e-4)
 
-    # streaming mode returns one result per input batch
-    stream = [frames, frames]
-    outs = runner.run_stream(iter(stream))
-    assert len(outs) == 2
+    # streaming mode returns one result per input batch, in order, even
+    # with more frames than the in-flight bound (host never syncs on the
+    # current frame)
+    stream = [frames] * 5
+    outs = runner.run_stream(iter(stream), max_inflight=2)
+    assert len(outs) == 5
+    for o in outs:
+        np.testing.assert_allclose(np.asarray(o["scores"]),
+                                   np.asarray(ref["scores"]), atol=1e-4)
 
 
 def test_pipeline_parallel_needs_two_devices():

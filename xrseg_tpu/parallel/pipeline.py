@@ -77,18 +77,24 @@ class PipelinedRunner:
         feats = jax.device_put(feats, self.d1)       # ICI hop
         return self.stage_b(self.params_b, feats)
 
-    def run_stream(self, frames_iter) -> List[Dict[str, jax.Array]]:
-        """Pipelined streaming: dispatch stage A of frame i+1 before
-        awaiting stage B of frame i (async dispatch keeps both devices
-        busy)."""
-        results = []
-        pending = None
+    def run_stream(self, frames_iter,
+                   max_inflight: int = 2) -> List[Dict[str, jax.Array]]:
+        """Pipelined streaming: the host enqueues stage A, the ICI hop, and
+        stage B of each frame WITHOUT waiting on earlier frames — JAX async
+        dispatch keeps both devices busy and the host never sits in a
+        per-frame sync. `max_inflight` bounds queued frames (device-memory
+        backpressure): the host only materializes frame i-max_inflight when
+        enqueueing frame i, by which point it is long done at steady state.
+        """
+        from collections import deque
+        results: List[Dict[str, jax.Array]] = []
+        pending: "deque" = deque()
         for frames in frames_iter:
             feats = self.stage_a(self.params_a, frames)
-            if pending is not None:
-                results.append(jax.block_until_ready(pending))
-            feats = jax.device_put(feats, self.d1)
-            pending = self.stage_b(self.params_b, feats)
-        if pending is not None:
-            results.append(jax.block_until_ready(pending))
+            feats = jax.device_put(feats, self.d1)       # ICI hop
+            pending.append(self.stage_b(self.params_b, feats))
+            if len(pending) > max_inflight:
+                results.append(jax.block_until_ready(pending.popleft()))
+        while pending:
+            results.append(jax.block_until_ready(pending.popleft()))
         return results
