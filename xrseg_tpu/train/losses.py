@@ -3,16 +3,23 @@
 The reference is inference-only (its "checkpoint" is a baked .sentis graph);
 training support is a capability extension of this framework so deployments
 can fine-tune on their own scenes. Losses follow the standard anchor-free
-YOLO recipe, with a center-inside-box assigner (FCOS-style) kept simple and
-fully vectorized/jit-safe:
+YOLO recipe with the task-aligned assigner (TAL — the assignment the YOLO11
+family is actually trained with), fully vectorized/jit-safe:
 
-  - box:  CIoU loss on decoded boxes of positive anchors
-  - cls:  BCE on sigmoid class scores (positives get their class, all else 0)
-  - dfl:  distribution focal loss on the two integer bins around the target
+  - assign: TAL (assign_targets_tal): alignment = cls_prob^alpha * IoU^beta
+    over center-inside-box candidates, top-k per GT, multi-assignment
+    resolved by max overlap, soft cls targets normalized per GT. A simpler
+    FCOS-style center-inside-box assigner (assign_targets) is kept for
+    tests/ablation.
+  - box:  CIoU on positives, weighted by the aligned target score
+  - cls:  BCE against the soft aligned target scores (all anchors)
+  - dfl:  distribution focal loss on the two integer bins, same weighting
   - seg:  per-positive BCE of (coef . protos) against the GT instance mask
 
 Targets are fixed-size padded: boxes_xywh [B,G,4] (model-pixel space),
 labels [B,G] (−1 pad), masks [B,G,mh,mw] (segment task).
+Verified against an independent numpy reimplementation
+(tests/test_train.py::test_tal_matches_numpy_reference).
 """
 from __future__ import annotations
 
@@ -77,10 +84,71 @@ def assign_targets(gt_boxes: jax.Array, gt_labels: jax.Array,
     return {"gt_idx": gt_idx, "fg": fg}
 
 
+def assign_targets_tal(pred_boxes: jax.Array, cls_logits: jax.Array,
+                       gt_boxes: jax.Array, gt_labels: jax.Array,
+                       cfg: ModelConfig, topk: int = 10,
+                       alpha: float = 0.5, beta: float = 6.0,
+                       eps: float = 1e-9) -> Dict[str, jax.Array]:
+    """Task-aligned assignment for one image (the assigner the YOLO11
+    family trains with; semantics of ultralytics' TaskAlignedAssigner):
+
+      1. candidates: anchors whose center lies inside the GT box,
+      2. alignment metric t = p_cls(gt label)^alpha * IoU(pred, gt)^beta,
+      3. per GT keep the top-k candidates by t,
+      4. anchors claimed by several GTs go to the max-IoU GT,
+      5. soft cls target per positive = t normalized so each GT's best
+         anchor gets that GT's best IoU.
+
+    pred_boxes [A,4] decoded xywh (model px); cls_logits [A,nc];
+    gt_boxes [G,4]; gt_labels [G] (-1 pad). Fixed shapes, jit-safe.
+    Returns gt_idx [A], fg [A] bool, target_scores [A,nc] float.
+    """
+    anchors, strides = make_anchors(cfg.input_size)
+    centers = jnp.asarray(anchors) * jnp.asarray(strides)        # [A,2]
+    valid_gt = gt_labels >= 0                                    # [G]
+    gx, gy, gw, gh = (gt_boxes[:, i] for i in range(4))
+    x1, x2 = gx - gw / 2, gx + gw / 2
+    y1, y2 = gy - gh / 2, gy + gh / 2
+    inside = ((centers[:, 0:1] > x1[None]) & (centers[:, 0:1] < x2[None]) &
+              (centers[:, 1:2] > y1[None]) & (centers[:, 1:2] < y2[None]) &
+              valid_gt[None])                                    # [A,G]
+
+    probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))       # [A,nc]
+    s = probs[:, jnp.clip(gt_labels, 0)]                         # [A,G]
+    iou = jax.vmap(lambda g: jnp.maximum(ciou(pred_boxes, g[None]), 0.0),
+                   out_axes=1)(gt_boxes)                         # [A,G]
+    metric = jnp.where(inside, (s ** alpha) * (iou ** beta), 0.0)
+
+    # top-k candidates per GT (over anchors). Gate on metric > 0 rather
+    # than an absolute eps: at init the cls prior is ~1e-5 (standard YOLO
+    # bias init), so aligned metrics start around 1e-10 — an absolute
+    # cutoff would yield zero positives and no box/seg gradient at all.
+    k = min(topk, metric.shape[0])
+    topv, _ = jax.lax.top_k(metric.T, k)                         # [G,k]
+    cand = (metric >= topv[:, k - 1][None]) & (metric > 0.0)     # [A,G]
+
+    # multi-assignment -> max-IoU GT wins
+    fg = cand.any(axis=1)
+    gt_idx = jnp.argmax(jnp.where(cand, iou, -1.0), axis=1)      # [A]
+    assigned = (jax.nn.one_hot(gt_idx, metric.shape[1], dtype=jnp.bool_)
+                & cand & fg[:, None])                            # [A,G]
+
+    # per-GT normalization: t_norm = t * max_iou / max_t over its positives
+    m_pos = jnp.where(assigned, metric, 0.0)
+    o_pos = jnp.where(assigned, iou, 0.0)
+    norm = m_pos * (o_pos.max(axis=0) / (m_pos.max(axis=0) + eps))[None]
+    t_score = norm.max(axis=1)                                   # [A]
+    lab = jnp.clip(gt_labels[gt_idx], 0)
+    target_scores = (jax.nn.one_hot(lab, cfg.num_classes)
+                     * (t_score * fg)[:, None])
+    return {"gt_idx": gt_idx, "fg": fg, "target_scores": target_scores}
+
+
 def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
                    cfg: ModelConfig,
                    box_w: float = 7.5, cls_w: float = 0.5,
-                   dfl_w: float = 1.5, seg_w: float = 1.0
+                   dfl_w: float = 1.5, seg_w: float = 1.0,
+                   assigner: str = "tal"
                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Batched loss. `out` must be the training forward (raw logits):
     dict(box_logits [B,A,4*reg_max], cls_logits [B,A,nc], boxes_xywh [B,A,4],
@@ -92,22 +160,31 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
     strides_j = jnp.asarray(strides)
 
     def single(out_b, tgt_b):
-        a = assign_targets(tgt_b["boxes_xywh"], tgt_b["labels"], cfg)
+        if assigner == "tal":
+            a = assign_targets_tal(out_b["boxes_xywh"], out_b["cls_logits"],
+                                   tgt_b["boxes_xywh"], tgt_b["labels"], cfg)
+            cls_tgt = a["target_scores"]                         # [A,nc] soft
+            w = cls_tgt.sum(-1)                                  # aligned wt
+            denom = jnp.maximum(cls_tgt.sum(), 1.0)
+        else:
+            a = assign_targets(tgt_b["boxes_xywh"], tgt_b["labels"], cfg)
+            gt_lab0 = tgt_b["labels"][a["gt_idx"]]
+            cls_tgt = (jax.nn.one_hot(jnp.clip(gt_lab0, 0), cfg.num_classes)
+                       * a["fg"][:, None])
+            w = a["fg"].astype(jnp.float32)
+            denom = jnp.maximum(a["fg"].sum(), 1)
         fg = a["fg"]
         gt_idx = a["gt_idx"]
         n_fg = jnp.maximum(fg.sum(), 1)
 
         gt_box = tgt_b["boxes_xywh"][gt_idx]                     # [A,4]
-        gt_lab = tgt_b["labels"][gt_idx]
 
-        # cls BCE over all anchors
-        cls_tgt = (jax.nn.one_hot(jnp.clip(gt_lab, 0), cfg.num_classes)
-                   * fg[:, None])
-        l_cls = bce_logits(out_b["cls_logits"], cls_tgt).sum() / n_fg
+        # cls BCE over all anchors against the (soft) target scores
+        l_cls = bce_logits(out_b["cls_logits"], cls_tgt).sum() / denom
 
-        # box CIoU on positives
-        l_box = (jnp.where(fg, 1.0 - ciou(out_b["boxes_xywh"], gt_box), 0.0)
-                 .sum() / n_fg)
+        # box CIoU on positives, aligned-score weighted
+        l_box = (jnp.where(fg, (1.0 - ciou(out_b["boxes_xywh"], gt_box)) * w,
+                           0.0).sum() / denom)
 
         # DFL: target ltrb distances in grid units, two-bin soft target
         cxy = anchors_j * strides_j
@@ -124,7 +201,7 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
         l_hi = -jnp.take_along_axis(
             logp, jnp.minimum(tl_i + 1, cfg.reg_max - 1)[..., None], -1)[..., 0]
         dfl = (l_lo * (1 - wr) + l_hi * wr).mean(-1)
-        l_dfl = jnp.where(fg, dfl, 0.0).sum() / n_fg
+        l_dfl = jnp.where(fg, dfl * w, 0.0).sum() / denom
 
         loss = box_w * l_box + cls_w * l_cls + dfl_w * l_dfl
         aux = {"box": l_box, "cls": l_cls, "dfl": l_dfl}
