@@ -1,0 +1,238 @@
+"""Training data pipeline tests: labels, augmentation geometry, collate
+contract, loader determinism/sharding, and a train-step integration run."""
+import os
+
+import numpy as np
+import pytest
+
+from xrseg_tpu.config import ModelConfig
+from xrseg_tpu.train import data as D
+
+
+def _sample(hw=(64, 48), n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, hw + (3,), dtype=np.uint8)
+    boxes = np.asarray([[0.3, 0.4, 0.2, 0.3], [0.7, 0.6, 0.1, 0.2]][:n],
+                       np.float32)
+    labels = np.asarray([1, 2][:n], np.int32)
+    polys = [np.asarray([[0.2, 0.25], [0.4, 0.25], [0.4, 0.55], [0.2, 0.55]],
+                        np.float32), None][:n]
+    return {"image": img, "boxes": boxes, "labels": labels, "polys": polys}
+
+
+# ---------------------------------------------------------------------------
+# label parsing
+# ---------------------------------------------------------------------------
+
+def test_parse_yolo_label_file(tmp_path):
+    p = tmp_path / "img.txt"
+    p.write_text("3 0.5 0.5 0.2 0.4\n"
+                 "7 0.1 0.1 0.3 0.1 0.3 0.3 0.1 0.3\n"
+                 "\n"
+                 "9 0.5 0.5 0.1\n")          # malformed line -> skipped
+    boxes, labels, polys = D.parse_yolo_label_file(str(p))
+    assert labels.tolist() == [3, 7]
+    np.testing.assert_allclose(boxes[0], [0.5, 0.5, 0.2, 0.4], atol=1e-6)
+    # polygon-derived box = extent of the 4 points
+    np.testing.assert_allclose(boxes[1], [0.2, 0.2, 0.2, 0.2], atol=1e-6)
+    assert polys[0] is None and polys[1].shape == (4, 2)
+
+
+def test_parse_missing_file_is_empty(tmp_path):
+    boxes, labels, polys = D.parse_yolo_label_file(str(tmp_path / "no.txt"))
+    assert boxes.shape == (0, 4) and labels.shape == (0,) and polys == []
+
+
+def test_yolo_dataset_layout(tmp_path):
+    from PIL import Image
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
+        tmp_path / "images" / "a.jpg")
+    (tmp_path / "labels" / "a.txt").write_text("5 0.5 0.5 0.5 0.5\n")
+    ds = D.YoloDataset(str(tmp_path))
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["labels"].tolist() == [5]
+
+
+# ---------------------------------------------------------------------------
+# augmentation geometry
+# ---------------------------------------------------------------------------
+
+def test_hflip_involution():
+    s = _sample()
+    f2 = D.hflip_sample(D.hflip_sample(s))
+    np.testing.assert_array_equal(f2["image"], s["image"])
+    np.testing.assert_allclose(f2["boxes"], s["boxes"], atol=1e-6)
+    np.testing.assert_allclose(f2["polys"][0], s["polys"][0], atol=1e-6)
+
+
+def test_hflip_moves_center():
+    s = _sample()
+    f = D.hflip_sample(s)
+    np.testing.assert_allclose(f["boxes"][:, 0], 1.0 - s["boxes"][:, 0])
+    np.testing.assert_allclose(f["boxes"][:, 1:], s["boxes"][:, 1:])
+
+
+def test_hsv_jitter_identity_at_zero_gain():
+    s = _sample()
+    out = D.hsv_jitter(s["image"], np.random.default_rng(0),
+                       h_gain=0.0, s_gain=0.0, v_gain=0.0)
+    # HSV round-trip on uint8 is exact up to rounding
+    assert np.abs(out.astype(int) - s["image"].astype(int)).max() <= 1
+
+
+def test_scale_translate_identity():
+    s = _sample()
+
+    class ZeroRng:
+        def uniform(self, lo=0.0, hi=1.0, size=None):
+            return np.zeros(size) if size else 0.0
+
+    out = D.scale_translate(s, ZeroRng(), scale=0.0, translate=0.0)
+    np.testing.assert_array_equal(out["image"], s["image"])
+    np.testing.assert_allclose(out["boxes"], s["boxes"], atol=1e-6)
+
+
+def test_scale_translate_tracks_content():
+    """A bright square and its GT box must move together under the affine."""
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[24:40, 24:40] = 255
+    s = {"image": img,
+         "boxes": np.asarray([[0.5, 0.5, 0.25, 0.25]], np.float32),
+         "labels": np.asarray([0], np.int32), "polys": [None]}
+    out = D.scale_translate(s, np.random.default_rng(3),
+                            scale=0.3, translate=0.1)
+    ys, xs = np.nonzero(out["image"][..., 0] == 255)
+    assert len(xs) > 0, "square left the frame entirely"
+    cx, cy = (xs.min() + xs.max() + 1) / 2 / 64, (ys.min() + ys.max() + 1) / 2 / 64
+    b = out["boxes"][0]
+    assert abs(b[0] - cx) < 0.04 and abs(b[1] - cy) < 0.04
+    w = (xs.max() - xs.min() + 1) / 64
+    assert abs(b[2] - w) < 0.06
+
+
+def test_mosaic4_contract():
+    rng = np.random.default_rng(0)
+    samples = [_sample(seed=i) for i in range(4)]
+    out = D.mosaic4(samples, rng, (96, 96))
+    assert out["image"].shape == (96, 96, 3)
+    assert len(out["boxes"]) == len(out["labels"]) == len(out["polys"]) == 8
+    assert (out["boxes"][:, :2] >= 0).all() and \
+           (out["boxes"][:, :2] <= 1).all()
+    # determinism
+    out2 = D.mosaic4(samples, np.random.default_rng(0), (96, 96))
+    np.testing.assert_array_equal(out["image"], out2["image"])
+    np.testing.assert_allclose(out["boxes"], out2["boxes"])
+
+
+def test_rasterize_mask_polygon_and_box():
+    poly = np.asarray([[0.25, 0.25], [0.75, 0.25], [0.75, 0.75],
+                       [0.25, 0.75]], np.float32)
+    m = D.rasterize_mask(poly, np.asarray([0.5, 0.5, 0.5, 0.5]), (40, 40))
+    assert m[20, 20] == 1.0 and m[2, 2] == 0.0
+    assert 0.15 < m.mean() < 0.35          # ~quarter of the area
+    mb = D.rasterize_mask(None, np.asarray([0.5, 0.5, 0.5, 0.5],
+                                           np.float32), (40, 40))
+    assert mb[20, 20] == 1.0 and mb[2, 2] == 0.0
+    np.testing.assert_allclose(mb.mean(), 0.25, atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# collate
+# ---------------------------------------------------------------------------
+
+def test_collate_contract():
+    cfg = ModelConfig(scale="n", input_size=(64, 64))
+    s = _sample(hw=(48, 48))
+    batch = D.collate([s, s], cfg, max_gt=5)
+    assert batch["images"].shape == (2, 64, 64, 3)
+    assert batch["images"].dtype == np.float32
+    assert 0.0 <= batch["images"].min() and batch["images"].max() <= 1.0
+    assert batch["boxes_xywh"].shape == (2, 5, 4)
+    assert batch["labels"].shape == (2, 5)
+    assert batch["masks"].shape == (2, 5, 16, 16)
+    # pixels-space boxes; pad slots are -1
+    np.testing.assert_allclose(batch["boxes_xywh"][0, 0],
+                               s["boxes"][0] * 64, atol=1e-4)
+    assert (batch["labels"][0, 2:] == -1).all()
+    # polygon mask rasterized into slot 0
+    assert batch["masks"][0, 0].sum() > 0
+
+
+def test_collate_filters_tiny_boxes():
+    cfg = ModelConfig(scale="n", input_size=(64, 64))
+    s = _sample()
+    s["boxes"] = np.asarray([[0.5, 0.5, 0.01, 0.01],       # 0.64 px -> drop
+                             [0.5, 0.5, 0.5, 0.5]], np.float32)
+    batch = D.collate([s], cfg, max_gt=4, min_box_px=2.0)
+    assert batch["labels"][0, 0] == s["labels"][1]
+    assert (batch["labels"][0, 1:] == -1).all()
+
+
+# ---------------------------------------------------------------------------
+# loader
+# ---------------------------------------------------------------------------
+
+def test_loader_determinism_and_epochs():
+    ds = D.SyntheticShapesDataset(n=8, hw=(48, 48))
+    cfg = ModelConfig(scale="n", input_size=(64, 64))
+    mk = lambda: D.Loader(ds, cfg, batch=4, max_gt=4, seed=7)
+    b1 = next(iter(mk().epoch(0)))
+    b2 = next(iter(mk().epoch(0)))
+    np.testing.assert_array_equal(np.asarray(b1["images"]),
+                                  np.asarray(b2["images"]))
+    b3 = next(iter(mk().epoch(1)))
+    assert not np.array_equal(np.asarray(b1["images"]),
+                              np.asarray(b3["images"]))
+
+
+def test_loader_steps_and_shapes():
+    ds = D.SyntheticShapesDataset(n=10, hw=(48, 48))
+    cfg = ModelConfig(scale="n", input_size=(64, 64))
+    ld = D.Loader(ds, cfg, batch=4, max_gt=4, seed=0)
+    assert ld.steps_per_epoch() == 2
+    batches = list(ld.epoch(0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["images"].shape == (4, 64, 64, 3)
+        assert b["masks"].shape == (4, 4, 16, 16)
+
+
+def test_loader_sharded_over_mesh():
+    import jax
+    from xrseg_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh((8, 1))
+    ds = D.SyntheticShapesDataset(n=8, hw=(48, 48))
+    cfg = ModelConfig(scale="n", input_size=(64, 64))
+    ld = D.Loader(ds, cfg, batch=8, max_gt=4, seed=0, mesh=mesh)
+    b = next(iter(ld.epoch(0)))
+    sh = b["images"].sharding
+    assert sh.is_fully_replicated is False
+    assert len(sh.device_set) == 8
+
+
+def test_loader_feeds_train_step():
+    """End-to-end: dataset -> augment -> loader -> sharded train step."""
+    import jax
+
+    from xrseg_tpu.parallel import mesh as mesh_lib
+    from xrseg_tpu.train import train_step as ts
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32")
+    ds = D.SyntheticShapesDataset(n=16, hw=(64, 64))
+    ld = D.Loader(ds, cfg, batch=8, max_gt=4, seed=0, mesh=mesh,
+                  aug=D.AugmentConfig(mosaic=0.5))
+    opt = ts.make_optimizer()
+    state = ts.init_train_state(jax.random.key(0), cfg, opt)
+    state = ts.shard_train_state(state, mesh)
+    step = ts.make_train_step(cfg, opt, mesh=mesh)
+    losses = []
+    for batch in ld.epoch(0):
+        state, metrics = step(state, batch)
+        losses.append(float(jax.device_get(metrics["loss"])))
+    assert len(losses) == 2
+    assert all(np.isfinite(l) for l in losses)

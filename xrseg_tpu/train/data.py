@@ -1,0 +1,469 @@
+"""Training data pipeline: dataset -> augmentation -> prefetched device feed.
+
+The reference is inference-only (its model ships as a frozen .sentis
+artifact, SURVEY §5 "checkpoint/resume: N/A"); training is a capability
+extension of this framework. This module supplies the missing input side of
+the train loop (train/train_step.py):
+
+  YoloDataset     — ultralytics-format dataset directory (images/ +
+                    labels/*.txt: `cls cx cy w h` normalized boxes, or
+                    `cls x1 y1 x2 y2 ...` normalized seg polygons).
+  augment_sample  — deterministic per-sample augmentation: stretch-resize
+                    to the model input (matching the deployed preprocess:
+                    the reference's ToTensor stretches, IEExecutor.cs:370),
+                    horizontal flip, HSV jitter, scale/translate affine.
+  mosaic4         — 4-image mosaic (the standard YOLO-family augmentation):
+                    four samples placed around a random center on a 2x
+                    canvas, then stretch-resized down to the input size.
+  collate         — fixed-shape padded batch: images [B,H,W,3] f32 in
+                    [0,1], boxes_xywh [B,G,4] (model px), labels [B,G]
+                    (-1 pad), masks [B,G,mh,mw] (segment) — exactly the
+                    train_step contract (train_step.py:55-57).
+  Loader          — epoch iterator with a background prefetch thread that
+                    stages the next host batch while the device steps, and
+                    places batches with the mesh's "data" sharding
+                    (parallel/mesh.shard_batch) so DP training streams.
+
+TPU-shaped by construction: all augmentation runs on host in numpy (the
+device never sees a dynamic shape); every batch has identical shapes so
+the train step compiles once.
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from xrseg_tpu.config import ModelConfig
+
+Sample = Dict[str, np.ndarray]
+# sample dict: image uint8 [H,W,3]; boxes [N,4] cxcywh normalized [0,1];
+# labels [N] int32; polys: list of [P,2] normalized polygons (or None).
+
+
+# ---------------------------------------------------------------------------
+# Dataset (ultralytics directory layout)
+# ---------------------------------------------------------------------------
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def parse_yolo_label_file(path: str) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Parse one ultralytics label .txt.
+
+    Each line: `cls cx cy w h` (detect) or `cls x1 y1 x2 y2 ... xn yn`
+    (segment polygon, >= 3 points). All coordinates normalized to [0,1].
+    Returns (boxes [N,4] cxcywh, labels [N], polys list of [P,2]|None).
+    Polygon lines derive their box from the polygon extent (ultralytics
+    semantics: the box is implied by the segment).
+    """
+    boxes, labels, polys = [], [], []
+    if not os.path.exists(path):
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32), [])
+    with open(path) as f:
+        for line in f:
+            vals = line.split()
+            if not vals:
+                continue
+            cls = int(float(vals[0]))
+            coords = np.asarray([float(v) for v in vals[1:]], np.float32)
+            if coords.size == 4:
+                boxes.append(coords)
+                polys.append(None)
+            elif coords.size >= 6 and coords.size % 2 == 0:
+                pts = coords.reshape(-1, 2)
+                lo, hi = pts.min(0), pts.max(0)
+                boxes.append(np.concatenate([(lo + hi) / 2, hi - lo]))
+                polys.append(pts)
+            else:
+                continue
+            labels.append(cls)
+    if not boxes:
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32), [])
+    return (np.stack(boxes).astype(np.float32),
+            np.asarray(labels, np.int32), polys)
+
+
+class YoloDataset:
+    """Ultralytics-format dataset: `root/images/*.jpg` + `root/labels/*.txt`
+    (same stem). Flat `root/*.jpg` with sibling `.txt` files also works."""
+
+    def __init__(self, root: str):
+        self.root = root
+        img_dir = os.path.join(root, "images")
+        if os.path.isdir(img_dir):
+            pats = [os.path.join(img_dir, "*" + e) for e in IMG_EXTS]
+            self._label_for = lambda p: os.path.join(
+                root, "labels", os.path.splitext(os.path.basename(p))[0]
+                + ".txt")
+        else:
+            pats = [os.path.join(root, "*" + e) for e in IMG_EXTS]
+            self._label_for = lambda p: os.path.splitext(p)[0] + ".txt"
+        self.images: List[str] = sorted(
+            p for pat in pats for p in glob.glob(pat))
+        if not self.images:
+            raise FileNotFoundError(f"no images under {root!r}")
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> Sample:
+        from PIL import Image
+        path = self.images[i % len(self.images)]
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        boxes, labels, polys = parse_yolo_label_file(self._label_for(path))
+        return {"image": img, "boxes": boxes, "labels": labels,
+                "polys": polys}
+
+
+class SyntheticShapesDataset:
+    """Procedural stand-in with exact GT (circles/rectangles on noise) —
+    the dataset analogue of SyntheticCameraSource: lets the full training
+    pipeline run (and be tested) without real data on disk."""
+
+    def __init__(self, n: int = 64, hw: Tuple[int, int] = (160, 160),
+                 n_classes: int = 3, max_objects: int = 3, seed: int = 0):
+        self.n, self.hw = n, hw
+        self.n_classes, self.max_objects = n_classes, max_objects
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int) -> Sample:
+        rng = np.random.default_rng((self.seed, i % self.n))
+        h, w = self.hw
+        img = (rng.uniform(0, 0.3, (h, w, 3)) * 255).astype(np.uint8)
+        n_obj = int(rng.integers(1, self.max_objects + 1))
+        boxes, labels, polys = [], [], []
+        for _ in range(n_obj):
+            r = rng.uniform(0.08, 0.18) * min(h, w)
+            cx = rng.uniform(r, w - r)
+            cy = rng.uniform(r, h - r)
+            cls = int(rng.integers(0, self.n_classes))
+            color = (np.eye(3)[cls] * rng.uniform(0.7, 1.0) * 255)
+            yy, xx = np.mgrid[0:h, 0:w]
+            inside = (xx - cx) ** 2 + (yy - cy) ** 2 < r ** 2
+            img[inside] = color.astype(np.uint8)
+            boxes.append([cx / w, cy / h, 2 * r / w, 2 * r / h])
+            labels.append(cls)
+            ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+            polys.append(np.stack([(cx + r * np.cos(ang)) / w,
+                                   (cy + r * np.sin(ang)) / h], -1
+                                  ).astype(np.float32))
+        return {"image": img,
+                "boxes": np.asarray(boxes, np.float32),
+                "labels": np.asarray(labels, np.int32),
+                "polys": polys}
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers (normalized-coordinate space; shapes stay fixed)
+# ---------------------------------------------------------------------------
+
+def _resize_uint8(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Stretch-resize via PIL bilinear (host-side; the on-device preprocess
+    uses the exact 2-tap kernel — augmentation does not need bitwise parity
+    with it, only the same stretch geometry)."""
+    from PIL import Image
+    if img.shape[:2] == tuple(hw):
+        return img
+    return np.asarray(Image.fromarray(img).resize(
+        (hw[1], hw[0]), Image.BILINEAR), np.uint8)
+
+
+def hflip_sample(s: Sample) -> Sample:
+    out = dict(s)
+    out["image"] = s["image"][:, ::-1]
+    b = s["boxes"].copy()
+    if len(b):
+        b[:, 0] = 1.0 - b[:, 0]
+    out["boxes"] = b
+    out["polys"] = [None if p is None else
+                    np.stack([1.0 - p[:, 0], p[:, 1]], -1)
+                    for p in s["polys"]]
+    return out
+
+
+def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
+               h_gain: float = 0.015, s_gain: float = 0.7,
+               v_gain: float = 0.4) -> np.ndarray:
+    """Random HSV gains (the YOLO-family color augmentation), vectorized
+    numpy HSV round-trip on uint8."""
+    gains = rng.uniform(-1, 1, 3) * (h_gain, s_gain, v_gain) + 1.0
+    x = img.astype(np.float32) / 255.0
+    mx = x.max(-1)
+    mn = x.min(-1)
+    c = mx - mn + 1e-12
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    hue = np.where(mx == r, ((g - b) / c) % 6,
+                   np.where(mx == g, (b - r) / c + 2, (r - g) / c + 4)) / 6
+    sat = np.where(mx > 0, c / (mx + 1e-12), 0.0)
+    hue = (hue * gains[0]) % 1.0
+    sat = np.clip(sat * gains[1], 0, 1)
+    val = np.clip(mx * gains[2], 0, 1)
+    k = (hue * 6).astype(np.int32) % 6
+    f = hue * 6 - np.floor(hue * 6)
+    p = val * (1 - sat)
+    q = val * (1 - f * sat)
+    t = val * (1 - (1 - f) * sat)
+    k = k[..., None]
+    rgb = np.select(
+        [k == 0, k == 1, k == 2, k == 3, k == 4, k == 5],
+        [np.stack([val, t, p], -1), np.stack([q, val, p], -1),
+         np.stack([p, val, t], -1), np.stack([p, q, val], -1),
+         np.stack([t, p, val], -1), np.stack([val, p, q], -1)])
+    return (rgb * 255.0 + 0.5).astype(np.uint8)
+
+
+def scale_translate(s: Sample, rng: np.random.Generator,
+                    scale: float = 0.4, translate: float = 0.1) -> Sample:
+    """Random zoom + shift (normalized space), nearest-sampled on the pixel
+    grid; boxes/polys follow the same affine. GT falling outside the view
+    is dropped (degenerate boxes filtered by collate's min-size gate)."""
+    h, w = s["image"].shape[:2]
+    z = 1.0 + rng.uniform(-scale, scale)
+    tx = rng.uniform(-translate, translate)
+    ty = rng.uniform(-translate, translate)
+    # output pixel (u,v) samples input at ((u/w - 0.5 - tx)/z + 0.5)*w
+    uu = ((np.arange(w) / w - 0.5 - tx) / z + 0.5) * w
+    vv = ((np.arange(h) / h - 0.5 - ty) / z + 0.5) * h
+    ui = np.clip(np.round(uu).astype(np.int64), 0, w - 1)
+    vi = np.clip(np.round(vv).astype(np.int64), 0, h - 1)
+    oob_u = (uu < -0.5) | (uu > w - 0.5)
+    oob_v = (vv < -0.5) | (vv > h - 0.5)
+    img = s["image"][vi][:, ui]
+    img[oob_v, :] = 114        # gray fill, the YOLO letterbox color
+    img[:, oob_u] = 114
+    out = dict(s)
+    out["image"] = img
+
+    def fwd_xy(xy: np.ndarray) -> np.ndarray:
+        return (xy - 0.5) * z + 0.5 + np.asarray([tx, ty], np.float32)
+
+    b = s["boxes"].copy()
+    if len(b):
+        b[:, :2] = fwd_xy(b[:, :2])
+        b[:, 2:] = b[:, 2:] * z
+        # clip to the visible frame, preserving cxcywh
+        x1 = np.clip(b[:, 0] - b[:, 2] / 2, 0, 1)
+        y1 = np.clip(b[:, 1] - b[:, 3] / 2, 0, 1)
+        x2 = np.clip(b[:, 0] + b[:, 2] / 2, 0, 1)
+        y2 = np.clip(b[:, 1] + b[:, 3] / 2, 0, 1)
+        b = np.stack([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], -1)
+    out["boxes"] = b
+    out["polys"] = [None if p is None else fwd_xy(p) for p in s["polys"]]
+    return out
+
+
+def mosaic4(samples: Sequence[Sample], rng: np.random.Generator,
+            out_hw: Tuple[int, int]) -> Sample:
+    """Standard 4-image mosaic: each input is stretch-resized to out_hw,
+    the four are placed around a random center on a [2H,2W] canvas, and
+    the canvas is resized back down to out_hw. GT transforms per quadrant."""
+    assert len(samples) == 4
+    H, W = out_hw
+    canvas = np.full((2 * H, 2 * W, 3), 114, np.uint8)
+    cy = int(rng.uniform(0.5, 1.5) * H)
+    cx = int(rng.uniform(0.5, 1.5) * W)
+    # quadrant corner placements (y0, y1, x0, x1) on the canvas
+    quads = [(0, cy, 0, cx), (0, cy, cx, 2 * W),
+             (cy, 2 * H, 0, cx), (cy, 2 * H, cx, 2 * W)]
+    boxes, labels, polys = [], [], []
+    for s, (y0, y1, x0, x1) in zip(samples, quads):
+        qh, qw = y1 - y0, x1 - x0
+        canvas[y0:y1, x0:x1] = _resize_uint8(s["image"], (qh, qw))
+        # normalized-in-quadrant -> normalized-in-canvas
+        sx, sy = qw / (2 * W), qh / (2 * H)
+        ox, oy = x0 / (2 * W), y0 / (2 * H)
+        b = s["boxes"].copy()
+        if len(b):
+            b[:, 0] = b[:, 0] * sx + ox
+            b[:, 1] = b[:, 1] * sy + oy
+            b[:, 2] = b[:, 2] * sx
+            b[:, 3] = b[:, 3] * sy
+            boxes.append(b)
+            labels.append(s["labels"])
+            polys.extend(
+                None if p is None else
+                np.stack([p[:, 0] * sx + ox, p[:, 1] * sy + oy], -1)
+                for p in s["polys"])
+    out: Sample = {
+        "image": _resize_uint8(canvas, (H, W)),
+        "boxes": (np.concatenate(boxes) if boxes
+                  else np.zeros((0, 4), np.float32)),
+        "labels": (np.concatenate(labels) if labels
+                   else np.zeros((0,), np.int32)),
+        "polys": polys,
+    }
+    return out
+
+
+def rasterize_mask(poly: Optional[np.ndarray], box: np.ndarray,
+                   mask_hw: Tuple[int, int]) -> np.ndarray:
+    """GT instance mask at proto resolution: polygon fill when the label
+    has one (PIL rasterizer), else the box itself (detect-format labels
+    still give the seg loss a meaningful target)."""
+    mh, mw = mask_hw
+    if poly is not None and len(poly) >= 3:
+        from PIL import Image, ImageDraw
+        img = Image.new("L", (mw, mh), 0)
+        pts = [(float(x * mw), float(y * mh)) for x, y in poly]
+        ImageDraw.Draw(img).polygon(pts, fill=1)
+        return np.asarray(img, np.float32)
+    m = np.zeros((mh, mw), np.float32)
+    x1 = int(np.clip((box[0] - box[2] / 2) * mw, 0, mw))
+    x2 = int(np.ceil(np.clip((box[0] + box[2] / 2) * mw, 0, mw)))
+    y1 = int(np.clip((box[1] - box[3] / 2) * mh, 0, mh))
+    y2 = int(np.ceil(np.clip((box[1] + box[3] / 2) * mh, 0, mh)))
+    m[y1:y2, x1:x2] = 1.0
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Augmentation pipeline + collate
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    mosaic: float = 1.0          # probability of 4-image mosaic
+    hflip: float = 0.5
+    hsv: bool = True
+    scale: float = 0.4
+    translate: float = 0.1
+    min_box_px: float = 2.0      # drop GT smaller than this after augment
+
+
+def augment_sample(get, i: int, rng: np.random.Generator,
+                   input_hw: Tuple[int, int], aug: AugmentConfig,
+                   n_total: int) -> Sample:
+    """Assemble one augmented sample. `get(j)` fetches raw sample j."""
+    if aug.mosaic > 0 and rng.uniform() < aug.mosaic:
+        idx = [i] + list(rng.integers(0, n_total, 3))
+        s = mosaic4([get(j) for j in idx], rng, input_hw)
+    else:
+        s = get(i)
+        s = dict(s, image=_resize_uint8(s["image"], input_hw))
+    if aug.scale > 0 or aug.translate > 0:
+        s = scale_translate(s, rng, aug.scale, aug.translate)
+    if rng.uniform() < aug.hflip:
+        s = hflip_sample(s)
+    if aug.hsv:
+        s = dict(s, image=hsv_jitter(s["image"], rng))
+    return s
+
+
+def collate(samples: Sequence[Sample], cfg: ModelConfig, max_gt: int,
+            min_box_px: float = 2.0, with_masks: Optional[bool] = None
+            ) -> Dict[str, np.ndarray]:
+    """Fixed-shape padded batch in the train_step contract (model-pixel
+    boxes, -1-padded labels, proto-resolution masks)."""
+    H, W = cfg.input_size
+    mh, mw = cfg.mask_size
+    if with_masks is None:
+        with_masks = cfg.task == "segment"
+    B = len(samples)
+    images = np.zeros((B, H, W, 3), np.float32)
+    boxes = np.zeros((B, max_gt, 4), np.float32)
+    labels = np.full((B, max_gt), -1, np.int32)
+    masks = (np.zeros((B, max_gt, mh, mw), np.float32) if with_masks
+             else None)
+    for b, s in enumerate(samples):
+        images[b] = _resize_uint8(s["image"], (H, W)).astype(np.float32) / 255
+        n = 0
+        for g in range(len(s["labels"])):
+            bx = s["boxes"][g]
+            if bx[2] * W < min_box_px or bx[3] * H < min_box_px:
+                continue
+            if n >= max_gt:
+                break
+            boxes[b, n] = bx * (W, H, W, H)
+            labels[b, n] = s["labels"][g]
+            if with_masks:
+                poly = s["polys"][g] if g < len(s["polys"]) else None
+                masks[b, n] = rasterize_mask(poly, bx, (mh, mw))
+            n += 1
+    out = {"images": images, "boxes_xywh": boxes, "labels": labels}
+    if with_masks:
+        out["masks"] = masks
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Prefetching loader
+# ---------------------------------------------------------------------------
+
+class Loader:
+    """Epoch iterator: deterministic shuffled order, per-sample seeded
+    augmentation, background prefetch, device placement.
+
+    Determinism: sample i of epoch e is augmented with
+    rng = default_rng((seed, e, i)) regardless of thread timing, so runs
+    reproduce exactly (and checkpoint-resume sees the same stream).
+    """
+
+    def __init__(self, dataset, cfg: ModelConfig, batch: int,
+                 max_gt: int = 16, aug: AugmentConfig = AugmentConfig(),
+                 seed: int = 0, mesh=None, prefetch: int = 2,
+                 drop_last: bool = True):
+        self.ds = dataset
+        self.cfg = cfg
+        self.batch = batch
+        self.max_gt = max_gt
+        self.aug = aug
+        self.seed = seed
+        self.mesh = mesh
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.ds)
+        return n // self.batch if self.drop_last else -(-n // self.batch)
+
+    def _host_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.ds)
+        order = np.random.default_rng((self.seed, epoch)).permutation(n)
+        for b0 in range(0, n - (self.batch - 1) * self.drop_last,
+                        self.batch):
+            idx = order[b0:b0 + self.batch]
+            if len(idx) == 0:
+                break
+            samples = []
+            for i in idx:
+                rng = np.random.default_rng((self.seed, epoch, int(i)))
+                samples.append(augment_sample(
+                    self.ds.__getitem__, int(i), rng, self.cfg.input_size,
+                    self.aug, n))
+            yield collate(samples, self.cfg, self.max_gt,
+                          self.aug.min_box_px)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        """Device-placed batches for one epoch, prefetched off-thread."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for hb in self._host_batches(epoch):
+                    q.put(hb)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        import jax
+        from xrseg_tpu.parallel import mesh as mesh_lib
+        while True:
+            hb = q.get()
+            if hb is SENTINEL:
+                break
+            if self.mesh is not None:
+                yield mesh_lib.shard_batch(hb, self.mesh)
+            else:
+                yield jax.device_put(hb)
+        t.join()
