@@ -1,0 +1,46 @@
+"""Trainer tests: fit -> history/checkpoint -> resume -> deployed-pipeline
+validation mAP. Kept to one train-step compile + one pipeline compile."""
+import json
+import os
+
+import numpy as np
+
+from xrseg_tpu.config import ModelConfig
+from xrseg_tpu.train import data as D
+from xrseg_tpu.train.trainer import TrainConfig, Trainer
+
+
+def test_trainer_fit_evaluate_resume(tmp_path):
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32")
+    ds = D.SyntheticShapesDataset(n=8, hw=(64, 64))
+    tcfg = TrainConfig(epochs=1, batch=4, max_gt=4, lr=1e-3,
+                       warmup_steps=2, log_every=0,
+                       ckpt_dir=str(tmp_path), use_remat=False,
+                       aug=D.AugmentConfig(mosaic=0.0, hsv=False,
+                                           scale=0.0, translate=0.0),
+                       val_max_images=4)
+    tr = Trainer(cfg, tcfg)
+    hist = tr.fit(ds, verbose=False)
+    assert len(hist) == 1
+    row = hist[0]
+    assert np.isfinite(row["loss"]) and np.isfinite(row["grad_norm"])
+    assert {"box", "cls", "dfl", "seg"} <= set(row)
+    # checkpoint artifacts written
+    assert os.path.exists(os.path.join(tmp_path, "state"))
+    with open(os.path.join(tmp_path, "history.json")) as f:
+        assert len(json.load(f)) == 1
+
+    # validation through the real deployed pipeline (untrained-ish model:
+    # mAP is a valid number in [0,1], typically 0)
+    m = tr.evaluate(ds, max_images=4, batch=2)
+    assert 0.0 <= m["val_box_mAP"] <= 1.0
+    assert "val_box_AP50" in m
+
+    # resume: a fresh Trainer picks up state + history without retraining
+    tr2 = Trainer(cfg, tcfg)
+    tr2.fit(ds, resume=True, epochs=0, verbose=False)
+    assert len(tr2.history) == 1
+    assert int(np.asarray(tr2.state.step)) == int(np.asarray(tr.state.step))
+    got = np.asarray(tr2.state.params["b0"]["w"])
+    want = np.asarray(tr.state.params["b0"]["w"])
+    np.testing.assert_allclose(got, want, atol=0)

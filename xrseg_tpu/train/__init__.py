@@ -1,1 +1,1 @@
-from xrseg_tpu.train import data, losses, train_step  # noqa: F401
+from xrseg_tpu.train import data, losses, train_step, trainer  # noqa: F401

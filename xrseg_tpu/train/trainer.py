@@ -1,0 +1,226 @@
+"""High-level training loop: Trainer.fit() over the data pipeline.
+
+Ties the training subsystem together (everything the inference-only
+reference lacks, SURVEY §5 "checkpoint/resume: N/A"):
+
+  data.Loader  ->  train_step.make_train_step (DP/TP-sharded)  ->
+  per-epoch metrics -> optional validation mAP (eval/metrics over the
+  deployed inference pipeline) -> orbax TrainState checkpoints with resume.
+
+Design notes (TPU-shaped):
+  - one compile: every batch has identical shapes (data.collate pads), so
+    the jitted step compiles exactly once per fit();
+  - host/device overlap: the Loader prefetches + shards the next batch on
+    a background thread while the device steps;
+  - validation runs through the REAL deployed pipeline (compile.
+    build_pipeline: preprocess + forward + baked NMS/mask postprocess),
+    not a shortcut eval head — the mAP you see is the mAP you deploy.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
+from xrseg_tpu.train import data as data_lib
+from xrseg_tpu.train import train_step as ts
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 10
+    batch: int = 16
+    lr: float = 1e-3
+    weight_decay: float = 5e-4
+    warmup_steps: int = 100
+    max_gt: int = 16
+    seed: int = 0
+    aug: data_lib.AugmentConfig = data_lib.AugmentConfig()
+    tp_min_channels: int = 100000      # TP off by default (DP-only)
+    use_remat: bool = True
+    log_every: int = 10
+    ckpt_dir: Optional[str] = None     # directory for checkpoints + history
+    ckpt_every_epochs: int = 1
+    # validation postprocess: low score gate + high cap, the standard mAP
+    # evaluation setting (the deployed 0.301 gate would clip the PR curve)
+    val_score_threshold: float = 0.05
+    val_max_detections: int = 50
+    val_max_images: int = 64
+
+
+class Trainer:
+    """fit()/evaluate() around the sharded train step.
+
+    mesh: optional jax.sharding.Mesh — batches shard over its "data" axis
+    and gradients all-reduce over ICI purely from sharding annotations.
+    """
+
+    def __init__(self, cfg: ModelConfig, tcfg: TrainConfig = TrainConfig(),
+                 mesh=None, params=None):
+        import jax
+
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.mesh = mesh
+        self._jax = jax
+        self.optimizer = None          # built in fit (needs total_steps)
+        self.state: Optional[ts.TrainState] = None
+        self._init_params = params
+        self.history: List[Dict] = []
+
+    # -- state ----------------------------------------------------------
+
+    def _ckpt_path(self) -> Optional[str]:
+        if self.tcfg.ckpt_dir is None:
+            return None
+        return os.path.join(self.tcfg.ckpt_dir, "state")
+
+    def _init_state(self, total_steps: int, resume: bool) -> None:
+        jax = self._jax
+        t = self.tcfg
+        self.optimizer = ts.make_optimizer(
+            t.lr, t.weight_decay, t.warmup_steps,
+            total_steps=max(total_steps, t.warmup_steps + 1))
+        state = ts.init_train_state(jax.random.key(t.seed), self.cfg,
+                                    self.optimizer)
+        if self._init_params is not None:
+            state = ts.TrainState(params=self._init_params,
+                                  opt_state=state.opt_state,
+                                  step=state.step)
+        path = self._ckpt_path()
+        if resume and path and os.path.exists(path):
+            state = ts.load_train_state(path, state)
+            hist = os.path.join(self.tcfg.ckpt_dir, "history.json")
+            if os.path.exists(hist) and not self.history:
+                with open(hist) as f:
+                    self.history = json.load(f)
+        if self.mesh is not None:
+            state = ts.shard_train_state(state, self.mesh,
+                                         t.tp_min_channels)
+        self.state = state
+
+    def save(self) -> Optional[str]:
+        path = self._ckpt_path()
+        if path is None or self.state is None:
+            return None
+        os.makedirs(self.tcfg.ckpt_dir, exist_ok=True)
+        ts.save_train_state(path, self.state)
+        with open(os.path.join(self.tcfg.ckpt_dir, "history.json"),
+                  "w") as f:
+            json.dump(self.history, f, indent=1)
+        return path
+
+    @property
+    def params(self):
+        assert self.state is not None, "fit() or _init_state() first"
+        return self.state.params
+
+    # -- training -------------------------------------------------------
+
+    def fit(self, dataset, val_dataset=None, resume: bool = False,
+            epochs: Optional[int] = None, verbose: bool = True
+            ) -> List[Dict]:
+        """Train for `epochs` over `dataset`; returns per-epoch history
+        [{epoch, loss, box, cls, dfl, seg?, grad_norm, sec,
+          val_box_mAP?, val_mask_mAP?}, ...]."""
+        jax = self._jax
+        t = self.tcfg
+        epochs = t.epochs if epochs is None else epochs
+        loader = data_lib.Loader(dataset, self.cfg, t.batch,
+                                 max_gt=t.max_gt, aug=t.aug, seed=t.seed,
+                                 mesh=self.mesh)
+        steps_per_epoch = loader.steps_per_epoch()
+        if self.state is None:
+            self._init_state(steps_per_epoch * epochs, resume)
+        step_fn = ts.make_train_step(self.cfg, self.optimizer,
+                                     mesh=self.mesh,
+                                     tp_min_channels=t.tp_min_channels,
+                                     use_remat=t.use_remat)
+        start_epoch = len(self.history)
+        for e in range(start_epoch, start_epoch + epochs):
+            t0 = time.perf_counter()
+            sums: Dict[str, float] = {}
+            n = 0
+            for batch in loader.epoch(e):
+                self.state, metrics = step_fn(self.state, batch)
+                m = jax.device_get(metrics)
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                n += 1
+                if verbose and t.log_every and n % t.log_every == 0:
+                    print(f"epoch {e} step {n}/{steps_per_epoch} "
+                          f"loss={float(m['loss']):.4f}", flush=True)
+            row = {"epoch": e,
+                   **{k: v / max(n, 1) for k, v in sums.items()},
+                   "sec": time.perf_counter() - t0}
+            if val_dataset is not None:
+                row.update(self.evaluate(val_dataset,
+                                         max_images=t.val_max_images))
+            self.history.append(row)
+            if verbose:
+                extras = "".join(f" {k}={row[k]:.4f}"
+                                 for k in ("val_box_mAP", "val_mask_mAP")
+                                 if k in row)
+                print(f"epoch {e}: loss={row.get('loss', float('nan')):.4f}"
+                      f" ({row['sec']:.1f}s){extras}", flush=True)
+            if t.ckpt_dir and (e + 1) % t.ckpt_every_epochs == 0:
+                self.save()
+        return self.history
+
+    # -- validation -----------------------------------------------------
+
+    def evaluate(self, dataset, max_images: Optional[int] = None,
+                 batch: int = 8) -> Dict[str, float]:
+        """mAP of the CURRENT params through the deployed pipeline
+        (preprocess + forward + baked NMS/mask postprocess) against the
+        dataset's GT. Returns {val_box_mAP, val_box_AP50, val_mask_mAP}."""
+        from xrseg_tpu.compile import build_pipeline
+        from xrseg_tpu.eval.metrics import (GroundTruth, detections_from_slate,
+                                            evaluate)
+        jax = self._jax
+
+        t = self.tcfg
+        ex_cfg = ExecutorConfig(
+            model=self.cfg,
+            post=PostprocessConfig(
+                score_threshold=t.val_score_threshold,
+                max_detections=t.val_max_detections,
+                iou_threshold=0.6))
+        params = jax.device_get(self.params)   # unshard for the 1-dev pipe
+        pipe = build_pipeline(ex_cfg, params, crop_masks=True,
+                              frame_hw=self.cfg.input_size, batch=batch)
+        n = len(dataset) if max_images is None else min(len(dataset),
+                                                        max_images)
+        H, W = self.cfg.input_size
+        mh, mw = self.cfg.mask_size
+        per_image = []
+        for b0 in range(0, n, batch):
+            idx = range(b0, min(b0 + batch, n))
+            raw = [dataset[i] for i in idx]
+            frames = np.zeros((batch, H, W, 3), np.uint8)
+            for j, s in enumerate(raw):
+                frames[j] = data_lib._resize_uint8(s["image"], (H, W))
+            det = jax.device_get(pipe(frames))
+            for j, s in enumerate(raw):
+                dets = detections_from_slate(det, j,
+                                             input_size=(H, W))
+                gts = []
+                for g in range(len(s["labels"])):
+                    bx = s["boxes"][g] * (W, H, W, H)
+                    poly = (s["polys"][g]
+                            if g < len(s["polys"]) else None)
+                    m = data_lib.rasterize_mask(poly, s["boxes"][g],
+                                                (mh, mw)) > 0.5
+                    gts.append(GroundTruth(bx.astype(np.float32),
+                                           int(s["labels"][g]), m))
+                per_image.append((dets, gts))
+        box = evaluate(per_image, use_mask=False)
+        out = {"val_box_mAP": box["mAP"], "val_box_AP50": box["AP50"]}
+        if any(d.mask is not None for dets, _ in per_image for d in dets):
+            out["val_mask_mAP"] = evaluate(per_image, use_mask=True)["mAP"]
+        return out
