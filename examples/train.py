@@ -1,0 +1,90 @@
+"""Fine-tune YOLO11 on a YOLO-format dataset directory with Trainer.fit().
+
+  python examples/train.py --data /path/train [--val /path/val] \
+      --scale n --size 640 --epochs 50 --batch 16 --out /tmp/run \
+      [--weights init.npz|.sentis|.onnx] [--mesh 8] [--resume]
+
+Dataset layout (ultralytics): root/images/*.jpg + root/labels/*.txt
+(`cls cx cy w h` normalized, or `cls x1 y1 x2 y2 ...` seg polygons).
+With --synthetic it trains on the procedural shapes dataset instead
+(no data needed — smoke-tests the whole loop).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", help="train dataset dir (YOLO format)")
+    ap.add_argument("--val", help="validation dataset dir")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use the procedural shapes dataset")
+    ap.add_argument("--scale", default="n", choices=list("nsmlx"))
+    ap.add_argument("--task", default="segment",
+                    choices=["segment", "detect"])
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--classes", type=int, default=80)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--max-gt", type=int, default=16)
+    ap.add_argument("--weights", help="initial weights (.npz/.sentis/.onnx)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="data-parallel shards (0 = single device)")
+    ap.add_argument("--out", default="/tmp/xrseg_run")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-mosaic", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. for smoke tests)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from xrseg_tpu.config import ModelConfig
+    from xrseg_tpu.train import data as D
+    from xrseg_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = ModelConfig(scale=args.scale, task=args.task,
+                      input_size=(args.size, args.size),
+                      num_classes=args.classes, dtype="float32")
+
+    if args.synthetic:
+        train_ds = D.SyntheticShapesDataset(n=256, hw=(args.size, args.size),
+                                            n_classes=min(3, args.classes))
+        val_ds = D.SyntheticShapesDataset(n=32, hw=(args.size, args.size),
+                                          n_classes=min(3, args.classes),
+                                          seed=1)
+    else:
+        if not args.data:
+            ap.error("--data or --synthetic required")
+        train_ds = D.YoloDataset(args.data)
+        val_ds = D.YoloDataset(args.val) if args.val else None
+
+    params = None
+    if args.weights:
+        from xrseg_tpu.io.weights import load_params_auto
+        params, cfg = load_params_auto(args.weights, cfg)
+
+    mesh = None
+    if args.mesh:
+        from xrseg_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh((args.mesh, 1))
+
+    aug = D.AugmentConfig(mosaic=0.0 if args.no_mosaic else 1.0)
+    tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, lr=args.lr,
+                       max_gt=args.max_gt, aug=aug, ckpt_dir=args.out)
+    tr = Trainer(cfg, tcfg, mesh=mesh, params=params)
+    tr.fit(train_ds, val_dataset=val_ds, resume=args.resume)
+    print(f"done: {len(tr.history)} epochs, checkpoints in {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -212,16 +212,8 @@ def _main() -> int:
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
-    mcfg = ModelConfig(scale=args.scale)
-    if args.weights.endswith(".sentis"):
-        from xrseg_tpu.io.sentis import load_yolo11_params
-        params, mcfg = load_yolo11_params(args.weights, mcfg)
-    elif args.weights.endswith(".onnx"):
-        from xrseg_tpu.io.onnx_loader import load_yolo11_onnx
-        params, mcfg = load_yolo11_onnx(args.weights, mcfg)
-    else:
-        from xrseg_tpu.io.weights import load_npz
-        params = load_npz(args.weights)
+    from xrseg_tpu.io.weights import load_params_auto
+    params, mcfg = load_params_auto(args.weights, ModelConfig(scale=args.scale))
     cfg = ExecutorConfig(model=mcfg, post=PostprocessConfig(
         iou_threshold=args.iou, score_threshold=args.score))
     pipe = build_pipeline(cfg, params,

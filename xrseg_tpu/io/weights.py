@@ -141,3 +141,24 @@ def load_orbax(path: str, like: Params | None = None) -> Params:
     if like is not None:
         return ckptr.restore(os.path.abspath(path), target=like)
     return ckptr.restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
+# format-dispatching loader
+# ---------------------------------------------------------------------------
+
+def load_params_auto(path: str, cfg=None):
+    """Load model params from any supported artifact, by extension:
+    .sentis (the reference's deployed format), .onnx (ultralytics export),
+    .npz (our flat checkpoints), else an orbax checkpoint directory.
+    Returns (params, cfg) — cfg is refined by loaders that carry model
+    metadata (.sentis/.onnx infer the scale), passed through otherwise."""
+    if path.endswith(".sentis"):
+        from xrseg_tpu.io.sentis import load_yolo11_params
+        return load_yolo11_params(path, cfg)
+    if path.endswith(".onnx"):
+        from xrseg_tpu.io.onnx_loader import load_yolo11_onnx
+        return load_yolo11_onnx(path, cfg)
+    if path.endswith(".npz"):
+        return load_npz(path), cfg
+    return load_orbax(path), cfg
