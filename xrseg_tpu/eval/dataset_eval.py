@@ -1,0 +1,139 @@
+"""Dataset evaluation through the deployed pipeline: the framework's `val`.
+
+Runs a dataset (train.data.YoloDataset / SyntheticShapesDataset — anything
+with __len__/__getitem__ returning the Sample contract) through the REAL
+compiled pipeline (preprocess + forward + baked NMS/mask postprocess,
+compile.build_pipeline) and scores box/mask mAP against the dataset's GT
+with eval.metrics. This is the quantitative half of the reference's
+eyeball-golden testing (SURVEY §4: bus.png), generalized to any dataset.
+
+CLI:
+  python -m xrseg_tpu.eval --data DIR --weights W.{sentis,onnx,npz} \
+      [--scale n] [--size 640] [--batch 8] [--score 0.05] \
+      [--max-images N] [--cpu]
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
+
+
+def evaluate_dataset(cfg: ModelConfig, params, dataset,
+                     score_threshold: float = 0.05,
+                     iou_threshold: float = 0.6,
+                     max_detections: int = 50,
+                     max_images: Optional[int] = None,
+                     batch: int = 8,
+                     pipe=None) -> Dict[str, float]:
+    """mAP of `params` through the deployed pipeline on `dataset`'s GT.
+
+    Returns {box_mAP, box_AP50, box_AP75, mask_mAP?, n_images, n_gt}.
+    The mAP-standard low score gate (0.05) keeps the PR curve intact; pass
+    the deployed gate (0.301) to measure what the XR scene would show.
+    A prebuilt `pipe` (CompiledPipeline) skips compilation.
+    """
+    import jax
+
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.eval.metrics import (GroundTruth, detections_from_slate,
+                                        evaluate)
+    from xrseg_tpu.train import data as data_lib
+
+    if pipe is None:
+        ex_cfg = ExecutorConfig(
+            model=cfg,
+            post=PostprocessConfig(score_threshold=score_threshold,
+                                   iou_threshold=iou_threshold,
+                                   max_detections=max_detections))
+        pipe = build_pipeline(ex_cfg, jax.device_get(params),
+                              crop_masks=True,
+                              frame_hw=cfg.input_size, batch=batch)
+    H, W = cfg.input_size
+    mh, mw = cfg.mask_size
+    n = len(dataset) if max_images is None else min(len(dataset),
+                                                    max_images)
+    per_image = []
+    n_gt = 0
+    for b0 in range(0, n, batch):
+        idx = range(b0, min(b0 + batch, n))
+        raw = [dataset[i] for i in idx]
+        frames = np.zeros((batch, H, W, 3), np.uint8)
+        for j, s in enumerate(raw):
+            frames[j] = data_lib._resize_uint8(s["image"], (H, W))
+        det = jax.device_get(pipe(frames))
+        for j, s in enumerate(raw):
+            dets = detections_from_slate(det, j, input_size=(H, W))
+            gts = []
+            for g in range(len(s["labels"])):
+                bx = s["boxes"][g] * (W, H, W, H)
+                poly = s["polys"][g] if g < len(s["polys"]) else None
+                m = data_lib.rasterize_mask(poly, s["boxes"][g],
+                                            (mh, mw)) > 0.5
+                gts.append(GroundTruth(bx.astype(np.float32),
+                                       int(s["labels"][g]), m))
+            n_gt += len(gts)
+            per_image.append((dets, gts))
+    box = evaluate(per_image, use_mask=False)
+    out = {"box_mAP": box["mAP"], "box_AP50": box["AP50"],
+           "box_AP75": box["AP75"], "n_images": n, "n_gt": n_gt}
+    if any(d.mask is not None for dets, _ in per_image for d in dets):
+        mask = evaluate(per_image, use_mask=True)
+        out.update({"mask_mAP": mask["mAP"], "mask_AP50": mask["AP50"]})
+    return out
+
+
+def _main() -> int:
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", required=True,
+                    help="YOLO-format dataset dir (or 'synthetic')")
+    ap.add_argument("--weights", help=".sentis/.onnx/.npz/orbax weights")
+    ap.add_argument("--scale", default="n", choices=list("nsmlx"))
+    ap.add_argument("--task", default="segment",
+                    choices=["segment", "detect"])
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--classes", type=int, default=80)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--score", type=float, default=0.05)
+    ap.add_argument("--iou", type=float, default=0.6)
+    ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    cfg = ModelConfig(scale=args.scale, task=args.task,
+                      input_size=(args.size, args.size),
+                      num_classes=args.classes)
+    if args.weights:
+        from xrseg_tpu.io.weights import load_params_auto
+        params, cfg = load_params_auto(args.weights, cfg)
+    else:
+        from xrseg_tpu.models import yolo11
+        params = yolo11.init_params(jax.random.key(0), cfg)
+
+    from xrseg_tpu.train import data as D
+    if args.data == "synthetic":
+        ds = D.SyntheticShapesDataset(n=32, hw=(args.size, args.size),
+                                      n_classes=min(3, args.classes))
+    else:
+        ds = D.YoloDataset(args.data)
+
+    out = evaluate_dataset(cfg, params, ds, score_threshold=args.score,
+                           iou_threshold=args.iou,
+                           max_images=args.max_images, batch=args.batch)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -24,9 +24,7 @@ import os
 import time
 from typing import Dict, List, Optional
 
-import numpy as np
-
-from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
+from xrseg_tpu.config import ModelConfig
 from xrseg_tpu.train import data as data_lib
 from xrseg_tpu.train import train_step as ts
 
@@ -177,50 +175,16 @@ class Trainer:
     def evaluate(self, dataset, max_images: Optional[int] = None,
                  batch: int = 8) -> Dict[str, float]:
         """mAP of the CURRENT params through the deployed pipeline
-        (preprocess + forward + baked NMS/mask postprocess) against the
-        dataset's GT. Returns {val_box_mAP, val_box_AP50, val_mask_mAP}."""
-        from xrseg_tpu.compile import build_pipeline
-        from xrseg_tpu.eval.metrics import (GroundTruth, detections_from_slate,
-                                            evaluate)
-        jax = self._jax
+        (eval.dataset_eval.evaluate_dataset) against the dataset's GT.
+        Returns {val_box_mAP, val_box_AP50, val_mask_mAP?}."""
+        from xrseg_tpu.eval.dataset_eval import evaluate_dataset
 
         t = self.tcfg
-        ex_cfg = ExecutorConfig(
-            model=self.cfg,
-            post=PostprocessConfig(
-                score_threshold=t.val_score_threshold,
-                max_detections=t.val_max_detections,
-                iou_threshold=0.6))
-        params = jax.device_get(self.params)   # unshard for the 1-dev pipe
-        pipe = build_pipeline(ex_cfg, params, crop_masks=True,
-                              frame_hw=self.cfg.input_size, batch=batch)
-        n = len(dataset) if max_images is None else min(len(dataset),
-                                                        max_images)
-        H, W = self.cfg.input_size
-        mh, mw = self.cfg.mask_size
-        per_image = []
-        for b0 in range(0, n, batch):
-            idx = range(b0, min(b0 + batch, n))
-            raw = [dataset[i] for i in idx]
-            frames = np.zeros((batch, H, W, 3), np.uint8)
-            for j, s in enumerate(raw):
-                frames[j] = data_lib._resize_uint8(s["image"], (H, W))
-            det = jax.device_get(pipe(frames))
-            for j, s in enumerate(raw):
-                dets = detections_from_slate(det, j,
-                                             input_size=(H, W))
-                gts = []
-                for g in range(len(s["labels"])):
-                    bx = s["boxes"][g] * (W, H, W, H)
-                    poly = (s["polys"][g]
-                            if g < len(s["polys"]) else None)
-                    m = data_lib.rasterize_mask(poly, s["boxes"][g],
-                                                (mh, mw)) > 0.5
-                    gts.append(GroundTruth(bx.astype(np.float32),
-                                           int(s["labels"][g]), m))
-                per_image.append((dets, gts))
-        box = evaluate(per_image, use_mask=False)
-        out = {"val_box_mAP": box["mAP"], "val_box_AP50": box["AP50"]}
-        if any(d.mask is not None for dets, _ in per_image for d in dets):
-            out["val_mask_mAP"] = evaluate(per_image, use_mask=True)["mAP"]
+        m = evaluate_dataset(self.cfg, self.params, dataset,
+                             score_threshold=t.val_score_threshold,
+                             max_detections=t.val_max_detections,
+                             max_images=max_images, batch=batch)
+        out = {"val_box_mAP": m["box_mAP"], "val_box_AP50": m["box_AP50"]}
+        if "mask_mAP" in m:
+            out["val_mask_mAP"] = m["mask_mAP"]
         return out
