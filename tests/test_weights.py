@@ -75,3 +75,20 @@ def test_orbax_roundtrip(tmp_path, small_params):
     a, b = W.flatten_params(params), W.flatten_params(loaded)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_orbax_overwrite_same_path(tmp_path, small_params):
+    """Periodic trainer checkpoints rewrite one path; the second save must
+    not raise (regression: orbax refuses existing destinations without
+    force=True — hit by Trainer.fit at its second epoch checkpoint)."""
+    import jax
+
+    cfg, params = small_params
+    path = os.path.join(tmp_path, "ck")
+    W.save_orbax(path, params)
+    bumped = jax.tree.map(lambda x: x + 1, params)
+    W.save_orbax(path, bumped)
+    loaded = W.load_orbax(path, like=params)
+    a, b = W.flatten_params(bumped), W.flatten_params(loaded)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])

@@ -131,7 +131,9 @@ def quantized_size_bytes(params: Params) -> int:
 def save_orbax(path: str, params: Params) -> None:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), params)
+    # force=True: overwrite an existing checkpoint — periodic trainer saves
+    # rewrite the same path every ckpt_every_epochs
+    ckptr.save(os.path.abspath(path), params, force=True)
     ckptr.wait_until_finished()
 
 
