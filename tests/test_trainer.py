@@ -36,7 +36,13 @@ def test_trainer_fit_evaluate_resume(tmp_path):
     assert 0.0 <= m["val_box_mAP"] <= 1.0
     assert "val_box_AP50" in m
 
-    # resume: a fresh Trainer picks up state + history without retraining
+    # EMA: tracked, differs from raw params after steps, checkpointed
+    assert tr.ema_params is not None
+    assert not np.array_equal(np.asarray(tr.ema_params["b0"]["w"]),
+                              np.asarray(tr.state.params["b0"]["w"]))
+    assert os.path.exists(os.path.join(tmp_path, "ema"))
+
+    # resume: a fresh Trainer picks up state + history + EMA untrained
     tr2 = Trainer(cfg, tcfg)
     tr2.fit(ds, resume=True, epochs=0, verbose=False)
     assert len(tr2.history) == 1
@@ -44,3 +50,6 @@ def test_trainer_fit_evaluate_resume(tmp_path):
     got = np.asarray(tr2.state.params["b0"]["w"])
     want = np.asarray(tr.state.params["b0"]["w"])
     np.testing.assert_allclose(got, want, atol=0)
+    np.testing.assert_allclose(np.asarray(tr2.ema_params["b0"]["w"]),
+                               np.asarray(tr.ema_params["b0"]["w"]),
+                               atol=0)

@@ -102,7 +102,14 @@ def assign_targets_tal(pred_boxes: jax.Array, cls_logits: jax.Array,
     pred_boxes [A,4] decoded xywh (model px); cls_logits [A,nc];
     gt_boxes [G,4]; gt_labels [G] (-1 pad). Fixed shapes, jit-safe.
     Returns gt_idx [A], fg [A] bool, target_scores [A,nc] float.
+
+    Assignment is NOT differentiated through (ultralytics detaches the
+    assigner's inputs): the alignment metric's s^0.5 / iou^6 / max-ratio
+    chains have exploding gradients near zero metric — training on real
+    hardware NaN'd within ~30 steps before this stop_gradient.
     """
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
+    cls_logits = jax.lax.stop_gradient(cls_logits)
     anchors, strides = make_anchors(cfg.input_size)
     centers = jnp.asarray(anchors) * jnp.asarray(strides)        # [A,2]
     valid_gt = gt_labels >= 0                                    # [G]

@@ -49,6 +49,9 @@ class TrainConfig:
     val_score_threshold: float = 0.05
     val_max_detections: int = 50
     val_max_images: int = 64
+    # exponential moving average of params (the YOLO-family eval/deploy
+    # weights); 0 disables. Validation and `best` params use the EMA.
+    ema_decay: float = 0.9995
 
 
 class Trainer:
@@ -70,6 +73,8 @@ class Trainer:
         self.state: Optional[ts.TrainState] = None
         self._init_params = params
         self.history: List[Dict] = []
+        self.ema_params = None         # EMA pytree (tracks state.params)
+        self._ema_update = None        # jitted EMA step
 
     # -- state ----------------------------------------------------------
 
@@ -101,6 +106,29 @@ class Trainer:
             state = ts.shard_train_state(state, self.mesh,
                                          t.tp_min_channels)
         self.state = state
+        if t.ema_decay > 0:
+            jax = self._jax
+            ema_path = (os.path.join(t.ckpt_dir, "ema")
+                        if t.ckpt_dir else None)
+            if resume and ema_path and os.path.exists(ema_path):
+                from xrseg_tpu.io.weights import load_orbax
+                self.ema_params = load_orbax(
+                    ema_path, like=jax.device_get(state.params))
+            else:
+                # real copies: the EMA buffers are donated on update, so
+                # they must not alias state.params
+                self.ema_params = jax.tree.map(lambda x: x.copy(),
+                                               state.params)
+            d = t.ema_decay
+            # ultralytics-style ramp: effective decay grows with step so
+            # early EMA tracks fast-moving fresh weights
+            def ema_step(ema, params, step):
+                import jax.numpy as jnp
+                dd = d * (1.0 - jnp.exp(-(step.astype(jnp.float32) + 1.0)
+                                        / 2000.0))
+                return jax.tree.map(lambda e, p: e * dd + p * (1.0 - dd),
+                                    ema, params)
+            self._ema_update = jax.jit(ema_step, donate_argnums=(0,))
 
     def save(self) -> Optional[str]:
         path = self._ckpt_path()
@@ -108,6 +136,11 @@ class Trainer:
             return None
         os.makedirs(self.tcfg.ckpt_dir, exist_ok=True)
         ts.save_train_state(path, self.state)
+        if self.ema_params is not None:
+            from xrseg_tpu.io.weights import save_orbax
+            jax = self._jax
+            save_orbax(os.path.join(self.tcfg.ckpt_dir, "ema"),
+                       jax.device_get(self.ema_params))
         with open(os.path.join(self.tcfg.ckpt_dir, "history.json"),
                   "w") as f:
             json.dump(self.history, f, indent=1)
@@ -117,6 +150,11 @@ class Trainer:
     def params(self):
         assert self.state is not None, "fit() or _init_state() first"
         return self.state.params
+
+    @property
+    def eval_params(self):
+        """What you validate/deploy: the EMA weights when enabled."""
+        return self.ema_params if self.ema_params is not None else self.params
 
     # -- training -------------------------------------------------------
 
@@ -146,6 +184,10 @@ class Trainer:
             n = 0
             for batch in loader.epoch(e):
                 self.state, metrics = step_fn(self.state, batch)
+                if self._ema_update is not None:
+                    self.ema_params = self._ema_update(
+                        self.ema_params, self.state.params,
+                        self.state.step)
                 m = jax.device_get(metrics)
                 for k, v in m.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
@@ -180,7 +222,7 @@ class Trainer:
         from xrseg_tpu.eval.dataset_eval import evaluate_dataset
 
         t = self.tcfg
-        m = evaluate_dataset(self.cfg, self.params, dataset,
+        m = evaluate_dataset(self.cfg, self.eval_params, dataset,
                              score_threshold=t.val_score_threshold,
                              max_detections=t.val_max_detections,
                              max_images=max_images, batch=batch)
