@@ -21,6 +21,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeat suite runs on this 1-core box skip
+# the multi-minute jit compiles (keyed by HLO hash — new code recompiles).
+from xrseg_tpu import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
