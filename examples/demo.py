@@ -32,7 +32,8 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/xrseg_demo")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--scale", default="n")
-    ap.add_argument("--ckpt", default=None, help="npz checkpoint to load")
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint to load (.npz/.onnx/orbax dir)")
     ap.add_argument("--sentis", default=None,
                     help=".sentis model file (reference artifact) to load")
     ap.add_argument("--seed", type=int, default=0)
@@ -55,8 +56,9 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     params = None
     if args.ckpt:
-        from xrseg_tpu.io.weights import load_npz
-        params = load_npz(args.ckpt)
+        # npz / onnx / orbax dir (e.g. examples/train.py's <out>/ema)
+        from xrseg_tpu.io.weights import load_params_auto
+        params, _ = load_params_auto(args.ckpt, ModelConfig(scale=args.scale))
     elif args.sentis:
         from xrseg_tpu.io.sentis import load_yolo11_params
         params, _ = load_yolo11_params(args.sentis)
