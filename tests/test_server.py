@@ -1,0 +1,76 @@
+"""HTTP inference server tests (stdlib urllib client, ephemeral port)."""
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from xrseg_tpu.config import ExecutorConfig, ModelConfig, PostprocessConfig
+
+
+@pytest.fixture(scope="module")
+def server():
+    from xrseg_tpu.runtime.server import InferenceServer
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=10))
+    srv = InferenceServer(cfg, port=0).start()   # port 0 -> ephemeral
+    yield srv
+    srv.close()
+
+
+def _url(srv, path):
+    return f"http://127.0.0.1:{srv.port}{path}"
+
+
+def _post(srv, data: bytes):
+    req = urllib.request.Request(_url(srv, "/infer"), data=data,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] is True
+    assert h["frame_hw"] == [64, 64]
+
+
+def test_infer_npy_and_png(server):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+
+    buf = io.BytesIO()
+    np.save(buf, img)
+    out = _post(server, buf.getvalue())
+    assert "detections" in out and "latency_ms" in out
+    assert out["count"] == len(out["detections"])
+    for d in out["detections"]:
+        assert set(d) == {"label", "class_name", "score", "box_xywh"}
+        assert len(d["box_xywh"]) == 4
+
+    from PIL import Image
+    pbuf = io.BytesIO()
+    # odd size: the server resizes to its frame geometry
+    Image.fromarray(img).resize((48, 80)).save(pbuf, format="PNG")
+    out2 = _post(server, pbuf.getvalue())
+    assert "detections" in out2
+
+
+def test_infer_bad_payload_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, b"this is not an image")
+    assert ei.value.code == 400
+    body = json.loads(ei.value.read())
+    assert "error" in body
+
+
+def test_stats_counts_requests(server):
+    with urllib.request.urlopen(_url(server, "/stats"), timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["requests"] >= 2
+    assert s["errors"] >= 1
+    assert "infer" in s["stages"]
