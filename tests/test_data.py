@@ -236,3 +236,113 @@ def test_loader_feeds_train_step():
         losses.append(float(jax.device_get(metrics["loss"])))
     assert len(losses) == 2
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_loader_abandoned_generator_cleans_up():
+    """Breaking out of an epoch must not leak a blocked producer thread."""
+    import threading
+
+    ds = D.SyntheticShapesDataset(n=16, hw=(48, 48))
+    cfg = ModelConfig(scale="n", input_size=(64, 64))
+    ld = D.Loader(ds, cfg, batch=4, max_gt=4, seed=0, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        gen = ld.epoch(0)
+        next(gen)          # take one batch, abandon the rest
+        gen.close()        # triggers the generator's finally
+    assert threading.active_count() <= before + 1
+
+
+# ---------------------------------------------------------------------------
+# copy-paste augmentation + multi-scale training
+# ---------------------------------------------------------------------------
+
+def test_copy_paste_appends_donor_instances():
+    rng = np.random.default_rng(0)
+    dst = _sample(hw=(64, 64), n=1)        # 1 GT (has a polygon)
+    src = _sample(hw=(64, 64), n=2, seed=1)
+    out = D.copy_paste(dst, src, rng, p=1.0)
+    # only src's polygon-bearing instance (index 0) can be pasted
+    assert len(out["labels"]) == 2
+    assert out["labels"][-1] == src["labels"][0]
+    np.testing.assert_allclose(out["boxes"][-1], src["boxes"][0])
+    # pasted pixels come from the donor image inside the polygon
+    poly = src["polys"][0]
+    h, w = out["image"].shape[:2]
+    cx = int((poly[:, 0].mean()) * w)
+    cy = int((poly[:, 1].mean()) * h)
+    src_resized = D._resize_uint8(src["image"], (h, w))
+    np.testing.assert_array_equal(out["image"][cy, cx], src_resized[cy, cx])
+    # p=0 is identity
+    same = D.copy_paste(dst, src, rng, p=0.0)
+    assert len(same["labels"]) == 1
+
+
+def test_copy_paste_in_augment_pipeline():
+    ds = D.SyntheticShapesDataset(n=8, hw=(48, 48), max_objects=1)
+    rng = np.random.default_rng(3)
+    aug = D.AugmentConfig(mosaic=0.0, scale=0.0, translate=0.0, hflip=0.0,
+                          hsv=False, copy_paste=1.0)
+    s = D.augment_sample(ds.__getitem__, 0, rng, (64, 64), aug, len(ds))
+    # every synthetic instance has a polygon, so pasting must have added GT
+    assert len(s["labels"]) > len(ds[0]["labels"])
+
+
+def test_multiscale_loader_shapes_and_train_step():
+    """Multi-scale buckets: batches cycle fixed shapes; the train step
+    runs (retraces per bucket) with anchors matching each batch shape."""
+    import jax
+
+    from xrseg_tpu.train import train_step as ts
+
+    scales = [(32, 32), (64, 64)]
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32")
+    ds = D.SyntheticShapesDataset(n=24, hw=(48, 48))
+    ld = D.Loader(ds, cfg, batch=4, max_gt=4, seed=1, scales=scales,
+                  aug=D.AugmentConfig(mosaic=0.0))
+    seen = set()
+    opt = ts.make_optimizer()
+    state = ts.init_train_state(jax.random.key(0), cfg, opt)
+    step = ts.make_train_step(cfg, opt)
+    for batch in ld.epoch(0):
+        hw = tuple(int(x) for x in batch["images"].shape[1:3])
+        assert hw in [(32, 32), (64, 64)]
+        # mask targets track proto resolution H//4
+        assert batch["masks"].shape[-2:] == (hw[0] // 4, hw[1] // 4)
+        seen.add(hw)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(jax.device_get(metrics["loss"])))
+    assert len(seen) == 2, f"both buckets should appear, saw {seen}"
+
+
+def test_loader_rejects_bad_scales():
+    cfg = ModelConfig(scale="n", input_size=(64, 64))
+    ds = D.SyntheticShapesDataset(n=4, hw=(48, 48))
+    with pytest.raises(ValueError):
+        D.Loader(ds, cfg, batch=2, scales=[(50, 64)])
+
+
+def test_loader_slow_consumer_terminates():
+    """Regression: with a consumer slower than the producer the queue is
+    full when the producer finishes; the end-of-epoch SENTINEL must still
+    arrive (a dropped sentinel hangs the epoch forever — seen on the real
+    chip where each batch transfer took ~60s)."""
+    import threading
+    import time
+
+    ds = D.SyntheticShapesDataset(n=8, hw=(32, 32))
+    cfg = ModelConfig(scale="n", input_size=(32, 32))
+    ld = D.Loader(ds, cfg, batch=4, max_gt=4, seed=0, prefetch=1)
+    done = []
+
+    def consume():
+        n = 0
+        for _ in ld.epoch(0):
+            time.sleep(0.3)      # let the producer finish and fill the queue
+            n += 1
+        done.append(n)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert done == [2], f"epoch hung or wrong count: {done}"

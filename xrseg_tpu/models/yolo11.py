@@ -317,6 +317,10 @@ def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
     Returns: box_logits [B,A,4*reg_max], cls_logits [B,A,nc],
     boxes_xywh [B,A,4] (decoded, input pixels), and for segment task
     mask_coefs [B,A,nm] + protos [B,h,w,nm].
+
+    Anchors are derived from x's actual spatial shape (not cfg.input_size)
+    so multi-scale training works: each distinct (H,W) traces its own
+    specialization with matching anchor grids.
     """
     dt = jnp.dtype(cfg.dtype)
     feats = _backbone_neck(params, x, cfg, dt)
@@ -329,7 +333,7 @@ def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
         [c.reshape(B, -1, cfg.num_classes) for c in clss], axis=1
     ).astype(jnp.float32)
 
-    anchors_np, strides_np = make_anchors(cfg.input_size)
+    anchors_np, strides_np = make_anchors(tuple(x.shape[1:3]))
     anchors = jnp.asarray(anchors_np)
     strides = jnp.asarray(strides_np)
     ltrb = dfl_decode(box_flat, cfg.reg_max)

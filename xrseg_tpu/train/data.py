@@ -26,7 +26,10 @@ the train loop (train/train_step.py):
 
 TPU-shaped by construction: all augmentation runs on host in numpy (the
 device never sees a dynamic shape); every batch has identical shapes so
-the train step compiles once.
+the train step compiles once. Multi-scale training (Loader `scales`)
+varies the input size over a fixed bucket list — one compile per bucket,
+still no dynamic shapes. Segment copy-paste augmentation (`copy_paste`)
+pastes polygon instances across samples.
 """
 from __future__ import annotations
 
@@ -304,6 +307,50 @@ def mosaic4(samples: Sequence[Sample], rng: np.random.Generator,
     return out
 
 
+def copy_paste(dst: Sample, src: Sample, rng: np.random.Generator,
+               p: float = 0.5, max_paste: int = 3) -> Sample:
+    """Segment copy-paste augmentation (Ghiasi et al. 2021; ultralytics'
+    `copy_paste` option): donor instances that carry a polygon are
+    rasterized at dst resolution and their pixels pasted into dst, with
+    box/label/polygon appended to dst's GT. Both samples use normalized
+    coordinates so no geometry conversion is needed; like ultralytics,
+    pre-existing GT occluded by a paste is left as-is (the assigner's
+    IoU weighting absorbs the noise)."""
+    donors = [i for i, pl in enumerate(src["polys"])
+              if pl is not None and len(pl) >= 3]
+    if not donors or p <= 0:
+        return dst
+    h, w = dst["image"].shape[:2]
+    src_img = _resize_uint8(src["image"], (h, w))
+    img = dst["image"].copy()
+    from PIL import Image, ImageDraw
+    add_b, add_l, add_p = [], [], []
+    for i in donors:
+        if len(add_b) >= max_paste or rng.uniform() >= p:
+            continue
+        poly = src["polys"][i]
+        m = Image.new("L", (w, h), 0)
+        ImageDraw.Draw(m).polygon(
+            [(float(x * w), float(y * h)) for x, y in poly], fill=1)
+        m = np.asarray(m, bool)
+        if not m.any():
+            continue
+        img[m] = src_img[m]
+        add_b.append(src["boxes"][i])
+        add_l.append(src["labels"][i])
+        add_p.append(poly)
+    if not add_b:
+        return dst
+    return {
+        "image": img,
+        "boxes": np.concatenate([dst["boxes"].reshape(-1, 4),
+                                 np.stack(add_b)]).astype(np.float32),
+        "labels": np.concatenate([dst["labels"],
+                                  np.asarray(add_l, np.int32)]),
+        "polys": list(dst["polys"]) + add_p,
+    }
+
+
 def rasterize_mask(poly: Optional[np.ndarray], box: np.ndarray,
                    mask_hw: Tuple[int, int]) -> np.ndarray:
     """GT instance mask at proto resolution: polygon fill when the label
@@ -336,6 +383,7 @@ class AugmentConfig:
     hsv: bool = True
     scale: float = 0.4
     translate: float = 0.1
+    copy_paste: float = 0.0      # per-instance paste probability (segment)
     min_box_px: float = 2.0      # drop GT smaller than this after augment
 
 
@@ -349,6 +397,9 @@ def augment_sample(get, i: int, rng: np.random.Generator,
     else:
         s = get(i)
         s = dict(s, image=_resize_uint8(s["image"], input_hw))
+    if aug.copy_paste > 0:
+        donor = get(int(rng.integers(0, n_total)))
+        s = copy_paste(s, donor, rng, aug.copy_paste)
     if aug.scale > 0 or aug.translate > 0:
         s = scale_translate(s, rng, aug.scale, aug.translate)
     if rng.uniform() < aug.hflip:
@@ -359,12 +410,15 @@ def augment_sample(get, i: int, rng: np.random.Generator,
 
 
 def collate(samples: Sequence[Sample], cfg: ModelConfig, max_gt: int,
-            min_box_px: float = 2.0, with_masks: Optional[bool] = None
+            min_box_px: float = 2.0, with_masks: Optional[bool] = None,
+            input_hw: Optional[Tuple[int, int]] = None
             ) -> Dict[str, np.ndarray]:
     """Fixed-shape padded batch in the train_step contract (model-pixel
-    boxes, -1-padded labels, proto-resolution masks)."""
-    H, W = cfg.input_size
-    mh, mw = cfg.mask_size
+    boxes, -1-padded labels, proto-resolution masks). `input_hw` overrides
+    cfg.input_size for multi-scale training; the mask target tracks it at
+    proto resolution (H//4, W//4)."""
+    H, W = input_hw or cfg.input_size
+    mh, mw = H // 4, W // 4
     if with_masks is None:
         with_masks = cfg.task == "segment"
     B = len(samples)
@@ -410,7 +464,13 @@ class Loader:
     def __init__(self, dataset, cfg: ModelConfig, batch: int,
                  max_gt: int = 16, aug: AugmentConfig = AugmentConfig(),
                  seed: int = 0, mesh=None, prefetch: int = 2,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 scales: Optional[Sequence[Tuple[int, int]]] = None):
+        """`scales`: optional multi-scale bucket list, e.g.
+        [(512,512),(576,576),(640,640),(704,704)]. Each batch picks one
+        bucket deterministically from (seed, epoch, step); the train step
+        compiles once per bucket (anchors/masks follow the batch shape).
+        All entries must be multiples of 32 (P5 stride)."""
         self.ds = dataset
         self.cfg = cfg
         self.batch = batch
@@ -420,6 +480,11 @@ class Loader:
         self.mesh = mesh
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
+        if scales is not None:
+            for hw in scales:
+                if hw[0] % 32 or hw[1] % 32:
+                    raise ValueError(f"scale {hw} not a multiple of 32")
+        self.scales = list(scales) if scales else None
 
     def steps_per_epoch(self) -> int:
         n = len(self.ds)
@@ -428,42 +493,76 @@ class Loader:
     def _host_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
         order = np.random.default_rng((self.seed, epoch)).permutation(n)
-        for b0 in range(0, n - (self.batch - 1) * self.drop_last,
-                        self.batch):
+        for step, b0 in enumerate(
+                range(0, n - (self.batch - 1) * self.drop_last, self.batch)):
             idx = order[b0:b0 + self.batch]
             if len(idx) == 0:
                 break
+            if self.scales:
+                srng = np.random.default_rng((self.seed, epoch, step, 7))
+                input_hw = self.scales[int(srng.integers(len(self.scales)))]
+            else:
+                input_hw = self.cfg.input_size
             samples = []
             for i in idx:
                 rng = np.random.default_rng((self.seed, epoch, int(i)))
                 samples.append(augment_sample(
-                    self.ds.__getitem__, int(i), rng, self.cfg.input_size,
+                    self.ds.__getitem__, int(i), rng, input_hw,
                     self.aug, n))
             yield collate(samples, self.cfg, self.max_gt,
-                          self.aug.min_box_px)
+                          self.aug.min_box_px, input_hw=input_hw)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
-        """Device-placed batches for one epoch, prefetched off-thread."""
+        """Device-placed batches for one epoch, prefetched off-thread.
+
+        Abandoning the generator early (break / next(iter(...))) is safe:
+        the finally block signals the producer and drains the queue so the
+        thread always exits (bounded puts would otherwise block forever)."""
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for hb in self._host_batches(epoch):
-                    q.put(hb)
+                    while not stop.is_set():
+                        try:
+                            q.put(hb, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(SENTINEL)
+                # the SENTINEL must not be dropped when the queue is full
+                # (the consumer would block forever): keep retrying with the
+                # same stop-aware loop used for batches. If stop is set the
+                # consumer is gone and no longer reads the queue.
+                while not stop.is_set():
+                    try:
+                        q.put(SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         import jax
         from xrseg_tpu.parallel import mesh as mesh_lib
-        while True:
-            hb = q.get()
-            if hb is SENTINEL:
-                break
-            if self.mesh is not None:
-                yield mesh_lib.shard_batch(hb, self.mesh)
-            else:
-                yield jax.device_put(hb)
-        t.join()
+        try:
+            while True:
+                hb = q.get()
+                if hb is SENTINEL:
+                    break
+                if self.mesh is not None:
+                    yield mesh_lib.shard_batch(hb, self.mesh)
+                else:
+                    yield jax.device_put(hb)
+        finally:
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)

@@ -23,7 +23,7 @@ Verified against an independent numpy reimplementation
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,13 +61,15 @@ def ciou(box_a: jax.Array, box_b: jax.Array, eps: float = 1e-7) -> jax.Array:
 
 
 def assign_targets(gt_boxes: jax.Array, gt_labels: jax.Array,
-                   cfg: ModelConfig) -> Dict[str, jax.Array]:
+                   cfg: ModelConfig,
+                   input_hw: Optional[Tuple[int, int]] = None
+                   ) -> Dict[str, jax.Array]:
     """Center-inside-box assignment for one image.
 
     Each anchor is assigned the SMALLEST gt box containing its center (ties
     to earlier gt). Returns per-anchor: assigned gt index (-1 none), fg mask.
     """
-    anchors, strides = make_anchors(cfg.input_size)
+    anchors, strides = make_anchors(input_hw or cfg.input_size)
     centers = jnp.asarray(anchors) * jnp.asarray(strides)      # [A,2] pixels
     G = gt_boxes.shape[0]
     gx, gy, gw, gh = (gt_boxes[:, i] for i in range(4))
@@ -88,7 +90,9 @@ def assign_targets_tal(pred_boxes: jax.Array, cls_logits: jax.Array,
                        gt_boxes: jax.Array, gt_labels: jax.Array,
                        cfg: ModelConfig, topk: int = 10,
                        alpha: float = 0.5, beta: float = 6.0,
-                       eps: float = 1e-9) -> Dict[str, jax.Array]:
+                       eps: float = 1e-9,
+                       input_hw: Optional[Tuple[int, int]] = None
+                       ) -> Dict[str, jax.Array]:
     """Task-aligned assignment for one image (the assigner the YOLO11
     family trains with; semantics of ultralytics' TaskAlignedAssigner):
 
@@ -110,7 +114,7 @@ def assign_targets_tal(pred_boxes: jax.Array, cls_logits: jax.Array,
     """
     pred_boxes = jax.lax.stop_gradient(pred_boxes)
     cls_logits = jax.lax.stop_gradient(cls_logits)
-    anchors, strides = make_anchors(cfg.input_size)
+    anchors, strides = make_anchors(input_hw or cfg.input_size)
     centers = jnp.asarray(anchors) * jnp.asarray(strides)        # [A,2]
     valid_gt = gt_labels >= 0                                    # [G]
     gx, gy, gw, gh = (gt_boxes[:, i] for i in range(4))
@@ -155,26 +159,31 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
                    cfg: ModelConfig,
                    box_w: float = 7.5, cls_w: float = 0.5,
                    dfl_w: float = 1.5, seg_w: float = 1.0,
-                   assigner: str = "tal"
+                   assigner: str = "tal",
+                   input_hw: Optional[Tuple[int, int]] = None
                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Batched loss. `out` must be the training forward (raw logits):
     dict(box_logits [B,A,4*reg_max], cls_logits [B,A,nc], boxes_xywh [B,A,4],
          mask_coefs [B,A,nm], protos [B,mh,mw,nm] for segment).
     targets: boxes_xywh [B,G,4], labels [B,G], masks [B,G,mh,mw] optional.
+    input_hw: actual image (H,W) for this batch (multi-scale training);
+    defaults to cfg.input_size.
     """
-    anchors, strides = make_anchors(cfg.input_size)
+    anchors, strides = make_anchors(input_hw or cfg.input_size)
     anchors_j = jnp.asarray(anchors)
     strides_j = jnp.asarray(strides)
 
     def single(out_b, tgt_b):
         if assigner == "tal":
             a = assign_targets_tal(out_b["boxes_xywh"], out_b["cls_logits"],
-                                   tgt_b["boxes_xywh"], tgt_b["labels"], cfg)
+                                   tgt_b["boxes_xywh"], tgt_b["labels"], cfg,
+                                   input_hw=input_hw)
             cls_tgt = a["target_scores"]                         # [A,nc] soft
             w = cls_tgt.sum(-1)                                  # aligned wt
             denom = jnp.maximum(cls_tgt.sum(), 1.0)
         else:
-            a = assign_targets(tgt_b["boxes_xywh"], tgt_b["labels"], cfg)
+            a = assign_targets(tgt_b["boxes_xywh"], tgt_b["labels"], cfg,
+                               input_hw=input_hw)
             gt_lab0 = tgt_b["labels"][a["gt_idx"]]
             cls_tgt = (jax.nn.one_hot(jnp.clip(gt_lab0, 0), cfg.num_classes)
                        * a["fg"][:, None])

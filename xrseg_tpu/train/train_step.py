@@ -66,7 +66,10 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
         tgt = {k: batch[k] for k in ("boxes_xywh", "labels") if k in batch}
         if "masks" in batch and cfg.task == "segment":
             tgt["masks"] = batch["masks"]
-        return detection_loss(out, tgt, cfg)
+        # anchors follow the batch's actual (H,W): multi-scale batches each
+        # trace their own specialization (bounded by the scale bucket list)
+        return detection_loss(out, tgt, cfg,
+                              input_hw=tuple(batch["images"].shape[1:3]))
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -8,8 +8,9 @@ reference lacks, SURVEY §5 "checkpoint/resume: N/A"):
   deployed inference pipeline) -> orbax TrainState checkpoints with resume.
 
 Design notes (TPU-shaped):
-  - one compile: every batch has identical shapes (data.collate pads), so
-    the jitted step compiles exactly once per fit();
+  - one compile per shape: every batch has identical shapes (data.collate
+    pads), so the jitted step compiles once per fit() — or once per scale
+    bucket when multi-scale training (TrainConfig.scales) is on;
   - host/device overlap: the Loader prefetches + shards the next batch on
     a background thread while the device steps;
   - validation runs through the REAL deployed pipeline (compile.
@@ -52,6 +53,10 @@ class TrainConfig:
     # exponential moving average of params (the YOLO-family eval/deploy
     # weights); 0 disables. Validation and `best` params use the EMA.
     ema_decay: float = 0.9995
+    # multi-scale training: tuple of (H,W) buckets (multiples of 32), e.g.
+    # ((512,512),(576,576),(640,640),(704,704)). None = fixed cfg size.
+    # Each bucket compiles its own train-step specialization once.
+    scales: Optional[tuple] = None
 
 
 class Trainer:
@@ -169,7 +174,7 @@ class Trainer:
         epochs = t.epochs if epochs is None else epochs
         loader = data_lib.Loader(dataset, self.cfg, t.batch,
                                  max_gt=t.max_gt, aug=t.aug, seed=t.seed,
-                                 mesh=self.mesh)
+                                 mesh=self.mesh, scales=t.scales)
         steps_per_epoch = loader.steps_per_epoch()
         if self.state is None:
             self._init_state(steps_per_epoch * epochs, resume)
