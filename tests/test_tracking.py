@@ -138,3 +138,79 @@ def test_multi_target_reset():
     tr.update([_box(0, 0)])
     tr.reset()
     assert tr.tracks == [] and tr.update([_box(0, 0)])[0].track_id == 1
+
+
+# ---------------------------------------------------------------------------
+# Kalman motion model (SORT-style capability extension)
+# ---------------------------------------------------------------------------
+
+def _bb(cx, cy, w=40.0, h=40.0, name="person"):
+    from xrseg_tpu.perception.tracking import BoundingBox
+    return BoundingBox(center_x=cx, center_y=cy, width=w, height=h,
+                       label=0, class_name=name, score=0.9)
+
+
+def test_kalman_learns_constant_velocity():
+    from xrseg_tpu.perception.tracking import KalmanBoxFilter
+
+    kf = KalmanBoxFilter(_bb(0.0, 0.0))
+    # observe an object moving +10 px/frame in x
+    for i in range(1, 8):
+        kf.predict()
+        kf.update(_bb(10.0 * i, 0.0))
+    # predicting two more frames extrapolates along the learned velocity
+    p1 = kf.predict()
+    p2 = kf.predict()
+    assert abs(p1[0] - 80.0) < 2.0
+    assert abs(p2[0] - 90.0) < 2.0
+    assert abs(p2[1]) < 1.0
+
+
+def test_motion_tracker_survives_occlusion_of_fast_mover():
+    """A fast mover (step > box size) occluded for 2 frames: the motion
+    tracker coasts on predicted velocity and re-associates (same id);
+    the memoryless tracker cannot (zero IoU with the stale box)."""
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+
+    def run(motion):
+        tr = MultiTargetTracker(iou_threshold=0.3, max_misses=3,
+                                min_hits=1, motion=motion)
+        # visible for 6 frames at +20 px/frame (box is 40 px wide, so
+        # consecutive frames still overlap enough for the initial match)
+        for i in range(6):
+            tr.update([_bb(20.0 * i, 0.0)])
+        tid = tr.confirmed[0].track_id
+        tr.update([])                      # occluded
+        tr.update([])                      # occluded
+        # reappears on-trajectory, 60 px past the last sighting: zero IoU
+        # with the stale box, but the prediction has coasted there
+        out = tr.update([_bb(20.0 * 8, 0.0)])
+        # id of the track that owns the reappeared detection (x=160)
+        owner = [t.track_id for t in out
+                 if abs(t.box.center_x - 160.0) < 5.0]
+        return tid, owner
+
+    tid, owner = run(motion=True)
+    assert owner == [tid], f"motion tracker should re-associate {tid}: {owner}"
+    tid2, owner2 = run(motion=False)
+    assert owner2 and tid2 not in owner2, \
+        "memoryless tracker should give the reappearance a new id"
+
+
+def test_motion_tracker_smooths_noisy_boxes():
+    """Matched updates publish the filtered box: with zero-mean observation
+    noise the track position stays closer to truth than the raw detection."""
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+
+    rng = np.random.default_rng(0)
+    tr = MultiTargetTracker(min_hits=1, motion=True)
+    err_det, err_trk = [], []
+    for i in range(30):
+        truth = 5.0 * i
+        noise = float(rng.normal(0, 4.0))
+        det = _bb(truth + noise, 0.0)
+        tr.update([det])
+        if i >= 10:                       # after velocity converges
+            err_det.append(abs(noise))
+            err_trk.append(abs(tr.confirmed[0].box.center_x - truth))
+    assert np.mean(err_trk) < np.mean(err_det)

@@ -94,6 +94,57 @@ def iou(a: BoundingBox, b: BoundingBox) -> float:
     return inter / union if union > 0 else 0.0
 
 
+class KalmanBoxFilter:
+    """Constant-velocity Kalman filter over (cx, cy, w, h) — the SORT-style
+    motion model (Bewley et al. 2016), on our center-origin screen boxes.
+
+    State [cx, cy, w, h, vcx, vcy, vw, vh]; observations are the box
+    itself. Velocities start unknown (large prior variance) and are learned
+    from the measurement stream. Capability extension beyond the
+    reference's memoryless nearest-center match (IEExecutor.cs:485-526):
+    prediction carries a track through missed/occluded frames and keeps
+    the match gate centered on where the object is *going*.
+    """
+
+    def __init__(self, box: BoundingBox, dt: float = 1.0,
+                 process_var: float = 1.0, measure_var: float = 1.0):
+        self.x = np.array([box.center_x, box.center_y,
+                           box.width, box.height,
+                           0.0, 0.0, 0.0, 0.0], np.float64)
+        # position prior tight-ish (we just observed it), velocity wide open
+        self.P = np.diag([10.0] * 4 + [1000.0] * 4)
+        self.F = np.eye(8)
+        self.F[:4, 4:] = np.eye(4) * dt
+        self.H = np.eye(4, 8)
+        # size velocities drift slower than position velocities
+        self.Q = np.diag([1.0, 1.0, 1.0, 1.0,
+                          0.1, 0.1, 0.01, 0.01]) * process_var
+        self.R = np.eye(4) * measure_var
+
+    def predict(self) -> np.ndarray:
+        self.x = self.F @ self.x
+        self.x[2:4] = np.maximum(self.x[2:4], 1e-3)   # sizes stay positive
+        self.P = self.F @ self.P @ self.F.T + self.Q
+        return self.x[:4].copy()
+
+    def update(self, box: BoundingBox) -> np.ndarray:
+        z = np.array([box.center_x, box.center_y, box.width, box.height],
+                     np.float64)
+        y = z - self.H @ self.x
+        S = self.H @ self.P @ self.H.T + self.R
+        K = self.P @ self.H.T @ np.linalg.inv(S)
+        self.x = self.x + K @ y
+        self.x[2:4] = np.maximum(self.x[2:4], 1e-3)
+        self.P = (np.eye(8) - K @ self.H) @ self.P
+        return self.x[:4].copy()
+
+    def as_box(self, like: BoundingBox) -> BoundingBox:
+        """Current state as a BoundingBox carrying `like`'s metadata."""
+        return dataclasses.replace(
+            like, center_x=float(self.x[0]), center_y=float(self.x[1]),
+            width=float(self.x[2]), height=float(self.x[3]))
+
+
 @dataclasses.dataclass
 class Track:
     """One tracked object (multi-target tracking extension)."""
@@ -102,6 +153,7 @@ class Track:
     hits: int = 1
     misses: int = 0
     age: int = 1
+    kf: Optional[KalmanBoxFilter] = None
 
 
 class MultiTargetTracker:
@@ -117,10 +169,15 @@ class MultiTargetTracker:
     """
 
     def __init__(self, iou_threshold: float = 0.3, max_misses: int = 5,
-                 min_hits: int = 2):
+                 min_hits: int = 2, motion: bool = False):
+        """motion=True attaches a constant-velocity KalmanBoxFilter to each
+        track: matching runs against the *predicted* box and lost frames
+        coast along the estimated velocity (SORT semantics), so fast movers
+        survive short occlusions that break memoryless IoU matching."""
         self.iou_threshold = iou_threshold
         self.max_misses = max_misses
         self.min_hits = min_hits
+        self.motion = motion
         self.tracks: List[Track] = []
         self._next_id = 1
 
@@ -134,6 +191,13 @@ class MultiTargetTracker:
 
     def update(self, boxes: Sequence[BoundingBox]) -> List[Track]:
         """Advance one frame; returns confirmed tracks."""
+        # with motion on, advance each track to its predicted box first —
+        # matching and lost-frame coasting both use the prediction
+        if self.motion:
+            for t in self.tracks:
+                if t.kf is not None:
+                    t.kf.predict()
+                    t.box = t.kf.as_box(t.box)
         # score all (track, detection) same-class pairs by IoU
         pairs = []
         for ti, t in enumerate(self.tracks):
@@ -151,10 +215,14 @@ class MultiTargetTracker:
             used_t.add(ti)
             used_d.add(di)
             t = self.tracks[ti]
-            t.box = boxes[di]
+            if t.kf is not None:
+                t.kf.update(boxes[di])
+                t.box = t.kf.as_box(boxes[di])   # filtered pos, det metadata
+            else:
+                t.box = boxes[di]
             t.hits += 1
             t.misses = 0
-        # unmatched tracks age out
+        # unmatched tracks age out (coasting on the prediction when motion)
         for ti, t in enumerate(self.tracks):
             t.age += 1
             if ti not in used_t:
@@ -163,7 +231,9 @@ class MultiTargetTracker:
         # unmatched detections spawn tracks
         for di, d in enumerate(boxes):
             if di not in used_d:
-                self.tracks.append(Track(self._next_id, d))
+                self.tracks.append(Track(
+                    self._next_id, d,
+                    kf=KalmanBoxFilter(d) if self.motion else None))
                 self._next_id += 1
         return self.confirmed
 
