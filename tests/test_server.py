@@ -74,3 +74,60 @@ def test_stats_counts_requests(server):
     assert s["requests"] >= 2
     assert s["errors"] >= 1
     assert "infer" in s["stages"]
+
+
+# ---------------------------------------------------------------------------
+# dynamic micro-batching
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mb_server():
+    from xrseg_tpu.runtime.server import InferenceServer
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=10))
+    srv = InferenceServer(cfg, port=0, micro_batch=4,
+                          batch_window_ms=150.0).start()
+    yield srv
+    srv.close()
+
+
+def _npy(img):
+    buf = io.BytesIO()
+    np.save(buf, img)
+    return buf.getvalue()
+
+
+def test_micro_batch_concurrent_requests_match_sequential(mb_server):
+    """Concurrent requests coalesce into one device batch; every request
+    must get ITS OWN result (ordering + padding discard), identical to
+    what it gets when sent alone."""
+    import threading
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            for _ in range(3)]
+    # sequential reference (each a batch of 1 through the same path)
+    ref = [_post(mb_server, _npy(im)) for im in imgs]
+
+    results = [None] * len(imgs)
+
+    def worker(i):
+        results[i] = _post(mb_server, _npy(imgs[i]))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, (r, g) in enumerate(zip(results, ref)):
+        assert r is not None, f"request {i} got no reply"
+        assert r["count"] == g["count"], (i, r, g)
+        assert r["detections"] == g["detections"], i
+
+    # the batch histogram must show at least one multi-request batch
+    with urllib.request.urlopen(_url(mb_server, "/stats"), timeout=30) as rr:
+        st = json.loads(rr.read())
+    assert st["micro_batch"] == 4
+    assert any(int(k) > 1 for k in st["batch_hist"]), st["batch_hist"]

@@ -18,17 +18,26 @@ Design: one device pipeline guarded by a lock (a TPU executes one program
 at a time — concurrency belongs in the batch axis, not in racing
 dispatches); request decode/resize runs host-side per connection thread.
 
+Dynamic micro-batching (micro_batch > 1): concurrent requests are
+collected for up to `batch_window_ms` and dispatched as ONE batched
+device program — the TPU-shaped answer to concurrency (the MXU wants a
+batch axis, not interleaved batch-1 programs). Batch sizes are bucketed
+to powers of two so each bucket compiles once (fixed shapes); requests
+pad the bucket and padding rows are discarded.
+
 CLI: python -m xrseg_tpu.runtime.server --port 8000 \
-        [--weights w.{sentis,onnx,npz}] [--scale n] [--frame-hw 480 640]
+        [--weights w.{sentis,onnx,npz}] [--scale n] [--frame-hw 480 640] \
+        [--micro-batch 8 --batch-window-ms 3]
 """
 from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -44,7 +53,8 @@ class InferenceServer:
     def __init__(self, cfg: ExecutorConfig, params=None,
                  frame_hw: Optional[Tuple[int, int]] = None,
                  host: str = "127.0.0.1", port: int = 8000,
-                 labels=None, seed: int = 0):
+                 labels=None, seed: int = 0,
+                 micro_batch: int = 1, batch_window_ms: float = 3.0):
         from xrseg_tpu.compile import load_model
 
         self.cfg = cfg
@@ -58,6 +68,20 @@ class InferenceServer:
         self._requests = 0
         self._errors = 0
         self._t_start = time.time()
+
+        # -- dynamic micro-batching --
+        self.micro_batch = max(1, int(micro_batch))
+        self.batch_window_ms = float(batch_window_ms)
+        self._pipelines: Dict[int, object] = {1: self.pipeline}
+        self._pipelines_lock = threading.Lock()
+        self._batch_hist: Dict[int, int] = {}
+        self._closing = False
+        self._q: "queue.Queue" = queue.Queue()
+        self._dispatcher: Optional[threading.Thread] = None
+        if self.micro_batch > 1:
+            self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                                daemon=True)
+            self._dispatcher.start()
 
         server = self
 
@@ -121,13 +145,19 @@ class InferenceServer:
         with self.tracer.section("decode"):
             frame = self._decode(data)
         t0 = time.perf_counter()
-        with self._lock, self.tracer.section("infer"):
-            det = self.pipeline(frame[None])
-            from xrseg_tpu.compile import unpack_slate
-            host = unpack_slate(np.asarray(det["slate"][0]),
-                                self.cfg.post.max_detections)
+        if self.micro_batch > 1:
+            host = self._infer_batched(frame)
+        else:
+            with self._lock, self.tracer.section("infer"):
+                det = self.pipeline(frame[None])
+                from xrseg_tpu.compile import unpack_slate
+                host = unpack_slate(np.asarray(det["slate"][0]),
+                                    self.cfg.post.max_detections)
         latency_ms = (time.perf_counter() - t0) * 1e3
         self._requests += 1
+        return self._format(host, latency_ms)
+
+    def _format(self, host: dict, latency_ms: float) -> dict:
         n = int(host["count"])
         from xrseg_tpu.ops.preprocess import boxes_to_frame_space
         boxes = boxes_to_frame_space(host["boxes_xywh"][:n], self.frame_hw,
@@ -145,6 +175,76 @@ class InferenceServer:
         return {"detections": dets, "count": n,
                 "latency_ms": round(latency_ms, 2)}
 
+    # -- micro-batching -------------------------------------------------
+
+    class _Pending:
+        __slots__ = ("frame", "event", "result", "error")
+
+        def __init__(self, frame):
+            self.frame = frame
+            self.event = threading.Event()
+            self.result = None
+            self.error: Optional[Exception] = None
+
+    def _infer_batched(self, frame: np.ndarray) -> dict:
+        item = self._Pending(frame)
+        self._q.put(item)
+        if not item.event.wait(timeout=300.0):
+            raise RuntimeError("inference timed out in the batch queue")
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def _pipeline_for(self, b: int):
+        """Bucketed pipeline, compiled lazily once per batch size."""
+        with self._pipelines_lock:
+            if b not in self._pipelines:
+                from xrseg_tpu.compile import build_pipeline
+                with self.tracer.section(f"compile_b{b}"):
+                    self._pipelines[b] = build_pipeline(
+                        self.cfg, self.pipeline.params,
+                        frame_hw=self.frame_hw, batch=b).warmup()
+            return self._pipelines[b]
+
+    def _dispatch_loop(self) -> None:
+        """Collect requests for up to batch_window_ms, run ONE batched
+        device program, fan results back out."""
+        from xrseg_tpu.compile import unpack_slate
+        while not self._closing:
+            try:
+                items = [self._q.get(timeout=0.1)]
+            except queue.Empty:
+                continue
+            deadline = time.perf_counter() + self.batch_window_ms / 1e3
+            while len(items) < self.micro_batch:
+                rem = deadline - time.perf_counter()
+                if rem <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=rem))
+                except queue.Empty:
+                    break
+            b = 1
+            while b < len(items):
+                b *= 2
+            try:
+                frames = np.stack(
+                    [it.frame for it in items]
+                    + [np.zeros_like(items[0].frame)] * (b - len(items)))
+                with self._lock, self.tracer.section("infer"):
+                    det = self._pipeline_for(b)(frames)
+                    slates = np.asarray(det["slate"][:len(items)])
+                self._batch_hist[len(items)] = (
+                    self._batch_hist.get(len(items), 0) + 1)
+                for it, slate in zip(items, slates):
+                    it.result = unpack_slate(slate,
+                                             self.cfg.post.max_detections)
+                    it.event.set()
+            except Exception as e:       # surface to every waiting request
+                for it in items:
+                    it.error = e
+                    it.event.set()
+
     def health(self) -> dict:
         return {"ok": True, "scale": self.cfg.model.scale,
                 "task": self.cfg.model.task,
@@ -152,9 +252,14 @@ class InferenceServer:
                 "input_size": list(self.cfg.model.input_size)}
 
     def stats(self) -> dict:
-        return {"requests": self._requests, "errors": self._errors,
-                "uptime_s": round(time.time() - self._t_start, 1),
-                "stages": self.tracer.summary()}
+        out = {"requests": self._requests, "errors": self._errors,
+               "uptime_s": round(time.time() - self._t_start, 1),
+               "stages": self.tracer.summary()}
+        if self.micro_batch > 1:
+            out["micro_batch"] = self.micro_batch
+            out["batch_hist"] = {str(k): v for k, v
+                                 in sorted(self._batch_hist.items())}
+        return out
 
     # ------------------------------------------------------------------
 
@@ -168,10 +273,13 @@ class InferenceServer:
         self.httpd.serve_forever()
 
     def close(self) -> None:
+        self._closing = True
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self._dispatcher is not None:
+            self._dispatcher.join(timeout=5)
 
 
 def _main() -> int:
@@ -190,6 +298,10 @@ def _main() -> int:
     ap.add_argument("--iou", type=float, default=0.6)
     ap.add_argument("--score", type=float, default=0.23)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--micro-batch", type=int, default=1,
+                    help="max dynamic batch size (1 = off)")
+    ap.add_argument("--batch-window-ms", type=float, default=3.0,
+                    help="how long to wait collecting a batch")
     args = ap.parse_args()
 
     if args.cpu:
@@ -210,7 +322,9 @@ def _main() -> int:
     cfg = dataclasses.replace(cfg, post=dataclasses.replace(
         cfg.post, iou_threshold=args.iou, score_threshold=args.score))
     srv = InferenceServer(cfg, params=params, frame_hw=args.frame_hw,
-                          host=args.host, port=args.port)
+                          host=args.host, port=args.port,
+                          micro_batch=args.micro_batch,
+                          batch_window_ms=args.batch_window_ms)
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(POST /infer, GET /healthz, GET /stats)", flush=True)
     try:
