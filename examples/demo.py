@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--sentis", default=None,
                     help=".sentis model file (reference artifact) to load")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--camera", default=None, metavar="/dev/videoN",
+                    help="xr mode: use a live V4L2 camera instead of the "
+                         "synthetic source (no depth/pose -> detection+"
+                         "tracking only)")
     ap.add_argument("--score-threshold", type=float, default=None,
                     help="override the preset NMS score threshold")
     args = ap.parse_args()
@@ -123,9 +127,18 @@ def main() -> int:
         if bg_src.open():
             background = next(bg_src.frames()).rgb
             print(f"using real-image background from {args.images}")
-    src = SyntheticCameraSource(frame_hw=(480, 640), depth_hw=(128, 128),
-                                max_frames=args.frames, realtime=True,
-                                background_rgb=background)
+    if args.camera:
+        from xrseg_tpu.runtime.v4l2 import V4L2CameraSource
+        src = V4L2CameraSource(args.camera, max_frames=args.frames)
+        src.request_resolution((640, 480))
+        if not src.open():
+            print(f"error: camera {args.camera} not available")
+            return 1
+        src.intrinsics = SyntheticCameraSource().intrinsics  # no real calib
+    else:
+        src = SyntheticCameraSource(frame_hw=(480, 640), depth_hw=(128, 128),
+                                    max_frames=args.frames, realtime=True,
+                                    background_rgb=background)
     ex = Executor(cfg, params=params, frame_hw=(480, 640), seed=args.seed)
     print("model loaded; streaming synthetic passthrough camera")
     # The app loop is now a library module (runtime/xr_loop.py); the demo
