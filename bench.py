@@ -31,7 +31,8 @@ def _enable_compile_cache() -> None:
 def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
                      repeats: int = 2, task: str = "segment",
                      frame_hw=None, input_size=(640, 640),
-                     post_overrides: dict | None = None) -> dict:
+                     post_overrides: dict | None = None,
+                     params_dtype: str | None = None) -> dict:
     """Pure device throughput: N pipeline invocations CHAINED on-device via
     lax.scan (each batch's input depends on the previous batch's output, so
     nothing can be elided or overlapped away), one scalar readback at the
@@ -53,6 +54,9 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
         cfg = _dc.replace(cfg, post=_dc.replace(cfg.post, **post_overrides))
     mcfg, pcfg = cfg.model, cfg.post
     params = yolo11.init_params(jax.random.key(0), mcfg)
+    if params_dtype:
+        from xrseg_tpu.io.weights import cast_params
+        params = cast_params(params, params_dtype)
 
     from xrseg_tpu.ops.postprocess import postprocess_batch_parts
 
@@ -104,7 +108,8 @@ def run_latency_bench(n_frames: int = 60, warmup: int = 8,
     from xrseg_tpu.config import ExecutorConfig, ModelConfig
 
     cfg = ExecutorConfig(model=ModelConfig(scale=scale))
-    pipe = load_model(cfg, batch=1)   # warms up + absorbs first D2H
+    # bf16 weight storage: the batch-1 serving configuration (see README)
+    pipe = load_model(cfg, batch=1, params_dtype="bfloat16")
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.integers(0, 255, (1, 640, 640, 3)), jnp.uint8)
               for _ in range(2)]
@@ -173,7 +178,9 @@ def run_bench(batch: int = 32, n_batches: int = 60, warmup_batches: int = 8,
 # The five BASELINE.json configs (single chip; config 5's two stereo
 # streams = batch 2).
 BASELINE_CONFIGS = {
-    1: dict(scale="n", task="segment", batch=1),
+    # config 1 is the latency mode: bf16 weight storage halves weight HBM
+    # reads, measured ~7% faster at batch=1 (neutral at large batch)
+    1: dict(scale="n", task="segment", batch=1, params_dtype="bfloat16"),
     2: dict(scale="n", task="detect", batch=8),
     3: dict(scale="s", task="segment", batch=32),
     4: dict(scale="m", task="segment", batch=1, frame_hw=(960, 1280)),

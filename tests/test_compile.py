@@ -113,3 +113,30 @@ def test_bad_input_format():
                           input_format="nv12")
     with pytest.raises(ValueError):
         pipe(jnp.zeros((1, 64, 64, 3), jnp.uint8))
+
+
+def test_params_dtype_bf16_storage():
+    """params_dtype='bfloat16' casts weights once at build; the pipeline
+    runs and its detections stay close to fp32-stored weights (activations
+    use cfg.dtype either way — bf16 storage only rounds the weights)."""
+    cfg = _cfg()
+    params = yolo11.init_params(jax.random.key(0), cfg.model)
+    frames = np.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3)), np.uint8)
+    p32 = build_pipeline(cfg, params, frame_hw=(64, 64), batch=1)
+    p16 = build_pipeline(cfg, params, frame_hw=(64, 64), batch=1,
+                         params_dtype="bfloat16")
+    # every stored float leaf really is bf16
+    leaves = [x for x in jax.tree.leaves(p16.params)
+              if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+    assert leaves and all(x.dtype == jnp.bfloat16 for x in leaves)
+    d32 = p32(frames)
+    d16 = p16(frames)
+    assert int(d16["count"][0]) == int(d32["count"][0])
+    n = int(d32["count"][0])
+    if n:
+        np.testing.assert_array_equal(np.asarray(d16["labels"][0, :n]),
+                                      np.asarray(d32["labels"][0, :n]))
+        np.testing.assert_allclose(np.asarray(d16["scores"][0, :n]),
+                                   np.asarray(d32["scores"][0, :n]),
+                                   atol=0.05)

@@ -57,6 +57,10 @@ def measure(dtype: str, platform: str, geometry: str) -> None:
 
     images, _ = _load_images(geometry)
     params, mcfg = load_yolo11_params(SENTIS)
+    if dtype.endswith("-w16"):        # bf16 weight STORAGE (latency mode)
+        from xrseg_tpu.io.weights import cast_params
+        params = cast_params(params, "bfloat16")
+        dtype = dtype[:-4]
     mcfg = dataclasses.replace(mcfg, dtype=dtype)
     pcfg = PostprocessConfig(iou_threshold=0.43, score_threshold=0.301)
     rep = parity_report(images, params, mcfg, pcfg)
@@ -79,6 +83,8 @@ def main() -> int:
         ("float32", "cpu", "float32 / CPU (implementation parity)"),
         ("float32", "default", "float32 / TPU default matmul precision"),
         ("bfloat16", "default", "bfloat16 / TPU (deployed)"),
+        ("bfloat16-w16", "default",
+         "bfloat16 + bf16 weights / TPU (latency mode)"),
     ]
     reports = {}
     for dtype, platform, label in configs:
@@ -145,6 +151,10 @@ def main() -> int:
         "  of the reference's uint8 weight quantization",
         "  (IEModelEditorConverter.cs:101), which it is strictly closer to",
         "  fp32 than.",
+        "- **bfloat16 + bf16 weights** additionally stores the weights in",
+        "  bf16 (`params_dtype='bfloat16'`, the batch-1 latency serving",
+        "  option, +7% measured) — the row quantifies the storage-rounding",
+        "  cost on top of bf16 compute.",
         "",
         "Raw numbers:",
         "```json",

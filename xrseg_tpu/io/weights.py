@@ -116,6 +116,26 @@ def dequantize_int8(params: Params, dtype=jnp.float32) -> Params:
     return rec(params)
 
 
+def cast_params(params: Params, dtype) -> Params:
+    """Cast every float array to `dtype` (weight-storage precision).
+
+    bf16 storage halves weight HBM traffic; measured on one v5e chip it's
+    ~7% faster at batch=1 (2.42 -> 2.26 ms/frame, n-seg 640) and neutral
+    at batch=128 where weight reads amortize. Integer arrays (int8 q,
+    labels) pass through untouched.
+    """
+    import jax
+
+    dt = jnp.dtype(dtype)
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dt)
+        return x
+
+    return jax.tree.map(cast, params)
+
+
 def quantized_size_bytes(params: Params) -> int:
     total = 0
     for a in jax.tree.leaves(params):

@@ -54,7 +54,8 @@ class InferenceServer:
                  frame_hw: Optional[Tuple[int, int]] = None,
                  host: str = "127.0.0.1", port: int = 8000,
                  labels=None, seed: int = 0,
-                 micro_batch: int = 1, batch_window_ms: float = 3.0):
+                 micro_batch: int = 1, batch_window_ms: float = 3.0,
+                 params_dtype: Optional[str] = None):
         from xrseg_tpu.compile import load_model
 
         self.cfg = cfg
@@ -62,8 +63,11 @@ class InferenceServer:
         self.labels = list(labels) if labels is not None else list(COCO_LABELS)
         self.tracer = Tracer()
         with self.tracer.section("load_model"):
+            # params_dtype="bfloat16": weight-storage cast once at build
+            # (~7% faster at batch=1 on v5e; see io/weights.cast_params)
             self.pipeline = load_model(cfg, params=params, seed=seed,
-                                       frame_hw=self.frame_hw, batch=1)
+                                       frame_hw=self.frame_hw, batch=1,
+                                       params_dtype=params_dtype)
         self._lock = threading.Lock()
         self._requests = 0
         self._errors = 0
@@ -302,6 +306,10 @@ def _main() -> int:
                     help="max dynamic batch size (1 = off)")
     ap.add_argument("--batch-window-ms", type=float, default=3.0,
                     help="how long to wait collecting a batch")
+    ap.add_argument("--params-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="weight storage precision (bfloat16: ~7% faster "
+                         "at batch=1, halves weight HBM)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -324,7 +332,8 @@ def _main() -> int:
     srv = InferenceServer(cfg, params=params, frame_hw=args.frame_hw,
                           host=args.host, port=args.port,
                           micro_batch=args.micro_batch,
-                          batch_window_ms=args.batch_window_ms)
+                          batch_window_ms=args.batch_window_ms,
+                          params_dtype=args.params_dtype)
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(POST /infer, GET /healthz, GET /stats)", flush=True)
     try:
