@@ -151,10 +151,13 @@ def main() -> int:
         "  of the reference's uint8 weight quantization",
         "  (IEModelEditorConverter.cs:101), which it is strictly closer to",
         "  fp32 than.",
-        "- **bfloat16 + bf16 weights** additionally stores the weights in",
-        "  bf16 (`params_dtype='bfloat16'`, the batch-1 latency serving",
-        "  option, +7% measured) — the row quantifies the storage-rounding",
-        "  cost on top of bf16 compute.",
+        "- **bfloat16 + bf16 weights** stores the weights in bf16",
+        "  (`params_dtype='bfloat16'`, the batch-1 latency serving option,",
+        "  +7% measured). BOTH sides load the bf16-rounded weights (the",
+        "  oracle casts them back to fp32), so this row measures pipeline",
+        "  agreement under the deployed storage rounding — near-exact —",
+        "  while the oracle detection count (108 vs 109) shows the rounding",
+        "  itself flips exactly one borderline-gate detection on this set.",
         "",
         "Raw numbers:",
         "```json",
