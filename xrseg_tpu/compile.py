@@ -207,7 +207,10 @@ def _main() -> int:
           [--frame-hw 480 640] [--batch 1]
 
     Loads weights, bakes preprocess+network+decode+NMS+masks into one
-    program, and saves the AOT StableHLO artifact.
+    program, and saves the AOT StableHLO artifact. With an .onnx --out it
+    instead exports an ultralytics-contract ONNX file (io/onnx_export) —
+    the format the reference's Unity converter consumes, closing the
+    TPU-finetune -> Unity-deploy loop.
     """
     import argparse
 
@@ -221,8 +224,21 @@ def _main() -> int:
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
+    if args.out.endswith(".onnx"):
+        # pure host-side export: keep params off the accelerator (pulling
+        # ~300 leaves back over a tunneled PJRT takes minutes)
+        jax.config.update("jax_platforms", "cpu")
+
     from xrseg_tpu.io.weights import load_params_auto
     params, mcfg = load_params_auto(args.weights, ModelConfig(scale=args.scale))
+    if args.out.endswith(".onnx"):
+        import os
+
+        from xrseg_tpu.io.onnx_export import export_onnx
+        export_onnx(jax.device_get(params), mcfg, args.out)
+        print(f"exported {args.weights} -> {args.out} "
+              f"({os.path.getsize(args.out) / 1e6:.1f} MB, ONNX opset 13)")
+        return 0
     cfg = ExecutorConfig(model=mcfg, post=PostprocessConfig(
         iou_threshold=args.iou, score_threshold=args.score))
     pipe = build_pipeline(cfg, params,
