@@ -347,3 +347,26 @@ def test_executor_pipeline_cache_lru_eviction():
     ex.run_sync(FrameData(rgb=np.zeros((128, 64, 3), np.uint8)))  # evicts
     assert set(ex._pipelines) == {(64, 64), (128, 64)}
     assert len(ex._pipelines) == 2
+
+
+def test_executor_multi_tracking_extension():
+    """multi_tracking=True: FrameResult.tracks carries id'd tracks for all
+    detections, independent of the single-target lock; ids persist across
+    frames of the same scene and reset_tracking clears them."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_cfg(), multi_tracking=True,
+                              motion_model=True)
+    ex = Executor(cfg, frame_hw=(64, 64), seed=0)
+    r1 = ex.run_sync(_frame(3))
+    assert r1.tracks is not None            # present (possibly empty)
+    if r1.count == 0:
+        pytest.skip("random weights produced no detections this seed")
+    r2 = ex.run_sync(_frame(3))             # identical frame -> same boxes
+    assert r2.tracks, "tracks should confirm after two hits"
+    ids2 = {t.track_id for t in r2.tracks}
+    r3 = ex.run_sync(_frame(3))
+    ids3 = {t.track_id for t in r3.tracks}
+    assert ids2 & ids3, "ids should persist on a static scene"
+    ex.reset_tracking()
+    assert ex.multi_tracker.tracks == []

@@ -98,6 +98,11 @@ class ExecutorConfig:
     tracking_gate_px: float = 300.0        # same-class nearest-center gate (IEExecutor.cs:509)
     select_margin_px: float = 50.0         # touch margin (IEExecutor.cs:739,783)
     batch_size: int = 1
+    # capability extensions beyond the reference's single-target lock:
+    # maintain ids for ALL detections (FrameResult.tracks), optionally with
+    # the SORT-style Kalman motion model (predicted-box matching + coasting)
+    multi_tracking: bool = False
+    motion_model: bool = False
 
 
 # "Scene" presets — the reference's two scenes as configs.

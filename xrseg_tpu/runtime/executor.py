@@ -34,7 +34,8 @@ from xrseg_tpu.compile import CompiledPipeline, load_model
 from xrseg_tpu.config import ExecutorConfig
 from xrseg_tpu.perception.camera import LatencyCompensator, Pose
 from xrseg_tpu.perception.rgbd import PointCloud, PointCloudExtractor
-from xrseg_tpu.perception.tracking import (BoundingBox, TargetTracker,
+from xrseg_tpu.perception.tracking import (BoundingBox, MultiTargetTracker,
+                                           TargetTracker, Track,
                                            box_to_model_space, parse_boxes)
 from xrseg_tpu.runtime.frame_source import FrameData
 from xrseg_tpu.runtime.tracing import Tracer
@@ -61,6 +62,7 @@ class FrameResult:
     point_cloud: Optional[PointCloud] = None
     count: int = 0
     latency_s: float = 0.0
+    tracks: Optional[List[Track]] = None   # multi_tracking extension
 
 
 class Executor:
@@ -94,6 +96,8 @@ class Executor:
                              mask_hw=cfg.model.mask_size)
         self.tracker = TargetTracker(cfg.tracking_gate_px,
                                      cfg.select_margin_px)
+        self.multi_tracker = (MultiTargetTracker(motion=cfg.motion_model)
+                              if cfg.multi_tracking else None)
         self.points = PointCloudExtractor(cfg.depth, backend=depth_backend)
         self.latency = LatencyCompensator(cfg.depth.latency_seconds)
 
@@ -224,6 +228,8 @@ class Executor:
     def reset_tracking(self) -> None:
         """ResetTracking (IEExecutor.cs:703-712)."""
         self.tracker.reset()
+        if self.multi_tracker is not None:
+            self.multi_tracker.reset()
         self.points.clear()
         self.masker.reset()
 
@@ -336,6 +342,11 @@ class Executor:
         latency = time.perf_counter() - self._dispatch_t0
         result = FrameResult(boxes=self.current_frame_boxes, count=count,
                              latency_s=latency)
+
+        # capability extension: id'd tracks for every detection, every frame
+        if self.multi_tracker is not None:
+            result.tracks = self.multi_tracker.update(
+                self.current_frame_boxes)
 
         # Case 1: not tracking -> box overlay only (IEExecutor.cs:470-483)
         if not self.tracker.is_tracking:
