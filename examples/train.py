@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/xrseg_run")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-mosaic", action="store_true")
+    ap.add_argument("--copy-paste", type=float, default=0.0,
+                    help="per-instance segment copy-paste probability")
+    ap.add_argument("--scales", type=int, nargs="+", default=None,
+                    help="multi-scale bucket sizes (multiples of 32), e.g. "
+                         "--scales 512 576 640 704; one compile per bucket")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (e.g. for smoke tests)")
     args = ap.parse_args()
@@ -77,9 +82,12 @@ def main() -> int:
         from xrseg_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh((args.mesh, 1))
 
-    aug = D.AugmentConfig(mosaic=0.0 if args.no_mosaic else 1.0)
+    aug = D.AugmentConfig(mosaic=0.0 if args.no_mosaic else 1.0,
+                          copy_paste=args.copy_paste)
+    scales = (tuple((s, s) for s in args.scales) if args.scales else None)
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, lr=args.lr,
-                       max_gt=args.max_gt, aug=aug, ckpt_dir=args.out)
+                       max_gt=args.max_gt, aug=aug, ckpt_dir=args.out,
+                       scales=scales)
     tr = Trainer(cfg, tcfg, mesh=mesh, params=params)
     tr.fit(train_ds, val_dataset=val_ds, resume=args.resume)
     print(f"done: {len(tr.history)} epochs, checkpoints in {args.out}")

@@ -131,3 +131,41 @@ def test_micro_batch_concurrent_requests_match_sequential(mb_server):
         st = json.loads(rr.read())
     assert st["micro_batch"] == 4
     assert any(int(k) > 1 for k in st["batch_hist"]), st["batch_hist"]
+
+
+# ---------------------------------------------------------------------------
+# mask serving (COCO RLE)
+# ---------------------------------------------------------------------------
+
+def test_rle_roundtrip():
+    from xrseg_tpu.runtime.server import rle_decode, rle_encode
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        m = rng.uniform(0, 1, (13, 9)) > 0.5
+        np.testing.assert_array_equal(rle_decode(rle_encode(m)), m)
+    # all-zero and all-one edge cases
+    for m in (np.zeros((4, 4), bool), np.ones((4, 4), bool)):
+        np.testing.assert_array_equal(rle_decode(rle_encode(m)), m)
+
+
+def test_server_serves_masks():
+    from xrseg_tpu.runtime.server import InferenceServer, rle_decode
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(score_threshold=1e-6, max_detections=5))
+    srv = InferenceServer(cfg, port=0, serve_masks=True).start()
+    try:
+        img = np.random.default_rng(3).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        out = _post(srv, buf.getvalue())
+        if out["count"] == 0:
+            pytest.skip("random weights produced no detections")
+        for d in out["detections"]:
+            assert "mask_rle" in d
+            m = rle_decode(d["mask_rle"])
+            assert m.shape == (16, 16)     # proto resolution = input/4
+    finally:
+        srv.close()

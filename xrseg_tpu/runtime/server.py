@@ -8,7 +8,9 @@ needs — no dependencies beyond the standard library:
   POST /infer    image bytes (JPEG/PNG — any PIL format — or a raw .npy
                  [H,W,3] uint8 array) -> JSON detections:
                  {"detections": [{"label", "class_name", "score",
-                  "box_xywh" (frame px)}...], "count", "latency_ms"}
+                  "box_xywh" (frame px), "mask_rle"? (COCO RLE at proto
+                  resolution, when --serve-masks)}...], "count",
+                  "latency_ms"}
   GET  /healthz  {"ok": true, ...model/geometry facts...}
   GET  /stats    per-stage latency percentiles + request counters
                  (runtime.tracing.Tracer — the observability the
@@ -46,6 +48,35 @@ from xrseg_tpu.runtime.tracing import Tracer
 from xrseg_tpu.viz.labels import COCO_LABELS
 
 
+def rle_encode(mask: np.ndarray) -> dict:
+    """Binary mask -> COCO uncompressed RLE ({counts, size}).
+
+    Fortran (column-major) scan order, counts alternating runs starting
+    with the zero run — the standard pycocotools convention, so clients
+    can decode with any COCO tooling."""
+    flat = np.asarray(mask, bool).flatten(order="F")
+    # run-length: indices where the value changes
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    runs = np.diff(np.concatenate([[0], change, [flat.size]]))
+    counts = runs.tolist()
+    if flat.size and flat[0]:      # counts must start with the 0-run
+        counts = [0] + counts
+    return {"counts": counts, "size": [int(mask.shape[0]),
+                                       int(mask.shape[1])]}
+
+
+def rle_decode(rle: dict) -> np.ndarray:
+    h, w = rle["size"]
+    flat = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for c in rle["counts"]:
+        flat[pos:pos + c] = val
+        pos += c
+        val = not val
+    return flat.reshape((h, w), order="F")
+
+
 class InferenceServer:
     """Compile once, serve many. start() runs in a daemon thread (tests);
     serve_forever() blocks (CLI)."""
@@ -55,7 +86,8 @@ class InferenceServer:
                  host: str = "127.0.0.1", port: int = 8000,
                  labels=None, seed: int = 0,
                  micro_batch: int = 1, batch_window_ms: float = 3.0,
-                 params_dtype: Optional[str] = None):
+                 params_dtype: Optional[str] = None,
+                 serve_masks: bool = False):
         from xrseg_tpu.compile import load_model
 
         self.cfg = cfg
@@ -72,6 +104,12 @@ class InferenceServer:
         self._requests = 0
         self._errors = 0
         self._t_start = time.time()
+        # serve_masks: each detection's full-image sigmoid mask (proto
+        # resolution, uncropped — cropping to the box is display-layer
+        # semantics, IEMasker.cs:232-247) thresholded at 0.5 and returned
+        # as COCO uncompressed RLE
+        self.serve_masks = bool(serve_masks
+                                and cfg.model.task == "segment")
 
         # -- dynamic micro-batching --
         self.micro_batch = max(1, int(micro_batch))
@@ -157,6 +195,10 @@ class InferenceServer:
                 from xrseg_tpu.compile import unpack_slate
                 host = unpack_slate(np.asarray(det["slate"][0]),
                                     self.cfg.post.max_detections)
+                if self.serve_masks:
+                    n = int(host["count"])
+                    host["masks"] = np.asarray(det["masks"][0, :n],
+                                               np.float32)
         latency_ms = (time.perf_counter() - t0) * 1e3
         self._requests += 1
         return self._format(host, latency_ms)
@@ -169,13 +211,16 @@ class InferenceServer:
         dets = []
         for i in range(n):
             lab = int(host["labels"][i])
-            dets.append({
+            d = {
                 "label": lab,
                 "class_name": (self.labels[lab]
                                if 0 <= lab < len(self.labels) else str(lab)),
                 "score": round(float(host["scores"][i]), 4),
                 "box_xywh": [round(float(v), 2) for v in boxes[i]],
-            })
+            }
+            if "masks" in host and i < len(host["masks"]):
+                d["mask_rle"] = rle_encode(host["masks"][i] > 0.5)
+            dets.append(d)
         return {"detections": dets, "count": n,
                 "latency_ms": round(latency_ms, 2)}
 
@@ -238,11 +283,17 @@ class InferenceServer:
                 with self._lock, self.tracer.section("infer"):
                     det = self._pipeline_for(b)(frames)
                     slates = np.asarray(det["slate"][:len(items)])
+                    masks = (np.asarray(det["masks"][:len(items)],
+                                        np.float32)
+                             if self.serve_masks else None)
                 self._batch_hist[len(items)] = (
                     self._batch_hist.get(len(items), 0) + 1)
-                for it, slate in zip(items, slates):
+                for j, (it, slate) in enumerate(zip(items, slates)):
                     it.result = unpack_slate(slate,
                                              self.cfg.post.max_detections)
+                    if masks is not None:
+                        n = int(it.result["count"])
+                        it.result["masks"] = masks[j, :n]
                     it.event.set()
             except Exception as e:       # surface to every waiting request
                 for it in items:
@@ -310,6 +361,9 @@ def _main() -> int:
                     choices=["float32", "bfloat16"],
                     help="weight storage precision (bfloat16: ~7% faster "
                          "at batch=1, halves weight HBM)")
+    ap.add_argument("--serve-masks", action="store_true",
+                    help="include per-detection COCO-RLE masks (proto "
+                         "resolution) in /infer responses")
     args = ap.parse_args()
 
     if args.cpu:
@@ -333,7 +387,8 @@ def _main() -> int:
                           host=args.host, port=args.port,
                           micro_batch=args.micro_batch,
                           batch_window_ms=args.batch_window_ms,
-                          params_dtype=args.params_dtype)
+                          params_dtype=args.params_dtype,
+                          serve_masks=args.serve_masks)
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(POST /infer, GET /healthz, GET /stats)", flush=True)
     try:
