@@ -135,11 +135,13 @@ def main() -> int:
             print(f"error: camera {args.camera} not available")
             return 1
         src.intrinsics = SyntheticCameraSource().intrinsics  # no real calib
+        cam_hw = src.frame_hw or (480, 640)   # driver may grant another size
     else:
         src = SyntheticCameraSource(frame_hw=(480, 640), depth_hw=(128, 128),
                                     max_frames=args.frames, realtime=True,
                                     background_rgb=background)
-    ex = Executor(cfg, params=params, frame_hw=(480, 640), seed=args.seed)
+        cam_hw = (480, 640)
+    ex = Executor(cfg, params=params, frame_hw=cam_hw, seed=args.seed)
     print("model loaded; streaming synthetic passthrough camera")
     # The app loop is now a library module (runtime/xr_loop.py); the demo
     # only scripts the controller: once a detection appears, aim at it and
@@ -154,7 +156,9 @@ def main() -> int:
         if r is None:
             continue
         results += 1
-        if not loop.selected and r.count > 0:
+        # laser selection needs a camera pose; pose-less live cameras
+        # (V4L2) run detection+tracking only
+        if not loop.selected and r.count > 0 and fd.pose is not None:
             b = r.boxes[0]
             frame_sp = (b.center_x + ex.screen_wh[0] / 2,
                         b.center_y + ex.screen_wh[1] / 2)
@@ -172,7 +176,7 @@ def main() -> int:
             over = ex.boxer.draw_boxes(fd.rgb, r.boxes)
             if ex.masker.has_cached_mask:
                 over = composite_overlay(
-                    over, ex.masker.render_overlay((640, 480)))
+                    over, ex.masker.render_overlay((cam_hw[1], cam_hw[0])))
             Image.fromarray(over).save(
                 os.path.join(args.out, f"xr_{results:03d}.png"))
     if cloud is not None and len(cloud.positions):

@@ -346,3 +346,22 @@ def test_loader_slow_consumer_terminates():
     t.start()
     t.join(timeout=30)
     assert done == [2], f"epoch hung or wrong count: {done}"
+
+
+def test_loader_propagates_dataset_errors():
+    """A failing dataset must raise out of the epoch iterator, not
+    silently truncate the epoch (review finding: swallowed producer
+    exceptions made every epoch quietly stop at the bad sample)."""
+    class BadDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("corrupt sample")
+
+    cfg = ModelConfig(scale="n", input_size=(32, 32))
+    ld = D.Loader(BadDataset(), cfg, batch=4, max_gt=2,
+                  aug=D.AugmentConfig(mosaic=0.0))
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        for _ in ld.epoch(0):
+            pass

@@ -360,7 +360,11 @@ class Executor:
         meta = self._inflight_meta
         ts = meta.timestamp if meta is not None else None
         dt = 1 / 30
-        if ts is not None and self._prev_result_ts is not None:
+        # only trust ts deltas that actually advance: FrameData.timestamp
+        # defaults to 0.0, so a source that never stamps would otherwise
+        # yield dt=1e-3 every frame (~33x slower damping than intended)
+        if (ts is not None and self._prev_result_ts is not None
+                and ts > self._prev_result_ts):
             dt = min(0.5, max(1e-3, ts - self._prev_result_ts))
         self._prev_result_ts = ts
         if matched is not None:

@@ -335,6 +335,15 @@ class InferenceServer:
             self._thread.join(timeout=5)
         if self._dispatcher is not None:
             self._dispatcher.join(timeout=5)
+            # fail queued requests fast instead of letting their handler
+            # threads sit in event.wait() until the 300 s timeout
+            while True:
+                try:
+                    it = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                it.error = RuntimeError("server closing")
+                it.event.set()
 
 
 def _main() -> int:

@@ -191,6 +191,20 @@ class V4L2RawCamera(RawCamera):
         gw, gh = struct.unpack_from("<II", f, 8)
         return gw, gh
 
+    # struct v4l2_buffer offsets on LP64 (index 0, type 4, bytesused 8,
+    # flags 12, field 16, [pad] timestamp 24..40, timecode 40..56,
+    # sequence 56, memory 60, union m 64, length 72) — total 88 bytes.
+    _OFF_INDEX, _OFF_TYPE, _OFF_BYTESUSED = 0, 4, 8
+    _OFF_MEMORY, _OFF_M, _OFF_LENGTH = 60, 64, 72
+
+    def _make_buf(self, index: int = 0) -> bytearray:
+        b = bytearray(_SZ_BUFFER)
+        struct.pack_into("<I", b, self._OFF_INDEX, index)
+        struct.pack_into("<I", b, self._OFF_TYPE,
+                         V4L2_BUF_TYPE_VIDEO_CAPTURE)
+        struct.pack_into("<I", b, self._OFF_MEMORY, V4L2_MEMORY_MMAP)
+        return b
+
     def start(self) -> None:
         import mmap as mmap_mod
         req = bytearray(_SZ_REQUESTBUFFERS)
@@ -200,13 +214,10 @@ class V4L2RawCamera(RawCamera):
         count = struct.unpack_from("<I", req, 0)[0]
         self._maps = []
         for i in range(count):
-            b = bytearray(_SZ_BUFFER)
-            struct.pack_into("<I", b, 0, i)
-            struct.pack_into("<I", b, 8, V4L2_BUF_TYPE_VIDEO_CAPTURE)
-            struct.pack_into("<I", b, 40, V4L2_MEMORY_MMAP)
+            b = self._make_buf(i)
             self._ioctl(VIDIOC_QUERYBUF, b)
-            length = struct.unpack_from("<I", b, 60)[0]
-            offset = struct.unpack_from("<I", b, 44)[0]
+            length = struct.unpack_from("<I", b, self._OFF_LENGTH)[0]
+            offset = struct.unpack_from("<I", b, self._OFF_M)[0]
             self._maps.append(mmap_mod.mmap(
                 self.fd, length, mmap_mod.MAP_SHARED,
                 mmap_mod.PROT_READ, offset=offset))
@@ -220,12 +231,10 @@ class V4L2RawCamera(RawCamera):
         if not r:
             raise TimeoutError(f"no frame from {self.device} "
                                f"in {timeout_s:.1f}s")
-        b = bytearray(_SZ_BUFFER)
-        struct.pack_into("<I", b, 8, V4L2_BUF_TYPE_VIDEO_CAPTURE)
-        struct.pack_into("<I", b, 40, V4L2_MEMORY_MMAP)
+        b = self._make_buf()
         self._ioctl(VIDIOC_DQBUF, b)
-        idx = struct.unpack_from("<I", b, 0)[0]
-        used = struct.unpack_from("<I", b, 4)[0]
+        idx = struct.unpack_from("<I", b, self._OFF_INDEX)[0]
+        used = struct.unpack_from("<I", b, self._OFF_BYTESUSED)[0]
         data = bytes(self._maps[idx][:used])
         self._ioctl(VIDIOC_QBUF, b)
         return data
@@ -337,11 +346,22 @@ class V4L2CameraSource(FrameSource):
             sizes = fmts[fourcc].sizes
             w, h = max(sizes, key=lambda s: s[0] * s[1]) if sizes \
                 else (640, 480)
-        self._wh = tuple(self.camera.set_format(w, h, fourcc))
-        self._fourcc = fourcc
-        self.camera.start()
+        try:
+            self._wh = tuple(self.camera.set_format(w, h, fourcc))
+            self._fourcc = fourcc
+            self.camera.start()
+        except OSError as e:              # driver refused format/streaming
+            _warn(f"camera {self.device} setup failed: {e}")
+            self.camera.stop()
+            return False
         self._opened = True
         return True
+
+    @property
+    def frame_hw(self) -> Optional[Tuple[int, int]]:
+        """Granted frame geometry (H, W) after open() — the driver may
+        grant a different size than requested; size consumers from this."""
+        return (self._wh[1], self._wh[0]) if self._wh else None
 
     def _to_rgb(self, raw: bytes) -> np.ndarray:
         w, h = self._wh

@@ -521,29 +521,30 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
         stop = threading.Event()
+        failure: list = []             # producer exception, re-raised here
+
+        def _put(item) -> bool:
+            """stop-aware bounded put; False if the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for hb in self._host_batches(epoch):
-                    while not stop.is_set():
-                        try:
-                            q.put(hb, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not _put(hb):
                         return
-            finally:
+            except BaseException as e:   # surface to the training loop —
+                failure.append(e)        # a swallowed error silently
+            finally:                     # truncates every epoch
                 # the SENTINEL must not be dropped when the queue is full
-                # (the consumer would block forever): keep retrying with the
-                # same stop-aware loop used for batches. If stop is set the
+                # (the consumer would block forever). If stop is set the
                 # consumer is gone and no longer reads the queue.
-                while not stop.is_set():
-                    try:
-                        q.put(SENTINEL, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                _put(SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -553,6 +554,8 @@ class Loader:
             while True:
                 hb = q.get()
                 if hb is SENTINEL:
+                    if failure:
+                        raise failure[0]
                     break
                 if self.mesh is not None:
                     yield mesh_lib.shard_batch(hb, self.mesh)

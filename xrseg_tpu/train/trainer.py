@@ -80,6 +80,7 @@ class Trainer:
         self.history: List[Dict] = []
         self.ema_params = None         # EMA pytree (tracks state.params)
         self._ema_update = None        # jitted EMA step
+        self._val_pipe = None          # cached validation pipeline
 
     # -- state ----------------------------------------------------------
 
@@ -223,14 +224,40 @@ class Trainer:
                  batch: int = 8) -> Dict[str, float]:
         """mAP of the CURRENT params through the deployed pipeline
         (eval.dataset_eval.evaluate_dataset) against the dataset's GT.
-        Returns {val_box_mAP, val_box_AP50, val_mask_mAP?}."""
+        Returns {val_box_mAP, val_box_AP50, val_mask_mAP?}.
+
+        The validation pipeline compiles ONCE per Trainer: params are a
+        jit argument (not baked), so later epochs swap in fresh (EMA)
+        params via dataclasses.replace without retracing."""
+        import dataclasses as _dc
+
+        import jax
+
+        from xrseg_tpu.config import ExecutorConfig, PostprocessConfig
+        from xrseg_tpu.compile import build_pipeline
         from xrseg_tpu.eval.dataset_eval import evaluate_dataset
 
         t = self.tcfg
-        m = evaluate_dataset(self.cfg, self.eval_params, dataset,
+        params = jax.device_get(self.eval_params)
+        if (self._val_pipe is not None
+                and self._val_pipe.input_shape[0] != batch):
+            self._val_pipe = None           # batch changed: rebuild
+        if self._val_pipe is None:
+            ex_cfg = ExecutorConfig(
+                model=self.cfg,
+                post=PostprocessConfig(
+                    score_threshold=t.val_score_threshold,
+                    max_detections=t.val_max_detections))
+            self._val_pipe = build_pipeline(ex_cfg, params, crop_masks=True,
+                                            frame_hw=self.cfg.input_size,
+                                            batch=batch)
+        else:
+            self._val_pipe = _dc.replace(self._val_pipe, params=params)
+        m = evaluate_dataset(self.cfg, params, dataset,
                              score_threshold=t.val_score_threshold,
                              max_detections=t.val_max_detections,
-                             max_images=max_images, batch=batch)
+                             max_images=max_images, batch=batch,
+                             pipe=self._val_pipe)
         out = {"val_box_mAP": m["box_mAP"], "val_box_AP50": m["box_AP50"]}
         if "mask_mAP" in m:
             out["val_mask_mAP"] = m["mask_mAP"]
