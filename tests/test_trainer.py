@@ -53,3 +53,32 @@ def test_trainer_fit_evaluate_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(tr2.ema_params["b0"]["w"]),
                                np.asarray(tr.ema_params["b0"]["w"]),
                                atol=0)
+
+
+def test_trainer_saves_best_checkpoint(tmp_path):
+    """fit with a val set writes ckpt_dir/best (+best.json) on the first
+    validated epoch and only overwrites it on improvement."""
+    cfg = ModelConfig(scale="n", input_size=(32, 32), dtype="float32",
+                      num_classes=3)
+    ds = D.SyntheticShapesDataset(n=8, hw=(32, 32))
+    tcfg = TrainConfig(epochs=1, batch=4, max_gt=4, warmup_steps=2,
+                       log_every=0, ckpt_dir=str(tmp_path),
+                       use_remat=False, val_max_images=4,
+                       aug=D.AugmentConfig(mosaic=0.0, hsv=False,
+                                           scale=0.0, translate=0.0))
+    tr = Trainer(cfg, tcfg)
+    tr.fit(ds, val_dataset=ds, verbose=False)
+    best = os.path.join(tmp_path, "best")
+    assert os.path.exists(best)
+    with open(os.path.join(tmp_path, "best.json")) as f:
+        row = json.load(f)
+    assert "val_box_mAP" in row
+
+    # a second epoch with no improvement must not rewrite best.json
+    mtime = os.path.getmtime(os.path.join(tmp_path, "best.json"))
+    tr.fit(ds, val_dataset=ds, epochs=1, verbose=False)
+    m2 = tr._best_metric(tr.history[-1])
+    m1 = tr._best_metric(tr.history[0])
+    if m2 is not None and m1 is not None and m2 <= m1:
+        assert os.path.getmtime(
+            os.path.join(tmp_path, "best.json")) == mtime

@@ -57,6 +57,10 @@ class TrainConfig:
     # ((512,512),(576,576),(640,640),(704,704)). None = fixed cfg size.
     # Each bucket compiles its own train-step specialization once.
     scales: Optional[tuple] = None
+    # keep a separate `best` checkpoint of the eval (EMA) params whenever
+    # validation mAP improves (metric: val_mask_mAP for segment when
+    # present, else val_box_mAP)
+    save_best: bool = True
 
 
 class Trainer:
@@ -207,6 +211,7 @@ class Trainer:
             if val_dataset is not None:
                 row.update(self.evaluate(val_dataset,
                                          max_images=t.val_max_images))
+                self._maybe_save_best(row)
             self.history.append(row)
             if verbose:
                 extras = "".join(f" {k}={row[k]:.4f}"
@@ -217,6 +222,33 @@ class Trainer:
             if t.ckpt_dir and (e + 1) % t.ckpt_every_epochs == 0:
                 self.save()
         return self.history
+
+    def _best_metric(self, row: Dict) -> Optional[float]:
+        for k in ("val_mask_mAP", "val_box_mAP"):
+            if k in row:
+                return float(row[k])
+        return None
+
+    def _maybe_save_best(self, row: Dict) -> None:
+        """Write ckpt_dir/best (eval/EMA params) when validation improves."""
+        t = self.tcfg
+        if not (t.save_best and t.ckpt_dir):
+            return
+        m = self._best_metric(row)
+        if m is None:
+            return
+        prev = [self._best_metric(r) for r in self.history]
+        prev = [p for p in prev if p is not None]
+        if prev and m <= max(prev):
+            return
+        import jax
+
+        from xrseg_tpu.io.weights import save_orbax
+        os.makedirs(t.ckpt_dir, exist_ok=True)
+        save_orbax(os.path.join(t.ckpt_dir, "best"),
+                   jax.device_get(self.eval_params))
+        with open(os.path.join(t.ckpt_dir, "best.json"), "w") as f:
+            json.dump(row, f, indent=1)
 
     # -- validation -----------------------------------------------------
 
