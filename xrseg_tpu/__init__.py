@@ -7,14 +7,18 @@ synthesis), streaming executor runtime, single-target tracking, RGBD
 point-cloud fusion, and visualization — all designed TPU-first.
 
 Layer map (mirrors SURVEY.md §1, reimagined for TPU):
-  L7 app loop        -> runtime.frame_source + examples/demo
+  L7 app loop        -> runtime.xr_loop (+ examples/demo as a thin caller)
   L6 visualization   -> viz.boxer / viz.masker / viz.pointcloud
-  L5 tracking        -> perception.tracking
-  L4 RGBD fusion     -> ops.depth_fusion (Pallas) + native/depth_fusion.cpp
-  L3 inference rt    -> runtime.executor (async dispatch + readback polling)
-  L2 model compile   -> compile.build_pipeline (jit of net + baked postprocess)
-  L1 camera/sensors  -> perception.camera + runtime.frame_source
-  L0 engine          -> JAX/XLA on TPU
+  L5 tracking        -> perception.tracking (single-target parity +
+                        multi-target/Kalman extensions)
+  L4 RGBD fusion     -> ops.depth_fusion + native/depth_fusion.cpp
+  L3 inference rt    -> runtime.executor (async dispatch + readback
+                        polling), runtime.server (HTTP, micro-batching)
+  L2 model compile   -> compile.build_pipeline (jit of net + baked
+                        postprocess); io.onnx_export for the Unity loop
+  L1 camera/sensors  -> perception.camera + runtime.frame_source +
+                        runtime.v4l2 (live), runtime.permissions
+  L0 engine          -> JAX/XLA on TPU (Pallas NMS kernel on the hot path)
 """
 
 __version__ = "0.1.0"

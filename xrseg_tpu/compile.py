@@ -218,6 +218,13 @@ def _main() -> int:
     ap.add_argument("weights")
     ap.add_argument("--out", required=True)
     ap.add_argument("--scale", default="n")
+    ap.add_argument("--task", default="segment",
+                    choices=["segment", "detect"])
+    ap.add_argument("--classes", type=int, default=80,
+                    help="num classes (npz/orbax checkpoints carry no "
+                         "metadata; .sentis/.onnx infer it)")
+    ap.add_argument("--size", type=int, default=640,
+                    help="input size (multiple of 32)")
     ap.add_argument("--iou", type=float, default=0.6)
     ap.add_argument("--score", type=float, default=0.23)
     ap.add_argument("--frame-hw", type=int, nargs=2, default=None)
@@ -230,7 +237,10 @@ def _main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from xrseg_tpu.io.weights import load_params_auto
-    params, mcfg = load_params_auto(args.weights, ModelConfig(scale=args.scale))
+    params, mcfg = load_params_auto(
+        args.weights, ModelConfig(scale=args.scale, task=args.task,
+                                  num_classes=args.classes,
+                                  input_size=(args.size, args.size)))
     if args.out.endswith(".onnx"):
         import os
 
