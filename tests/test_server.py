@@ -169,3 +169,58 @@ def test_server_serves_masks():
             assert m.shape == (16, 16)     # proto resolution = input/4
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# /metrics + /reload (hot swap)
+# ---------------------------------------------------------------------------
+
+def test_metrics_endpoint(server):
+    with urllib.request.urlopen(_url(server, "/metrics"), timeout=30) as r:
+        assert "text/plain" in r.headers["Content-Type"]
+        text = r.read().decode()
+    assert "xrseg_requests_total" in text
+    assert "xrseg_uptime_seconds" in text
+
+
+def test_reload_hot_swaps_weights(server, tmp_path):
+    import jax
+
+    from xrseg_tpu.io.weights import save_npz
+    from xrseg_tpu.models import yolo11
+
+    # new weights: a different-seed init of the SAME model
+    cfg = server.cfg.model
+    new = yolo11.init_params(jax.random.key(123), cfg)
+    path = str(tmp_path / "new.npz")
+    save_npz(path, jax.device_get(new))
+    old_leaf = np.asarray(server.pipeline.params["b0"]["w"])
+
+    req = urllib.request.Request(
+        _url(server, "/reload"),
+        data=json.dumps({"path": path}).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert out["ok"] is True and out["n_params"] > 0
+    got_leaf = np.asarray(server.pipeline.params["b0"]["w"])
+    assert not np.array_equal(old_leaf, got_leaf)
+
+    # inference still works on the swapped weights (no recompile needed)
+    img = np.zeros((64, 64, 3), np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    assert "detections" in _post(server, buf.getvalue())
+
+    # mismatched weights are rejected with 400
+    from xrseg_tpu.config import ModelConfig
+    wrong = yolo11.init_params(jax.random.key(0),
+                               ModelConfig(scale="n", input_size=(64, 64),
+                                           num_classes=3))
+    wrong_path = str(tmp_path / "wrong.npz")
+    save_npz(wrong_path, jax.device_get(wrong))
+    req = urllib.request.Request(
+        _url(server, "/reload"),
+        data=json.dumps({"path": wrong_path}).encode(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=120)
+    assert ei.value.code == 400

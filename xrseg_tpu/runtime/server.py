@@ -15,6 +15,10 @@ needs — no dependencies beyond the standard library:
   GET  /stats    per-stage latency percentiles + request counters
                  (runtime.tracing.Tracer — the observability the
                  reference lacks, SURVEY §5)
+  GET  /metrics  the same counters in Prometheus text exposition format
+  POST /reload   {"path": "<weights>"}: zero-downtime weight hot-swap —
+                 params are jit arguments, so no recompile; all batch
+                 buckets swap atomically under the dispatch lock
 
 Design: one device pipeline guarded by a lock (a TPU executes one program
 at a time — concurrency belongs in the batch axis, not in racing
@@ -144,20 +148,34 @@ class InferenceServer:
                     self._reply(200, server.health())
                 elif self.path == "/stats":
                     self._reply(200, server.stats())
+                elif self.path == "/metrics":
+                    body = server.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._reply(404, {"error": "unknown path"})
 
             def do_POST(self):
-                if self.path != "/infer":
-                    self._reply(404, {"error": "unknown path"})
-                    return
                 n = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(n)
-                try:
-                    self._reply(200, server.infer_bytes(data))
-                except Exception as e:   # bad image, wrong shape, ...
-                    server._errors += 1
-                    self._reply(400, {"error": str(e)})
+                if self.path == "/infer":
+                    try:
+                        self._reply(200, server.infer_bytes(data))
+                    except Exception as e:   # bad image, wrong shape, ...
+                        server._errors += 1
+                        self._reply(400, {"error": str(e)})
+                elif self.path == "/reload":
+                    try:
+                        self._reply(200, server.reload_weights(
+                            json.loads(data or b"{}")))
+                    except Exception as e:
+                        self._reply(400, {"error": str(e)})
+                else:
+                    self._reply(404, {"error": "unknown path"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
@@ -299,6 +317,63 @@ class InferenceServer:
                 for it in items:
                     it.error = e
                     it.event.set()
+
+    def reload_weights(self, req: dict) -> dict:
+        """Zero-downtime weight hot-swap: POST /reload {"path": "..."} .
+
+        Params are a jit ARGUMENT of the compiled pipelines (not baked
+        constants), so swapping them needs no recompile — the new pytree
+        just has to match shapes/dtypes. All batch-bucket pipelines swap
+        atomically under the dispatch lock; in-flight requests finish on
+        the old weights."""
+        import dataclasses as _dc
+
+        import jax
+
+        from xrseg_tpu.io.weights import cast_params, load_params_auto
+        path = req.get("path")
+        if not path:
+            raise ValueError('body must be {"path": "<weights>"}')
+        new_params, _ = load_params_auto(path, self.cfg.model)
+        old = self.pipeline.params
+        new_params = jax.tree.map(lambda x: x, new_params)  # materialize
+        # match the serving storage dtype + validate the tree shape
+        ref_leaves = jax.tree.leaves(old)
+        new_leaves = jax.tree.leaves(new_params)
+        if len(ref_leaves) != len(new_leaves) or any(
+                a.shape != b.shape for a, b in zip(ref_leaves, new_leaves)):
+            raise ValueError("weights do not match the serving model "
+                             f"({self.cfg.model.scale}/"
+                             f"{self.cfg.model.task})")
+        new_params = cast_params(new_params, ref_leaves[0].dtype)
+        with self._lock, self._pipelines_lock:
+            for b, pipe in list(self._pipelines.items()):
+                self._pipelines[b] = _dc.replace(pipe, params=new_params)
+            self.pipeline = self._pipelines[1]
+        return {"ok": True, "path": path,
+                "n_params": int(sum(int(np.prod(x.shape))
+                                    for x in new_leaves))}
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the /stats counters."""
+        s = self.stats()
+        lines = [
+            "# TYPE xrseg_requests_total counter",
+            f"xrseg_requests_total {s['requests']}",
+            "# TYPE xrseg_errors_total counter",
+            f"xrseg_errors_total {s['errors']}",
+            "# TYPE xrseg_uptime_seconds gauge",
+            f"xrseg_uptime_seconds {s['uptime_s']}",
+        ]
+        for stage, v in s.get("stages", {}).items():
+            for q in ("p50_ms", "p95_ms"):
+                if q in v:
+                    lines.append(
+                        f'xrseg_stage_latency_ms{{stage="{stage}",'
+                        f'quantile="{q[:-3]}"}} {v[q]}')
+        for k, v in s.get("batch_hist", {}).items():
+            lines.append(f'xrseg_batches_total{{size="{k}"}} {v}')
+        return "\n".join(lines) + "\n"
 
     def health(self) -> dict:
         return {"ok": True, "scale": self.cfg.model.scale,
