@@ -135,10 +135,12 @@ class InferenceServer:
             def log_message(self, fmt, *a):   # quiet; tracer has the data
                 pass
 
-            def _reply(self, code: int, obj) -> None:
-                body = json.dumps(obj).encode()
+            def _reply(self, code: int, obj,
+                       content_type: str = "application/json") -> None:
+                body = (obj.encode() if isinstance(obj, str)
+                        else json.dumps(obj).encode())
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -149,13 +151,8 @@ class InferenceServer:
                 elif self.path == "/stats":
                     self._reply(200, server.stats())
                 elif self.path == "/metrics":
-                    body = server.metrics_text().encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "text/plain; version=0.0.4")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._reply(200, server.metrics_text(),
+                                content_type="text/plain; version=0.0.4")
                 else:
                     self._reply(404, {"error": "unknown path"})
 
@@ -334,11 +331,10 @@ class InferenceServer:
         path = req.get("path")
         if not path:
             raise ValueError('body must be {"path": "<weights>"}')
+        from xrseg_tpu.models.yolo11 import count_params
         new_params, _ = load_params_auto(path, self.cfg.model)
-        old = self.pipeline.params
-        new_params = jax.tree.map(lambda x: x, new_params)  # materialize
         # match the serving storage dtype + validate the tree shape
-        ref_leaves = jax.tree.leaves(old)
+        ref_leaves = jax.tree.leaves(self.pipeline.params)
         new_leaves = jax.tree.leaves(new_params)
         if len(ref_leaves) != len(new_leaves) or any(
                 a.shape != b.shape for a, b in zip(ref_leaves, new_leaves)):
@@ -351,8 +347,7 @@ class InferenceServer:
                 self._pipelines[b] = _dc.replace(pipe, params=new_params)
             self.pipeline = self._pipelines[1]
         return {"ok": True, "path": path,
-                "n_params": int(sum(int(np.prod(x.shape))
-                                    for x in new_leaves))}
+                "n_params": count_params(new_params)}
 
     def metrics_text(self) -> str:
         """Prometheus text exposition of the /stats counters."""
