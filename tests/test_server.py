@@ -1,4 +1,5 @@
 """HTTP inference server tests (stdlib urllib client, ephemeral port)."""
+import os
 import io
 import json
 import urllib.error
@@ -224,3 +225,18 @@ def test_reload_hot_swaps_weights(server, tmp_path):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=120)
     assert ei.value.code == 400
+
+
+def test_loadtest_tool_smoke(mb_server):
+    """tools/loadtest.py run_load drives concurrent clients end-to-end
+    against the micro-batched server fixture."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "loadtest", os.path.join(os.path.dirname(__file__), "..",
+                                 "tools", "loadtest.py"))
+    lt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lt)
+    out = lt.run_load(f"http://127.0.0.1:{mb_server.port}", clients=3,
+                      per_client=2, frame_hw=(64, 64))
+    assert out["requests"] == 6 and out["errors"] == 0
+    assert out["fps"] > 0 and out["p50_ms"] > 0
