@@ -214,3 +214,61 @@ def test_motion_tracker_smooths_noisy_boxes():
             err_det.append(abs(noise))
             err_trk.append(abs(tr.confirmed[0].box.center_x - truth))
     assert np.mean(err_trk) < np.mean(err_det)
+
+
+def test_reid_reacquires_after_long_occlusion():
+    """Appearance re-ID: after an occlusion too long for IoU/motion gating,
+    a lost track reacquires the unmatched same-class detection whose
+    embedding matches (cosine), while a distractor with a different
+    embedding spawns a new track."""
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+
+    rng = np.random.default_rng(0)
+    e_target = rng.normal(0, 1, 32).astype(np.float32)
+    e_other = rng.normal(0, 1, 32).astype(np.float32)
+
+    tr = MultiTargetTracker(iou_threshold=0.3, max_misses=6, min_hits=1,
+                            reid_threshold=0.7)
+    # target visible at x=0 for 3 frames
+    for _ in range(3):
+        tr.update([_bb(0.0, 0.0)], embeddings=e_target[None])
+    tid = tr.confirmed[0].track_id
+    tr.update([])                          # occluded
+    tr.update([])                          # occluded
+    # reappears FAR away (zero IoU with the stale box) + a distractor
+    out = tr.update([_bb(300.0, 0.0), _bb(-300.0, 0.0)],
+                    embeddings=np.stack([
+                        e_target + rng.normal(0, 0.05, 32).astype(np.float32),
+                        e_other]))
+    by_x = {round(t.box.center_x): t.track_id for t in out}
+    assert by_x[300] == tid, "matching embedding should keep the id"
+    assert by_x[-300] != tid, "distractor must get a new id"
+
+
+def test_reid_respects_class_gate():
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+
+    e = np.ones(32, np.float32)
+    tr = MultiTargetTracker(min_hits=1, max_misses=5, reid_threshold=0.5)
+    tr.update([_bb(0.0, 0.0, name="person")], embeddings=e[None])
+    tid = tr.confirmed[0].track_id
+    tr.update([])
+    # same embedding but different class: no re-ID
+    out = tr.update([_bb(300.0, 0.0, name="dog")], embeddings=e[None])
+    assert all(t.track_id != tid or t.box.class_name == "person"
+               for t in out)
+    assert any(t.box.class_name == "dog" and t.track_id != tid
+               for t in out)
+
+
+def test_reid_embedding_ema():
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+
+    tr = MultiTargetTracker(min_hits=1, reid_threshold=0.5,
+                            embedding_momentum=0.5)
+    e1 = np.zeros(32, np.float32); e1[0] = 1.0
+    e2 = np.zeros(32, np.float32); e2[1] = 1.0
+    tr.update([_bb(0.0, 0.0)], embeddings=e1[None])
+    tr.update([_bb(0.0, 0.0)], embeddings=e2[None])
+    emb = tr.tracks[0].embedding
+    np.testing.assert_allclose(emb[:2], [0.5, 0.5])

@@ -103,6 +103,10 @@ class ExecutorConfig:
     # the SORT-style Kalman motion model (predicted-box matching + coasting)
     multi_tracking: bool = False
     motion_model: bool = False
+    # appearance re-ID for lost tracks using the mask-coefficient rows as
+    # free instance descriptors (cosine gate; 0 = off). Costs one extra
+    # small D2H per frame (the [D,32] coef block), segment task only.
+    reid_threshold: float = 0.0
 
 
 # "Scene" presets — the reference's two scenes as configs.

@@ -154,6 +154,15 @@ class Track:
     misses: int = 0
     age: int = 1
     kf: Optional[KalmanBoxFilter] = None
+    embedding: Optional[np.ndarray] = None   # EMA'd appearance descriptor
+
+
+def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    na = float(np.linalg.norm(a))
+    nb = float(np.linalg.norm(b))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(np.dot(a, b) / (na * nb))
 
 
 class MultiTargetTracker:
@@ -169,15 +178,28 @@ class MultiTargetTracker:
     """
 
     def __init__(self, iou_threshold: float = 0.3, max_misses: int = 5,
-                 min_hits: int = 2, motion: bool = False):
+                 min_hits: int = 2, motion: bool = False,
+                 reid_threshold: float = 0.0,
+                 embedding_momentum: float = 0.8):
         """motion=True attaches a constant-velocity KalmanBoxFilter to each
         track: matching runs against the *predicted* box and lost frames
         coast along the estimated velocity (SORT semantics), so fast movers
-        survive short occlusions that break memoryless IoU matching."""
+        survive short occlusions that break memoryless IoU matching.
+
+        reid_threshold > 0 enables appearance re-identification: pass
+        per-detection descriptor vectors to update(embeddings=...) — the
+        mask-coefficient rows the segmentation head already computes are a
+        free instance descriptor (det["coefs"], [D,32]) — and a coasting
+        track that fails the IoU match re-acquires an unmatched
+        SAME-CLASS detection whose cosine similarity to the track's EMA'd
+        embedding exceeds the threshold. (A learned embedding head would
+        be stronger; the coef vector is the zero-extra-FLOPs version.)"""
         self.iou_threshold = iou_threshold
         self.max_misses = max_misses
         self.min_hits = min_hits
         self.motion = motion
+        self.reid_threshold = float(reid_threshold)
+        self.embedding_momentum = float(embedding_momentum)
         self.tracks: List[Track] = []
         self._next_id = 1
 
@@ -189,8 +211,13 @@ class MultiTargetTracker:
     def confirmed(self) -> List[Track]:
         return [t for t in self.tracks if t.hits >= self.min_hits]
 
-    def update(self, boxes: Sequence[BoundingBox]) -> List[Track]:
-        """Advance one frame; returns confirmed tracks."""
+    def update(self, boxes: Sequence[BoundingBox],
+               embeddings: Optional[np.ndarray] = None) -> List[Track]:
+        """Advance one frame; returns confirmed tracks.
+
+        embeddings: optional [len(boxes), E] per-detection descriptors
+        (e.g. det["coefs"] rows) — used for re-ID when reid_threshold > 0
+        and EMA'd into each track's embedding on every match."""
         # with motion on, advance each track to its predicted box first —
         # matching and lost-frame coasting both use the prediction
         if self.motion:
@@ -209,9 +236,8 @@ class MultiTargetTracker:
                     pairs.append((v, ti, di))
         pairs.sort(reverse=True)
         used_t, used_d = set(), set()
-        for v, ti, di in pairs:          # greedy best-first assignment
-            if ti in used_t or di in used_d:
-                continue
+
+        def match(ti: int, di: int) -> None:
             used_t.add(ti)
             used_d.add(di)
             t = self.tracks[ti]
@@ -220,8 +246,45 @@ class MultiTargetTracker:
                 t.box = t.kf.as_box(boxes[di])   # filtered pos, det metadata
             else:
                 t.box = boxes[di]
+            if embeddings is not None:
+                e = np.asarray(embeddings[di], np.float32)
+                m = self.embedding_momentum
+                t.embedding = (e if t.embedding is None
+                               else m * t.embedding + (1 - m) * e)
             t.hits += 1
             t.misses = 0
+
+        for v, ti, di in pairs:          # greedy best-first assignment
+            if ti in used_t or di in used_d:
+                continue
+            match(ti, di)
+
+        # re-ID pass: lost tracks reacquire unmatched same-class detections
+        # by appearance when the IoU gate failed (e.g. after long occlusion)
+        if (self.reid_threshold > 0 and embeddings is not None
+                and len(boxes)):
+            cands = []
+            for ti, t in enumerate(self.tracks):
+                if ti in used_t or t.embedding is None:
+                    continue
+                for di, d in enumerate(boxes):
+                    if di in used_d or d.class_name != t.box.class_name:
+                        continue
+                    s = cosine_similarity(t.embedding,
+                                          np.asarray(embeddings[di],
+                                                     np.float32))
+                    if s >= self.reid_threshold:
+                        cands.append((s, ti, di))
+            cands.sort(reverse=True)
+            for s, ti, di in cands:
+                if ti in used_t or di in used_d:
+                    continue
+                match(ti, di)
+                t = self.tracks[ti]
+                if t.kf is not None:     # teleport the filter to the det
+                    t.kf = KalmanBoxFilter(boxes[di])
+                    t.box = boxes[di]
+
         # unmatched tracks age out (coasting on the prediction when motion)
         for ti, t in enumerate(self.tracks):
             t.age += 1
@@ -231,9 +294,12 @@ class MultiTargetTracker:
         # unmatched detections spawn tracks
         for di, d in enumerate(boxes):
             if di not in used_d:
+                emb = (np.asarray(embeddings[di], np.float32)
+                       if embeddings is not None else None)
                 self.tracks.append(Track(
                     self._next_id, d,
-                    kf=KalmanBoxFilter(d) if self.motion else None))
+                    kf=KalmanBoxFilter(d) if self.motion else None,
+                    embedding=emb))
                 self._next_id += 1
         return self.confirmed
 

@@ -96,8 +96,10 @@ class Executor:
                              mask_hw=cfg.model.mask_size)
         self.tracker = TargetTracker(cfg.tracking_gate_px,
                                      cfg.select_margin_px)
-        self.multi_tracker = (MultiTargetTracker(motion=cfg.motion_model)
-                              if cfg.multi_tracking else None)
+        self.multi_tracker = (
+            MultiTargetTracker(motion=cfg.motion_model,
+                               reid_threshold=cfg.reid_threshold)
+            if cfg.multi_tracking else None)
         self.points = PointCloudExtractor(cfg.depth, backend=depth_backend)
         self.latency = LatencyCompensator(cfg.depth.latency_seconds)
 
@@ -345,8 +347,15 @@ class Executor:
 
         # capability extension: id'd tracks for every detection, every frame
         if self.multi_tracker is not None:
+            embeddings = None
+            if (self.cfg.reid_threshold > 0 and count
+                    and self._inflight is not None
+                    and "coefs" in self._inflight):
+                # mask-coef rows as free appearance descriptors ([n,32])
+                embeddings = np.asarray(
+                    self._inflight["coefs"][0][:count], np.float32)
             result.tracks = self.multi_tracker.update(
-                self.current_frame_boxes)
+                self.current_frame_boxes, embeddings=embeddings)
 
         # Case 1: not tracking -> box overlay only (IEExecutor.cs:470-483)
         if not self.tracker.is_tracking:
