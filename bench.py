@@ -32,7 +32,9 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
                      repeats: int = 2, task: str = "segment",
                      frame_hw=None, input_size=(640, 640),
                      post_overrides: dict | None = None,
-                     params_dtype: str | None = None) -> dict:
+                     params_dtype: str | None = None,
+                     matmul_precision: str = "default",
+                     emit_masks: bool = True) -> dict:
     """Pure device throughput: N pipeline invocations CHAINED on-device via
     lax.scan (each batch's input depends on the previous batch's output, so
     nothing can be elided or overlapped away), one scalar readback at the
@@ -48,7 +50,8 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
     from xrseg_tpu.ops import preprocess as pre_ops
     
     cfg = ExecutorConfig(model=ModelConfig(scale=scale, task=task,
-                                           input_size=tuple(input_size)))
+                                           input_size=tuple(input_size),
+                                           matmul_precision=matmul_precision))
     if post_overrides:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, post=_dc.replace(cfg.post, **post_overrides))
@@ -60,13 +63,18 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
 
     from xrseg_tpu.ops.postprocess import postprocess_batch_parts
 
+    from xrseg_tpu.precision import precision_scope
+
     def one(params, frames):
-        x = pre_ops.preprocess(frames, mcfg.input_size, dtype=jnp.bfloat16)
-        out = yolo11.forward(params, x, mcfg, concat_preds=False)
-        return postprocess_batch_parts(
-            out["boxes_xywh"], out["cls_logits"], out.get("mask_coefs"),
-            out.get("protos"), pcfg, False, mcfg.input_size,
-            mask_dtype=jnp.bfloat16, scores_are_logits=True)
+        with precision_scope(mcfg.matmul_precision):
+            x = pre_ops.preprocess(frames, mcfg.input_size,
+                                   dtype=jnp.bfloat16)
+            out = yolo11.forward(params, x, mcfg, concat_preds=False)
+            return postprocess_batch_parts(
+                out["boxes_xywh"], out["cls_logits"], out.get("mask_coefs"),
+                out.get("protos"), pcfg, False, mcfg.input_size,
+                mask_dtype=jnp.bfloat16, scores_are_logits=True,
+                with_masks=emit_masks)
 
     @jax.jit
     def chained(params, frames):

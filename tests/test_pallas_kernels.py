@@ -7,8 +7,8 @@ import pytest
 from xrseg_tpu.ops import masks as mask_ops
 from xrseg_tpu.ops import nms as nms_ops
 from xrseg_tpu.ops.pallas_kernels import (_NEG, mask_synth_crop_pallas,
-                                          nms_select_pallas,
-                                          resize_normalize_bf16)
+                                          nms_select_pallas)
+from xrseg_tpu.ops.preprocess import resize_normalize_bf16
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])

@@ -66,7 +66,10 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                    mask_dtype: str = "float32",
                    input_format: str = "rgb",
                    donate_frames: bool = False,
-                   params_dtype: Optional[str] = None) -> CompiledPipeline:
+                   params_dtype: Optional[str] = None,
+                   emit_masks: str = "all",
+                   mask_display_hw: Optional[Tuple[int, int]] = None
+                   ) -> CompiledPipeline:
     """Compile the full pipeline for a fixed frame geometry.
 
     frames: [B, frame_h, frame_w, 3] uint8 -> padded detection slate
@@ -82,7 +85,24 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     of per-step inside the program — halves weight HBM reads; measured
     ~7% faster at batch=1, neutral at large batch (see io/weights.
     cast_params).
+
+    emit_masks: "all" (default — the reference's 4-output contract,
+    IEExecutor.cs:446-449: every survivor's [h,w] mask materialized) or
+    "none" (coefs-only: the [B,D,h,w] slate is never written; the program
+    emits gathered coefs + prototypes and consumers synthesize single
+    masks on demand — ops/masks.synthesize_one_mask — which is what the
+    interactive executor does for the one tracked target).
+
+    mask_display_hw: with emit_masks="all", additionally bilinear-upsample
+    the masks to this (H, W) INSIDE the device program, so consumers get
+    frame/display-resolution masks with no host-side resampling (the
+    reference upsamples on the GPU at render time via a bilinear-filtered
+    texture, IEMasker.cs:316-323).
     """
+    if emit_masks not in ("all", "none"):
+        raise ValueError(f"emit_masks {emit_masks!r}: expected 'all'|'none'")
+    if mask_display_hw is not None and emit_masks != "all":
+        raise ValueError("mask_display_hw requires emit_masks='all'")
     mcfg = cfg.model
     pcfg = cfg.post
     if params_dtype is not None:
@@ -103,16 +123,29 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
             return yuv420_to_rgb(y, u, v)
         raise ValueError(f"unknown input_format {input_format!r}")
 
+    from xrseg_tpu.precision import precision_scope
+
     def _run(params, frames):
-        x = pre_ops.preprocess(_to_rgb(frames), mcfg.input_size,
-                               mode=resize_mode,
-                               dtype=jnp.dtype(mcfg.dtype))
-        out = yolo11.forward(params, x, mcfg, concat_preds=False)
-        protos = out.get("protos")
-        det = postprocess_batch_parts(
-            out["boxes_xywh"], out["cls_logits"],
-            out.get("mask_coefs"), protos, pcfg, crop_masks,
-            mcfg.input_size, mask_dtype=mdt, scores_are_logits=True)
+        # trace-time scope: covers preprocess resize matmuls, the network
+        # (also self-scoped in yolo11.forward) and the mask-synthesis
+        # matmul — the whole program honors cfg.model.matmul_precision
+        with precision_scope(mcfg.matmul_precision):
+            x = pre_ops.preprocess(_to_rgb(frames), mcfg.input_size,
+                                   mode=resize_mode,
+                                   dtype=jnp.dtype(mcfg.dtype))
+            out = yolo11.forward(params, x, mcfg, concat_preds=False)
+            protos = out.get("protos")
+            det = postprocess_batch_parts(
+                out["boxes_xywh"], out["cls_logits"],
+                out.get("mask_coefs"), protos, pcfg, crop_masks,
+                mcfg.input_size, mask_dtype=mdt, scores_are_logits=True,
+                with_masks=(emit_masks == "all"))
+            if mask_display_hw is not None and "masks" in det:
+                from xrseg_tpu.ops import masks as mask_ops
+                det["masks"] = jax.vmap(
+                    lambda m: mask_ops.upsample_masks(
+                        m, tuple(mask_display_hw)))(det["masks"]
+                                                    ).astype(mdt)
         # Pack the small per-frame outputs into ONE flat f32 array so the
         # host readback is a single DMA (boxes | scores | labels | valid |
         # count), instead of five round-trips. Masks/coefs stay on device;

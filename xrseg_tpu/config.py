@@ -27,6 +27,11 @@ class ModelConfig:
     task: str = "segment"            # "segment" | "detect"
     dtype: str = "bfloat16"          # compute dtype on TPU
     param_dtype: str = "float32"
+    # MXU matmul precision for f32 ops: "default" (bf16 passes, fastest) |
+    # "high" | "highest" (fp32-equivalent — the exact-parity mode that
+    # recovers CPU-identical detections on TPU; see xrseg_tpu/precision.py
+    # and ACCURACY.md for the measured accuracy/cost tradeoff).
+    matmul_precision: str = "default"
 
     @property
     def mask_size(self) -> Tuple[int, int]:
@@ -107,6 +112,12 @@ class ExecutorConfig:
     # free instance descriptors (cosine gate; 0 = off). Costs one extra
     # small D2H per frame (the [D,32] coef block), segment task only.
     reid_threshold: float = 0.0
+    # mask slate policy for the compiled pipeline: "all" materializes every
+    # survivor's mask on device (reference 4-output contract,
+    # IEExecutor.cs:446-449); "none" is the coefs-only mode — the executor
+    # synthesizes just the tracked target's mask on demand
+    # (ops/masks.synthesize_one_mask), skipping the [B,50,h,w] HBM write.
+    emit_masks: str = "all"
 
 
 # "Scene" presets — the reference's two scenes as configs.

@@ -60,14 +60,17 @@ def _our_detections(images: Sequence[np.ndarray], params,
 
     dtype = jnp.bfloat16 if mcfg.dtype == "bfloat16" else jnp.float32
 
+    from xrseg_tpu.precision import precision_scope
+
     @jax.jit
     def run(params, frames):
-        x = pre_ops.preprocess(frames, mcfg.input_size, dtype=dtype)
-        out = yolo11.forward(params, x, mcfg, concat_preds=False)
-        return postprocess_batch_parts(
-            out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
-            out["protos"], pcfg, False, mcfg.input_size,
-            scores_are_logits=True)
+        with precision_scope(mcfg.matmul_precision):
+            x = pre_ops.preprocess(frames, mcfg.input_size, dtype=dtype)
+            out = yolo11.forward(params, x, mcfg, concat_preds=False)
+            return postprocess_batch_parts(
+                out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
+                out["protos"], pcfg, False, mcfg.input_size,
+                scores_are_logits=True)
 
     per_image = []
     for img in images:

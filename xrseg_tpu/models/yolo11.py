@@ -306,8 +306,10 @@ def forward(params: Params, x: jax.Array, cfg: ModelConfig,
             f"input {x.shape} does not match cfg.input_size {cfg.input_size} "
             "(NHWC expected)")
     dt = jnp.dtype(cfg.dtype)
-    feats = _backbone_neck(params, x, cfg, dt)
-    return head_outputs(params, feats, cfg, concat_preds=concat_preds)
+    from xrseg_tpu.precision import precision_scope
+    with precision_scope(cfg.matmul_precision):
+        feats = _backbone_neck(params, x, cfg, dt)
+        return head_outputs(params, feats, cfg, concat_preds=concat_preds)
 
 
 def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
@@ -323,38 +325,40 @@ def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
     specialization with matching anchor grids.
     """
     dt = jnp.dtype(cfg.dtype)
-    feats = _backbone_neck(params, x, cfg, dt)
-    boxes, clss = _detect_branches(params, feats, cfg, dt)
-    B = x.shape[0]
-    box_flat = jnp.concatenate(
-        [b.reshape(B, -1, 4 * cfg.reg_max) for b in boxes], axis=1
-    ).astype(jnp.float32)
-    cls_flat = jnp.concatenate(
-        [c.reshape(B, -1, cfg.num_classes) for c in clss], axis=1
-    ).astype(jnp.float32)
-
-    anchors_np, strides_np = make_anchors(tuple(x.shape[1:3]))
-    anchors = jnp.asarray(anchors_np)
-    strides = jnp.asarray(strides_np)
-    ltrb = dfl_decode(box_flat, cfg.reg_max)
-    x1y1 = anchors[None] - ltrb[..., :2]
-    x2y2 = anchors[None] + ltrb[..., 2:]
-    xywh = jnp.concatenate([(x1y1 + x2y2) * 0.5 * strides[None],
-                            (x2y2 - x1y1) * strides[None]], axis=-1)
-    out = {"box_logits": box_flat, "cls_logits": cls_flat,
-           "boxes_xywh": xywh}
-    if cfg.task == "segment":
-        out["protos"] = L.proto_apply(params["proto"], feats[0],
-                                      dtype=dt).astype(jnp.float32)
-        mcs = []
-        for i, f in enumerate(feats):
-            c4 = params["seg_cv4"][i]
-            m = L.conv_apply(c4["conv0"], f, dtype=dt)
-            m = L.conv_apply(c4["conv1"], m, dtype=dt)
-            mcs.append(L.head_conv_apply(c4["out"], m, dtype=dt))
-        out["mask_coefs"] = jnp.concatenate(
-            [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1
+    from xrseg_tpu.precision import precision_scope
+    with precision_scope(cfg.matmul_precision):
+        feats = _backbone_neck(params, x, cfg, dt)
+        boxes, clss = _detect_branches(params, feats, cfg, dt)
+        B = x.shape[0]
+        box_flat = jnp.concatenate(
+            [b.reshape(B, -1, 4 * cfg.reg_max) for b in boxes], axis=1
         ).astype(jnp.float32)
+        cls_flat = jnp.concatenate(
+            [c.reshape(B, -1, cfg.num_classes) for c in clss], axis=1
+        ).astype(jnp.float32)
+
+        anchors_np, strides_np = make_anchors(tuple(x.shape[1:3]))
+        anchors = jnp.asarray(anchors_np)
+        strides = jnp.asarray(strides_np)
+        ltrb = dfl_decode(box_flat, cfg.reg_max)
+        x1y1 = anchors[None] - ltrb[..., :2]
+        x2y2 = anchors[None] + ltrb[..., 2:]
+        xywh = jnp.concatenate([(x1y1 + x2y2) * 0.5 * strides[None],
+                                (x2y2 - x1y1) * strides[None]], axis=-1)
+        out = {"box_logits": box_flat, "cls_logits": cls_flat,
+               "boxes_xywh": xywh}
+        if cfg.task == "segment":
+            out["protos"] = L.proto_apply(params["proto"], feats[0],
+                                          dtype=dt).astype(jnp.float32)
+            mcs = []
+            for i, f in enumerate(feats):
+                c4 = params["seg_cv4"][i]
+                m = L.conv_apply(c4["conv0"], f, dtype=dt)
+                m = L.conv_apply(c4["conv1"], m, dtype=dt)
+                mcs.append(L.head_conv_apply(c4["out"], m, dtype=dt))
+            out["mask_coefs"] = jnp.concatenate(
+                [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1
+            ).astype(jnp.float32)
     return out
 
 

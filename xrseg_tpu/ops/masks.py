@@ -55,3 +55,22 @@ def upsample_masks(masks: jax.Array, out_hw: tuple) -> jax.Array:
     """Bilinear upsample [D,h,w] -> [D,out_h,out_w] (display-res masks)."""
     D = masks.shape[0]
     return jax.image.resize(masks, (D, out_hw[0], out_hw[1]), method="bilinear")
+
+
+@jax.jit
+def synthesize_one_mask(coefs: jax.Array, protos: jax.Array,
+                        index: jax.Array) -> jax.Array:
+    """On-demand single-instance mask for the coefs-only pipeline mode:
+    coefs [D,nm], protos [H,W,nm], index scalar -> [H,W] sigmoid mask.
+
+    One [H*W,nm]x[nm] matvec instead of the full [D,H,W] slate — used by
+    the executor's tracked-target gather (runtime/executor.py) when the
+    pipeline was built with emit_masks="none". The reference always
+    materializes and reads back every survivor's mask
+    (IEExecutor.cs:446-449); here the untracked 49/50 rows are never
+    computed at all.
+    """
+    c = jax.lax.dynamic_index_in_dim(coefs, index, axis=0, keepdims=False)
+    logits = jnp.einsum("hwn,n->hw", protos, c,
+                        preferred_element_type=jnp.float32)
+    return jax.nn.sigmoid(logits)

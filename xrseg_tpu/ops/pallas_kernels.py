@@ -18,8 +18,8 @@ VMEM-resident pass:
                           the pipeline keeps the XLA formulation
                           (ops/masks.py) and this kernel stays as the
                           fused-variant reference.
-  resize_normalize_bf16 — (XLA helper) separable 2-tap bilinear resize +
-                          1/255 normalize; used by preprocess.
+(The XLA-formulated bilinear resize+normalize helper used to live here;
+it is plain XLA, not Pallas, so it moved to ops/preprocess.py.)
 
 All kernels are fixed-shape and jit-safe; tests run them with
 interpret=True on CPU; nms_select_pallas runs on TPU in production
@@ -308,64 +308,3 @@ def mask_synth_crop_pallas(coefs: jax.Array, protos: jax.Array,
     )(coefs.astype(jnp.float32), protos_flat.astype(jnp.float32),
       boxes_xywh.astype(jnp.float32))
     return out[:D].reshape(D, h, w)
-
-
-# ---------------------------------------------------------------------------
-# MXU-formulated bilinear resize + normalize (XLA; the Pallas-adjacent path)
-# ---------------------------------------------------------------------------
-
-def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
-    """[dst, src] row-stochastic bilinear interpolation matrix
-    (half-pixel-center convention, matching jax.image.resize/cv2)."""
-    out = np.zeros((dst, src), np.float32)
-    scale = src / dst
-    for i in range(dst):
-        s = (i + 0.5) * scale - 0.5
-        s0 = int(np.floor(s))
-        frac = s - s0
-        a = max(0, min(src - 1, s0))
-        b = max(0, min(src - 1, s0 + 1))
-        out[i, a] += 1.0 - frac
-        out[i, b] += frac
-    return out
-
-
-def _tap_indices(src: int, dst: int):
-    """2-tap bilinear gather plan: (idx0, idx1, w1) per output coordinate
-    (half-pixel-center convention)."""
-    s = (np.arange(dst) + 0.5) * (src / dst) - 0.5
-    s0 = np.floor(s).astype(np.int64)
-    frac = (s - s0).astype(np.float32)
-    i0 = np.clip(s0, 0, src - 1)
-    i1 = np.clip(s0 + 1, 0, src - 1)
-    return i0, i1, frac
-
-
-@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
-def resize_normalize_bf16(frames: jax.Array, out_hw: Tuple[int, int],
-                          dtype=jnp.bfloat16) -> jax.Array:
-    """uint8 [B,H,W,3] -> dtype [B,oh,ow,3] in [0,1].
-
-    2-tap separable bilinear as four row/col gathers + lerps (the bilinear
-    matrix is 2-sparse; a dense MXU matmul wastes ~H/2 x the FLOPs). The
-    uint8->dtype conversion and 1/255 fold into the first lerp. Identity
-    sizes skip the resample entirely.
-    """
-    B, H, W, C = frames.shape
-    oh, ow = out_hw
-    scale = jnp.asarray(1.0 / 255.0, dtype)
-    if (H, W) == (oh, ow):
-        return frames.astype(dtype) * scale
-
-    x = frames.astype(dtype) * scale
-    if H != oh:
-        i0, i1, f = _tap_indices(H, oh)
-        f = jnp.asarray(f, dtype)[None, :, None, None]
-        x = (jnp.take(x, jnp.asarray(i0), axis=1) * (1 - f)
-             + jnp.take(x, jnp.asarray(i1), axis=1) * f)
-    if W != ow:
-        i0, i1, f = _tap_indices(W, ow)
-        f = jnp.asarray(f, dtype)[None, None, :, None]
-        x = (jnp.take(x, jnp.asarray(i0), axis=2) * (1 - f)
-             + jnp.take(x, jnp.asarray(i1), axis=2) * f)
-    return x

@@ -36,7 +36,8 @@ def postprocess_single_parts(boxes: jax.Array, cls_scores: jax.Array,
                              crop: bool = False,
                              input_size: tuple = (640, 640),
                              mask_dtype=jnp.float32,
-                             scores_are_logits: bool = False
+                             scores_are_logits: bool = False,
+                             with_masks: bool = True
                              ) -> Dict[str, jax.Array]:
     """Un-concatenated inputs (the hot path — avoids materializing the
     [A, 4+nc+nm] preds tensor): boxes [A,4], cls_scores [A,nc],
@@ -46,6 +47,13 @@ def postprocess_single_parts(boxes: jax.Array, cls_scores: jax.Array,
     Sigmoid is monotonic, so max/argmax/ranking/NMS run on the logits and
     the probability transform applies only to the selected top-K — this
     skips an [A,nc] fp32 sigmoid materialization per image.
+
+    with_masks=False is the coefs-only mode: skip the [D,h,w] mask-slate
+    synthesis (the dominant postprocess HBM write) and instead emit the
+    gathered coefs plus the prototypes ("protos") so consumers synthesize
+    individual masks on demand (ops/masks.synthesize_one_mask). The
+    reference always reads back all four outputs (IEExecutor.cs:446-449);
+    interactive consumers here discard 49/50 mask rows per frame.
     """
     scores = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
     labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
@@ -75,12 +83,15 @@ def postprocess_single_parts(boxes: jax.Array, cls_scores: jax.Array,
     if protos is not None and coefs_all is not None:
         coefs = coefs_all[det["indices"]]                     # [D,nm]
         coefs = coefs * det["valid"][:, None]                 # zero invalid
-        m = mask_ops.synthesize_masks(
-            coefs.astype(mask_dtype), protos.astype(mask_dtype))
-        if crop:
-            m = mask_ops.crop_masks(m, det["boxes_xywh"], input_size)
         det["coefs"] = coefs
-        det["masks"] = m.astype(mask_dtype)
+        if with_masks:
+            m = mask_ops.synthesize_masks(
+                coefs.astype(mask_dtype), protos.astype(mask_dtype))
+            if crop:
+                m = mask_ops.crop_masks(m, det["boxes_xywh"], input_size)
+            det["masks"] = m.astype(mask_dtype)
+        else:
+            det["protos"] = protos.astype(mask_dtype)
     return det
 
 
@@ -91,10 +102,12 @@ def postprocess_batch_parts(boxes: jax.Array, cls_scores: jax.Array,
                             crop: bool = False,
                             input_size: tuple = (640, 640),
                             mask_dtype=jnp.float32,
-                            scores_are_logits: bool = False
+                            scores_are_logits: bool = False,
+                            with_masks: bool = True
                             ) -> Dict[str, jax.Array]:
     """Batched hot path: boxes [B,A,4], cls_scores [B,A,nc],
     coefs_all [B,A,nm]|None, protos [B,h,w,nm]|None.
+    with_masks=False: coefs-only mode (see postprocess_single_parts).
 
     Same math as vmap(postprocess_single_parts) but the NMS backend is
     chosen batch-aware: on TPU the whole batch runs through ONE
@@ -126,13 +139,16 @@ def postprocess_batch_parts(boxes: jax.Array, cls_scores: jax.Array,
         coefs = jnp.take_along_axis(coefs_all,
                                     det["indices"][..., None], axis=1)
         coefs = coefs * det["valid"][..., None]
-        m = jax.vmap(lambda c, p: mask_ops.synthesize_masks(
-            c.astype(mask_dtype), p.astype(mask_dtype)))(coefs, protos)
-        if crop:
-            m = jax.vmap(lambda mm, b: mask_ops.crop_masks(
-                mm, b, input_size))(m, det["boxes_xywh"])
         det["coefs"] = coefs
-        det["masks"] = m.astype(mask_dtype)
+        if with_masks:
+            m = jax.vmap(lambda c, p: mask_ops.synthesize_masks(
+                c.astype(mask_dtype), p.astype(mask_dtype)))(coefs, protos)
+            if crop:
+                m = jax.vmap(lambda mm, b: mask_ops.crop_masks(
+                    mm, b, input_size))(m, det["boxes_xywh"])
+            det["masks"] = m.astype(mask_dtype)
+        else:
+            det["protos"] = protos.astype(mask_dtype)
     return det
 
 

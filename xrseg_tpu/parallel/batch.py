@@ -41,14 +41,17 @@ def build_sharded_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
     sharded_params = mesh_lib.shard_params(params, mesh, tp_min_channels)
     frames_sh = NamedSharding(mesh, P("data"))
 
+    from xrseg_tpu.precision import precision_scope
+
     def _run(p, frames):
-        x = pre_ops.preprocess(frames, mcfg.input_size, mode=resize_mode,
-                               dtype=jnp.dtype(mcfg.dtype))
-        out = yolo11.forward(p, x, mcfg)
-        det = jax.vmap(lambda pr, pro: postprocess_single(
-            pr, pro, pcfg, mcfg.num_classes, False, mcfg.input_size))(
-                out["preds"], out.get("protos"))
-        return det
+        with precision_scope(mcfg.matmul_precision):
+            x = pre_ops.preprocess(frames, mcfg.input_size, mode=resize_mode,
+                                   dtype=jnp.dtype(mcfg.dtype))
+            out = yolo11.forward(p, x, mcfg)
+            det = jax.vmap(lambda pr, pro: postprocess_single(
+                pr, pro, pcfg, mcfg.num_classes, False, mcfg.input_size))(
+                    out["preds"], out.get("protos"))
+            return det
 
     fn = jax.jit(_run,
                  in_shardings=(mesh_lib.param_shardings(params, mesh,

@@ -84,7 +84,8 @@ class Executor:
         self.tracer = Tracer()
         with self.tracer.section("load_model"):
             self.pipeline: CompiledPipeline = load_model(
-                cfg, params=params, seed=seed, frame_hw=frame_hw, batch=1)
+                cfg, params=params, seed=seed, frame_hw=frame_hw, batch=1,
+                emit_masks=cfg.emit_masks)
         self.is_model_loaded = True
         self.frame_hw = tuple(frame_hw or cfg.model.input_size)
         self._pipelines[tuple(self.frame_hw)] = self.pipeline
@@ -169,7 +170,8 @@ class Executor:
                     with self.tracer.section("recompile"):
                         self._pipelines[hw] = _lm(
                             self.cfg, params=self.pipeline.params,
-                            frame_hw=hw, batch=1)
+                            frame_hw=hw, batch=1,
+                            emit_masks=self.cfg.emit_masks)
                 self._pipelines.move_to_end(hw)
                 while len(self._pipelines) > self.max_cached_pipelines:
                     self._pipelines.popitem(last=False)   # evict LRU geometry
@@ -294,12 +296,33 @@ class Executor:
                                       self.cfg.post.max_detections)
         self._state = ExecState.SUCCESS
 
+    @staticmethod
+    def _has_mask_outputs(dev: Optional[dict]) -> bool:
+        """Whether a pipeline output dict can yield per-target masks:
+        either a materialized slate (emit_masks='all') or coefs+protos
+        (emit_masks='none', on-demand synthesis)."""
+        return dev is not None and (
+            "masks" in dev or ("coefs" in dev and "protos" in dev))
+
+    def _device_target_mask(self, dev: dict, slate_index: int):
+        """One target's [h,w] mask as a DEVICE array: a slate-row gather
+        (emit_masks='all') or an on-demand matvec synthesis
+        (emit_masks='none' — the row is computed only now, never stored
+        in a [D,h,w] slate)."""
+        if "masks" in dev:
+            return dev["masks"][0, slate_index]
+        import jax.numpy as jnp
+
+        from xrseg_tpu.ops.masks import synthesize_one_mask
+        return synthesize_one_mask(dev["coefs"][0], dev["protos"][0],
+                                   jnp.int32(slate_index))
+
     def _fetch_target_mask(self, slate_index: int) -> np.ndarray:
         """Device-side gather of one mask row -> tiny D2H copy."""
-        dev = self._inflight if (self._inflight and "masks" in self._inflight) \
+        dev = self._inflight if self._has_mask_outputs(self._inflight) \
             else self.last_device_out
         with self.tracer.section("mask_fetch"):
-            return np.asarray(dev["masks"][0, slate_index])
+            return np.asarray(self._device_target_mask(dev, slate_index))
 
     def _extract_depth_for(self, box: BoundingBox) -> Optional[PointCloud]:
         """ExtractDepthData (IEExecutor.cs:561-651).
@@ -316,19 +339,27 @@ class Executor:
         # masks live on device in the in-flight outputs, or — between
         # frames (e.g. laser-held extraction, IEPassthroughTrigger.cs:98) —
         # in the retained last completed outputs
-        dev = self._inflight if (self._inflight and "masks" in self._inflight) \
+        dev = self._inflight if self._has_mask_outputs(self._inflight) \
             else self.last_device_out
-        if dev is None or "masks" not in dev:
+        if not self._has_mask_outputs(dev):
             return None
         raw_box = box_to_model_space(
             box, self.screen_wh,
             tuple(map(float, self.cfg.model.input_size)))
         with self.tracer.section("depth_fusion"):
             if self.points.backend == "jax":
+                if "masks" in dev:
+                    return self.points.extract_from_slate(
+                        self._depth_frame, dev["masks"][0], box.index,
+                        raw_box, intr, self._depth_pose)
+                # coefs-only pipeline: synthesize just this target's mask
+                # on device, then fuse (still one dispatch chain, no mask
+                # slate was ever materialized)
+                m = self._device_target_mask(dev, box.index)
                 return self.points.extract_from_slate(
-                    self._depth_frame, dev["masks"][0], box.index,
+                    self._depth_frame, m[None], 0,
                     raw_box, intr, self._depth_pose)
-            mask = np.asarray(dev["masks"][0, box.index])
+            mask = np.asarray(self._device_target_mask(dev, box.index))
             return self.points.extract(self._depth_frame, mask, raw_box,
                                        intr, self._depth_pose)
 
@@ -363,7 +394,7 @@ class Executor:
 
         # Case 2: tracking (IEExecutor.cs:485-526)
         matched = self.tracker.update(self.current_frame_boxes)
-        has_masks = self._inflight is not None and "masks" in self._inflight
+        has_masks = self._has_mask_outputs(self._inflight)
         # per-frame dt for the masker's SmoothDamp (the reference damps from
         # Update() every frame, IEMasker.cs:65-80)
         meta = self._inflight_meta

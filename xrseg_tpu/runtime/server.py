@@ -105,6 +105,10 @@ class InferenceServer:
                                        frame_hw=self.frame_hw, batch=1,
                                        params_dtype=params_dtype)
         self._lock = threading.Lock()
+        # counters are bumped from concurrent handler threads; += is not
+        # atomic in CPython, so guard with a dedicated lock (cheap: two
+        # increments per request)
+        self._counter_lock = threading.Lock()
         self._requests = 0
         self._errors = 0
         self._t_start = time.time()
@@ -116,7 +120,12 @@ class InferenceServer:
                                 and cfg.model.task == "segment")
 
         # -- dynamic micro-batching --
-        self.micro_batch = max(1, int(micro_batch))
+        # Buckets are powers of two (each bucket = one compiled program);
+        # round the cap DOWN to a power of two so a full collection never
+        # rounds up past the configured ceiling (micro_batch=6 must not
+        # dispatch a batch-8 program).
+        mb = max(1, int(micro_batch))
+        self.micro_batch = 1 << (mb.bit_length() - 1)
         self.batch_window_ms = float(batch_window_ms)
         self._pipelines: Dict[int, object] = {1: self.pipeline}
         self._pipelines_lock = threading.Lock()
@@ -163,7 +172,8 @@ class InferenceServer:
                     try:
                         self._reply(200, server.infer_bytes(data))
                     except Exception as e:   # bad image, wrong shape, ...
-                        server._errors += 1
+                        with server._counter_lock:
+                            server._errors += 1
                         self._reply(400, {"error": str(e)})
                 elif self.path == "/reload":
                     try:
@@ -215,7 +225,8 @@ class InferenceServer:
                     host["masks"] = np.asarray(det["masks"][0, :n],
                                                np.float32)
         latency_ms = (time.perf_counter() - t0) * 1e3
-        self._requests += 1
+        with self._counter_lock:
+            self._requests += 1
         return self._format(host, latency_ms)
 
     def _format(self, host: dict, latency_ms: float) -> dict:
@@ -333,11 +344,17 @@ class InferenceServer:
             raise ValueError('body must be {"path": "<weights>"}')
         from xrseg_tpu.models.yolo11 import count_params
         new_params, _ = load_params_auto(path, self.cfg.model)
-        # match the serving storage dtype + validate the tree shape
+        # validate the full tree STRUCTURE (not just leaf count/shapes —
+        # a structurally different checkpoint with coincidentally matching
+        # leaves must not hot-swap into misassigned weights), then shapes
+        if (jax.tree.structure(new_params)
+                != jax.tree.structure(self.pipeline.params)):
+            raise ValueError("weight tree structure does not match the "
+                             f"serving model ({self.cfg.model.scale}/"
+                             f"{self.cfg.model.task})")
         ref_leaves = jax.tree.leaves(self.pipeline.params)
         new_leaves = jax.tree.leaves(new_params)
-        if len(ref_leaves) != len(new_leaves) or any(
-                a.shape != b.shape for a, b in zip(ref_leaves, new_leaves)):
+        if any(a.shape != b.shape for a, b in zip(ref_leaves, new_leaves)):
             raise ValueError("weights do not match the serving model "
                              f"({self.cfg.model.scale}/"
                              f"{self.cfg.model.task})")

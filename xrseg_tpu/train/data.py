@@ -509,8 +509,33 @@ class Loader:
                 samples.append(augment_sample(
                     self.ds.__getitem__, int(i), rng, input_hw,
                     self.aug, n))
-            yield collate(samples, self.cfg, self.max_gt,
-                          self.aug.min_box_px, input_hw=input_hw)
+            batch = collate(samples, self.cfg, self.max_gt,
+                            self.aug.min_box_px, input_hw=input_hw)
+            if not self.drop_last:
+                batch = self._pad_batch(batch, len(samples))
+            yield batch
+
+    def _pad_batch(self, batch: Dict[str, np.ndarray], n_real: int
+                   ) -> Dict[str, np.ndarray]:
+        """drop_last=False: pad the (possibly partial) batch to the
+        configured size so every step shares one compiled shape and the
+        leading axis stays divisible by the mesh data axis. Padding rows
+        are zero images with no GT and sample_weight 0 — the loss removes
+        them exactly (losses.detection_loss)."""
+        pad = self.batch - n_real
+        if pad > 0:
+            out = {}
+            for k, v in batch.items():
+                fill = np.full((pad,) + v.shape[1:], -1 if k == "labels"
+                               else 0, v.dtype)
+                out[k] = np.concatenate([v, fill])
+            batch = out
+        # constant pytree structure across ALL steps (full batches too):
+        # one jit trace per geometry, not one per remainder
+        batch["sample_weight"] = np.concatenate(
+            [np.ones(n_real, np.float32),
+             np.zeros(self.batch - n_real, np.float32)])
+        return batch
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
         """Device-placed batches for one epoch, prefetched off-thread.

@@ -234,5 +234,16 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
             aux["seg"] = l_seg
         return loss, aux
 
+    sw = targets.get("sample_weight")
+    targets = {k: v for k, v in targets.items() if k != "sample_weight"}
     losses, auxs = jax.vmap(single)(out, targets)
+    if sw is not None:
+        # padded batch rows (drop_last=False pads the final partial batch
+        # to the configured size so every step shares ONE compiled shape
+        # and mesh sharding stays divisible): weight 0 removes them from
+        # the loss exactly
+        sw = sw.astype(losses.dtype)
+        denom = jnp.maximum(sw.sum(), 1.0)
+        return ((losses * sw).sum() / denom,
+                jax.tree.map(lambda a: (a * sw).sum() / denom, auxs))
     return losses.mean(), jax.tree.map(jnp.mean, auxs)

@@ -63,7 +63,8 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
 
     def loss_fn(params, batch):
         out = fwd(params, batch["images"], cfg)
-        tgt = {k: batch[k] for k in ("boxes_xywh", "labels") if k in batch}
+        tgt = {k: batch[k] for k in ("boxes_xywh", "labels",
+                                     "sample_weight") if k in batch}
         if "masks" in batch and cfg.task == "segment":
             tgt["masks"] = batch["masks"]
         # anchors follow the batch's actual (H,W): multi-scale batches each

@@ -93,6 +93,14 @@ class Trainer:
             return None
         return os.path.join(self.tcfg.ckpt_dir, "state")
 
+    def _load_history(self) -> None:
+        if self.tcfg.ckpt_dir is None or self.history:
+            return
+        hist = os.path.join(self.tcfg.ckpt_dir, "history.json")
+        if os.path.exists(hist):
+            with open(hist) as f:
+                self.history = json.load(f)
+
     def _init_state(self, total_steps: int, resume: bool) -> None:
         jax = self._jax
         t = self.tcfg
@@ -108,10 +116,7 @@ class Trainer:
         path = self._ckpt_path()
         if resume and path and os.path.exists(path):
             state = ts.load_train_state(path, state)
-            hist = os.path.join(self.tcfg.ckpt_dir, "history.json")
-            if os.path.exists(hist) and not self.history:
-                with open(hist) as f:
-                    self.history = json.load(f)
+            self._load_history()
         if self.mesh is not None:
             state = ts.shard_train_state(state, self.mesh,
                                          t.tp_min_channels)
@@ -182,7 +187,14 @@ class Trainer:
                                  mesh=self.mesh, scales=t.scales)
         steps_per_epoch = loader.steps_per_epoch()
         if self.state is None:
-            self._init_state(steps_per_epoch * epochs, resume)
+            # On resume the restored state.step continues from the prior
+            # run, so the LR schedule horizon must cover epochs already
+            # trained PLUS this call's — otherwise warmup/decay misalign
+            # and a run past the horizon trains at the terminal LR.
+            if resume:
+                self._load_history()
+            self._init_state(steps_per_epoch * (len(self.history) + epochs),
+                             resume)
         step_fn = ts.make_train_step(self.cfg, self.optimizer,
                                      mesh=self.mesh,
                                      tp_min_channels=t.tp_min_channels,
