@@ -140,3 +140,73 @@ def test_params_dtype_bf16_storage():
         np.testing.assert_allclose(np.asarray(d16["scores"][0, :n]),
                                    np.asarray(d32["scores"][0, :n]),
                                    atol=0.05)
+
+
+def test_emit_masks_none_coefs_only():
+    """Coefs-only mode: identical slate, no mask slate, protos emitted;
+    on-demand single-mask synthesis matches the full slate's row."""
+    from xrseg_tpu.ops.masks import synthesize_one_mask
+    from xrseg_tpu.testing import detection_params
+
+    cfg = _cfg()
+    params = detection_params(jax.random.key(0), cfg.model)
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3)), jnp.uint8)
+    p_all = build_pipeline(cfg, params)
+    p_none = build_pipeline(cfg, params, emit_masks="none")
+    d_all, d_none = p_all(frames), p_none(frames)
+    assert "masks" not in d_none and "protos" in d_none
+    np.testing.assert_allclose(np.asarray(d_all["slate"]),
+                               np.asarray(d_none["slate"]), rtol=1e-6)
+    assert int(d_none["count"][0]) > 0
+    for i in range(3):
+        m = synthesize_one_mask(d_none["coefs"][0], d_none["protos"][0],
+                                jnp.int32(i))
+        np.testing.assert_allclose(np.asarray(m),
+                                   np.asarray(d_all["masks"][0, i]),
+                                   atol=1e-5)
+    with pytest.raises(ValueError):
+        build_pipeline(cfg, params, emit_masks="bogus")
+    with pytest.raises(ValueError):
+        build_pipeline(cfg, params, emit_masks="none",
+                       mask_display_hw=(32, 32))
+
+
+def test_mask_display_hw_device_upsample():
+    """Display-res mode: masks come back at frame resolution, equal to a
+    host-side bilinear upsample of the proto-res masks."""
+    from xrseg_tpu.ops.masks import upsample_masks
+    from xrseg_tpu.testing import detection_params
+
+    cfg = _cfg()
+    params = detection_params(jax.random.key(0), cfg.model)
+    frames = jnp.asarray(
+        np.random.default_rng(1).integers(0, 255, (1, 64, 64, 3)), jnp.uint8)
+    d_proto = build_pipeline(cfg, params)(frames)
+    d_disp = build_pipeline(cfg, params, mask_display_hw=(48, 64))(frames)
+    assert d_disp["masks"].shape == (1, 10, 48, 64)
+    ref = upsample_masks(d_proto["masks"][0], (48, 64))
+    np.testing.assert_allclose(np.asarray(d_disp["masks"][0]),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_matmul_precision_highest_close_to_default_cpu():
+    """The precision knob compiles and (on CPU, where f32 is already
+    exact) matches the default slate; also pins the config plumbing."""
+    import dataclasses
+
+    from xrseg_tpu.testing import detection_params
+
+    cfg = _cfg()
+    cfg_hp = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, matmul_precision="highest"))
+    params = detection_params(jax.random.key(0), cfg.model)
+    frames = jnp.asarray(
+        np.random.default_rng(2).integers(0, 255, (1, 64, 64, 3)), jnp.uint8)
+    s_def = np.asarray(build_pipeline(cfg, params)(frames)["slate"])
+    s_hp = np.asarray(build_pipeline(cfg_hp, params)(frames)["slate"])
+    np.testing.assert_allclose(s_def, s_hp, atol=1e-4)
+    cfg_bad = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, matmul_precision="bogus"))
+    with pytest.raises(ValueError):
+        build_pipeline(cfg_bad, params)(frames)   # validated at trace time

@@ -22,8 +22,15 @@ def _tiny_cfg(score_threshold=1e-7):
 
 @pytest.fixture(scope="module")
 def executor():
-    # near-zero score threshold: random-init weights still yield detections
-    return Executor(_tiny_cfg(), frame_hw=(64, 64), seed=3)
+    # detection-guaranteeing fixture weights: every anchor fires, so the
+    # select/track/extract paths always execute (no seed luck)
+    import jax
+
+    from xrseg_tpu.testing import detection_params
+    cfg = _tiny_cfg()
+    return Executor(cfg, params=detection_params(jax.random.key(3),
+                                                 cfg.model),
+                    frame_hw=(64, 64))
 
 
 def _frame(seed=0, t=0.0):
@@ -62,8 +69,7 @@ def test_trigger_down_selects_and_held_extracts(executor):
     executor.reset_tracking()
     loop = XRLoop(executor)
     r = _run_to_result(loop, _frame(5))
-    if r.count == 0:
-        pytest.skip("no detections at this seed")
+    assert r.count > 0, "fixture weights must always detect"
     b = r.boxes[0]
     frame_sp = (b.center_x + executor.screen_wh[0] / 2,
                 b.center_y + executor.screen_wh[1] / 2)
