@@ -244,3 +244,94 @@ def test_loadtest_tool_smoke(mb_server):
                       per_client=2, frame_hw=(64, 64))
     assert out["requests"] == 6 and out["errors"] == 0
     assert out["fps"] > 0 and out["p50_ms"] > 0
+
+
+# ---------------------------------------------------------------------------
+# multi-chip serving (--mesh): sharded pipeline behind the same HTTP surface
+# ---------------------------------------------------------------------------
+
+def _tiny_seg_cfg():
+    return ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=10))
+
+
+def test_mesh_server_matches_single_chip():
+    """data=2 sharded serving returns the same detections as the
+    single-pipeline server on identical weights (8-virtual-device CPU
+    mesh from conftest)."""
+    import jax
+
+    from xrseg_tpu.runtime.server import InferenceServer
+    from xrseg_tpu.testing import detection_params
+
+    cfg = _tiny_seg_cfg()
+    params = detection_params(jax.random.key(7), cfg.model)
+    img = np.random.default_rng(4).integers(0, 255, (64, 64, 3),
+                                            dtype=np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    payload = buf.getvalue()
+
+    single = InferenceServer(cfg, params=params, port=0).start()
+    try:
+        ref = _post(single, payload)
+    finally:
+        single.close()
+
+    meshed = InferenceServer(cfg, params=params, port=0,
+                             mesh_shape={"data": 2}).start()
+    try:
+        with urllib.request.urlopen(_url(meshed, "/healthz"),
+                                    timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["mesh"] == {"data": 2, "model": 1}
+        out = _post(meshed, payload)
+    finally:
+        meshed.close()
+
+    assert out["count"] == ref["count"] > 0
+    for a, b in zip(out["detections"], ref["detections"]):
+        assert a["label"] == b["label"]
+        np.testing.assert_allclose(a["box_xywh"], b["box_xywh"], atol=0.1)
+        assert abs(a["score"] - b["score"]) < 1e-3
+
+
+def test_mesh_server_micro_batch_concurrent():
+    """mesh + micro-batching: concurrent requests coalesce into the
+    sharded batch axis (buckets stay data-axis divisible) and every
+    client gets its own correct result back."""
+    import concurrent.futures
+
+    import jax
+
+    from xrseg_tpu.runtime.server import InferenceServer
+    from xrseg_tpu.testing import detection_params
+
+    cfg = _tiny_seg_cfg()
+    params = detection_params(jax.random.key(7), cfg.model)
+    srv = InferenceServer(cfg, params=params, port=0,
+                          mesh_shape={"data": 2}, micro_batch=4,
+                          batch_window_ms=30.0).start()
+    try:
+        rng = np.random.default_rng(5)
+        payloads = []
+        for _ in range(8):
+            buf = io.BytesIO()
+            np.save(buf, rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+            payloads.append(buf.getvalue())
+        # sequential references first (each still batched to the mesh)
+        refs = [_post(srv, p) for p in payloads]
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            outs = list(ex.map(lambda p: _post(srv, p), payloads))
+        for o, r in zip(outs, refs):
+            assert o["count"] == r["count"]
+            for a, b in zip(o["detections"], r["detections"]):
+                assert a["label"] == b["label"]
+                np.testing.assert_allclose(a["box_xywh"], b["box_xywh"],
+                                           atol=0.1)
+        with urllib.request.urlopen(_url(srv, "/stats"), timeout=30) as rr:
+            st = json.loads(rr.read())
+        assert any(int(k) > 1 for k in st["batch_hist"]), st["batch_hist"]
+    finally:
+        srv.close()

@@ -150,14 +150,7 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
         # host readback is a single DMA (boxes | scores | labels | valid |
         # count), instead of five round-trips. Masks/coefs stay on device;
         # the executor gathers only the tracked target's mask row.
-        D = pcfg.max_detections
-        det["slate"] = jnp.concatenate([
-            det["boxes_xywh"].reshape(-1, D * 4),
-            det["scores"],
-            det["labels"].astype(jnp.float32),
-            det["valid"].astype(jnp.float32),
-            det["count"].astype(jnp.float32)[:, None],
-        ], axis=-1)
+        det["slate"] = pack_slate(det, pcfg.max_detections)
         return det
 
     donate = (1,) if donate_frames else ()
@@ -206,6 +199,20 @@ def load_compiled(path: str):
     with open(path, "rb") as f:
         exp = jax.export.deserialize(f.read())
     return lambda frames: exp.call(frames)
+
+
+def pack_slate(det: Dict[str, jax.Array], max_det: int) -> jax.Array:
+    """Batched small outputs -> ONE flat [B, D*7+1] f32 array (boxes |
+    scores | labels | valid | count): a single D2H DMA per frame instead
+    of five (the reference pays 4 readbacks, IEExecutor.cs:446-449)."""
+    D = max_det
+    return jnp.concatenate([
+        det["boxes_xywh"].reshape(-1, D * 4),
+        det["scores"],
+        det["labels"].astype(jnp.float32),
+        det["valid"].astype(jnp.float32),
+        det["count"].astype(jnp.float32)[:, None],
+    ], axis=-1)
 
 
 def unpack_slate(slate_row, max_det: int) -> Dict[str, Any]:

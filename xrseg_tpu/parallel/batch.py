@@ -6,6 +6,7 @@ for the x-scale. One jit, XLA inserts the ICI collectives.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -41,6 +42,7 @@ def build_sharded_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
     sharded_params = mesh_lib.shard_params(params, mesh, tp_min_channels)
     frames_sh = NamedSharding(mesh, P("data"))
 
+    from xrseg_tpu.compile import pack_slate
     from xrseg_tpu.precision import precision_scope
 
     def _run(p, frames):
@@ -51,6 +53,8 @@ def build_sharded_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
             det = jax.vmap(lambda pr, pro: postprocess_single(
                 pr, pro, pcfg, mcfg.num_classes, False, mcfg.input_size))(
                     out["preds"], out.get("protos"))
+            # same packed-slate readback contract as compile.build_pipeline
+            det["slate"] = pack_slate(det, pcfg.max_detections)
             return det
 
     fn = jax.jit(_run,
@@ -59,6 +63,54 @@ def build_sharded_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
                                frames_sh),
                  out_shardings=NamedSharding(mesh, P("data")))
     return fn, sharded_params
+
+
+@dataclasses.dataclass
+class ShardedPipeline:
+    """CompiledPipeline-shaped adapter over a sharded pipeline: the
+    multi-chip serving unit (runtime/server.py --mesh). __call__ takes a
+    HOST batch, places it on the data axis, and returns the det dict
+    (incl. the packed slate). Params live sharded on the mesh; reshard()
+    re-applies the TP/replication rules to fresh (hot-swapped) weights."""
+    cfg: ExecutorConfig
+    params: Any
+    fn: Any
+    mesh: Mesh
+    input_shape: Tuple[int, ...]
+    tp_min_channels: int = 100000
+
+    def __call__(self, frames) -> Dict[str, jax.Array]:
+        return self.fn(self.params,
+                       mesh_lib.shard_batch(jnp.asarray(frames), self.mesh))
+
+    def warmup(self) -> "ShardedPipeline":
+        import numpy as np
+        out = self(jnp.zeros(self.input_shape, jnp.uint8))
+        jax.block_until_ready(out)
+        np.asarray(out["slate"])     # absorb first-transfer setup cost
+        return self
+
+    def reshard(self, host_params) -> Any:
+        return mesh_lib.shard_params(host_params, self.mesh,
+                                     self.tp_min_channels)
+
+
+def build_serving_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh, *,
+                           batch: int,
+                           frame_hw: Optional[Tuple[int, int]] = None,
+                           resize_mode: str = "stretch",
+                           tp_min_channels: int = 100000
+                           ) -> ShardedPipeline:
+    """build_sharded_pipeline wrapped in the CompiledPipeline call shape
+    so the HTTP server's dispatch/bucket machinery serves multi-chip
+    unchanged (BASELINE configs 2-3 as a product surface)."""
+    fn, sparams = build_sharded_pipeline(
+        cfg, params, mesh, batch=batch, frame_hw=frame_hw,
+        resize_mode=resize_mode, tp_min_channels=tp_min_channels)
+    fh, fw = frame_hw or cfg.model.input_size
+    return ShardedPipeline(cfg=cfg, params=sparams, fn=fn, mesh=mesh,
+                           input_shape=(batch, fh, fw, 3),
+                           tp_min_channels=tp_min_channels)
 
 
 @partial(jax.jit, static_argnames=("n",))

@@ -31,9 +31,16 @@ batch axis, not interleaved batch-1 programs). Batch sizes are bucketed
 to powers of two so each bucket compiles once (fixed shapes); requests
 pad the bucket and padding rows are discarded.
 
+Multi-chip serving (--mesh data=N[,model=M]): the pipeline is built over
+a jax.sharding.Mesh via parallel/batch.build_serving_pipeline — the batch
+axis shards over `data` (requests pad/bucket to multiples of it), wide
+convs optionally shard over `model` (TP, for the x-scale); XLA inserts
+the ICI collectives. Combine with --micro-batch so concurrent requests
+coalesce into the sharded batch axis.
+
 CLI: python -m xrseg_tpu.runtime.server --port 8000 \
         [--weights w.{sentis,onnx,npz}] [--scale n] [--frame-hw 480 640] \
-        [--micro-batch 8 --batch-window-ms 3]
+        [--micro-batch 8 --batch-window-ms 3] [--mesh data=4]
 """
 from __future__ import annotations
 
@@ -91,19 +98,61 @@ class InferenceServer:
                  labels=None, seed: int = 0,
                  micro_batch: int = 1, batch_window_ms: float = 3.0,
                  params_dtype: Optional[str] = None,
-                 serve_masks: bool = False):
+                 serve_masks: bool = False,
+                 mesh_shape: Optional[Dict[str, int]] = None,
+                 tp_min_channels: int = 100000):
         from xrseg_tpu.compile import load_model
 
         self.cfg = cfg
         self.frame_hw = tuple(frame_hw or cfg.model.input_size)
         self.labels = list(labels) if labels is not None else list(COCO_LABELS)
         self.tracer = Tracer()
+
+        # -- multi-chip serving (BASELINE configs 2-3 as a product):
+        # batch axis sharded over the mesh's data axis; XLA rides ICI.
+        # Requests pad/bucket to multiples of the data axis.
+        self.mesh = None
+        self._data_axis = 1
+        self.tp_min_channels = int(tp_min_channels)
+        if mesh_shape:
+            import jax
+
+            from xrseg_tpu.parallel import mesh as mesh_lib
+            d = int(mesh_shape.get("data", 1))
+            m = int(mesh_shape.get("model", 1))
+            if d < 1 or (d & (d - 1)):
+                raise ValueError(
+                    f"mesh data axis {d} must be a power of two (batch "
+                    "buckets are powers of two and must stay divisible)")
+            if d * m > len(jax.devices()):
+                raise ValueError(f"mesh {d}x{m} needs {d * m} devices, "
+                                 f"have {len(jax.devices())}")
+            self.mesh = mesh_lib.make_mesh((d, m),
+                                           devices=jax.devices()[:d * m])
+            self._data_axis = d
+
         with self.tracer.section("load_model"):
             # params_dtype="bfloat16": weight-storage cast once at build
             # (~7% faster at batch=1 on v5e; see io/weights.cast_params)
-            self.pipeline = load_model(cfg, params=params, seed=seed,
-                                       frame_hw=self.frame_hw, batch=1,
-                                       params_dtype=params_dtype)
+            if self.mesh is not None:
+                import jax
+
+                from xrseg_tpu.parallel.batch import build_serving_pipeline
+                if params is None:
+                    from xrseg_tpu.models import yolo11
+                    params = yolo11.init_params(jax.random.key(seed),
+                                                cfg.model)
+                if params_dtype is not None:
+                    from xrseg_tpu.io.weights import cast_params
+                    params = cast_params(params, params_dtype)
+                self.pipeline = build_serving_pipeline(
+                    cfg, params, self.mesh, batch=self._data_axis,
+                    frame_hw=self.frame_hw,
+                    tp_min_channels=self.tp_min_channels).warmup()
+            else:
+                self.pipeline = load_model(cfg, params=params, seed=seed,
+                                           frame_hw=self.frame_hw, batch=1,
+                                           params_dtype=params_dtype)
         self._lock = threading.Lock()
         # counters are bumped from concurrent handler threads; += is not
         # atomic in CPython, so guard with a dedicated lock (cheap: two
@@ -125,9 +174,9 @@ class InferenceServer:
         # rounds up past the configured ceiling (micro_batch=6 must not
         # dispatch a batch-8 program).
         mb = max(1, int(micro_batch))
-        self.micro_batch = 1 << (mb.bit_length() - 1)
+        self.micro_batch = max(1 << (mb.bit_length() - 1), self._data_axis)
         self.batch_window_ms = float(batch_window_ms)
-        self._pipelines: Dict[int, object] = {1: self.pipeline}
+        self._pipelines: Dict[int, object] = {self._data_axis: self.pipeline}
         self._pipelines_lock = threading.Lock()
         self._batch_hist: Dict[int, int] = {}
         self._closing = False
@@ -216,7 +265,12 @@ class InferenceServer:
             host = self._infer_batched(frame)
         else:
             with self._lock, self.tracer.section("infer"):
-                det = self.pipeline(frame[None])
+                frames = frame[None]
+                if self._data_axis > 1:   # pad to the mesh's data axis
+                    frames = np.concatenate(
+                        [frames, np.zeros((self._data_axis - 1,)
+                                          + frame.shape, np.uint8)])
+                det = self.pipeline(frames)
                 from xrseg_tpu.compile import unpack_slate
                 host = unpack_slate(np.asarray(det["slate"][0]),
                                     self.cfg.post.max_detections)
@@ -274,11 +328,19 @@ class InferenceServer:
         """Bucketed pipeline, compiled lazily once per batch size."""
         with self._pipelines_lock:
             if b not in self._pipelines:
-                from xrseg_tpu.compile import build_pipeline
                 with self.tracer.section(f"compile_b{b}"):
-                    self._pipelines[b] = build_pipeline(
-                        self.cfg, self.pipeline.params,
-                        frame_hw=self.frame_hw, batch=b).warmup()
+                    if self.mesh is not None:
+                        from xrseg_tpu.parallel.batch import \
+                            build_serving_pipeline
+                        self._pipelines[b] = build_serving_pipeline(
+                            self.cfg, self.pipeline.params, self.mesh,
+                            batch=b, frame_hw=self.frame_hw,
+                            tp_min_channels=self.tp_min_channels).warmup()
+                    else:
+                        from xrseg_tpu.compile import build_pipeline
+                        self._pipelines[b] = build_pipeline(
+                            self.cfg, self.pipeline.params,
+                            frame_hw=self.frame_hw, batch=b).warmup()
             return self._pipelines[b]
 
     def _dispatch_loop(self) -> None:
@@ -299,7 +361,7 @@ class InferenceServer:
                     items.append(self._q.get(timeout=rem))
                 except queue.Empty:
                     break
-            b = 1
+            b = self._data_axis       # buckets stay data-axis divisible
             while b < len(items):
                 b *= 2
             try:
@@ -359,10 +421,12 @@ class InferenceServer:
                              f"({self.cfg.model.scale}/"
                              f"{self.cfg.model.task})")
         new_params = cast_params(new_params, ref_leaves[0].dtype)
+        if self.mesh is not None:   # re-apply TP/replication placement
+            new_params = self.pipeline.reshard(new_params)
         with self._lock, self._pipelines_lock:
             for b, pipe in list(self._pipelines.items()):
                 self._pipelines[b] = _dc.replace(pipe, params=new_params)
-            self.pipeline = self._pipelines[1]
+            self.pipeline = self._pipelines[self._data_axis]
         return {"ok": True, "path": path,
                 "n_params": count_params(new_params)}
 
@@ -388,10 +452,13 @@ class InferenceServer:
         return "\n".join(lines) + "\n"
 
     def health(self) -> dict:
-        return {"ok": True, "scale": self.cfg.model.scale,
-                "task": self.cfg.model.task,
-                "frame_hw": list(self.frame_hw),
-                "input_size": list(self.cfg.model.input_size)}
+        out = {"ok": True, "scale": self.cfg.model.scale,
+               "task": self.cfg.model.task,
+               "frame_hw": list(self.frame_hw),
+               "input_size": list(self.cfg.model.input_size)}
+        if self.mesh is not None:
+            out["mesh"] = dict(self.mesh.shape)
+        return out
 
     def stats(self) -> dict:
         out = {"requests": self._requests, "errors": self._errors,
@@ -460,7 +527,23 @@ def _main() -> int:
     ap.add_argument("--serve-masks", action="store_true",
                     help="include per-detection COCO-RLE masks (proto "
                          "resolution) in /infer responses")
+    ap.add_argument("--mesh", default=None,
+                    help="multi-chip serving mesh, e.g. 'data=4' or "
+                         "'data=4,model=2' (data must be a power of two)")
+    ap.add_argument("--tp-min-channels", type=int, default=100000,
+                    help="shard conv output channels >= this over the "
+                         "mesh model axis (TP; default effectively off)")
     args = ap.parse_args()
+
+    mesh_shape = None
+    if args.mesh:
+        mesh_shape = {}
+        for part in args.mesh.split(","):
+            k, _, v = part.partition("=")
+            if k.strip() not in ("data", "model") or not v.strip().isdigit():
+                raise SystemExit(f"--mesh: bad spec {part!r} "
+                                 "(want data=N[,model=M])")
+            mesh_shape[k.strip()] = int(v)
 
     if args.cpu:
         import jax
@@ -484,9 +567,12 @@ def _main() -> int:
                           micro_batch=args.micro_batch,
                           batch_window_ms=args.batch_window_ms,
                           params_dtype=args.params_dtype,
-                          serve_masks=args.serve_masks)
+                          serve_masks=args.serve_masks,
+                          mesh_shape=mesh_shape,
+                          tp_min_channels=args.tp_min_channels)
+    mesh_note = f"  mesh={mesh_shape}" if mesh_shape else ""
     print(f"serving on http://{args.host}:{srv.port}  "
-          f"(POST /infer, GET /healthz, GET /stats)", flush=True)
+          f"(POST /infer, GET /healthz, GET /stats){mesh_note}", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
