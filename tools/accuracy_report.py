@@ -61,7 +61,12 @@ def measure(dtype: str, platform: str, geometry: str) -> None:
         from xrseg_tpu.io.weights import cast_params
         params = cast_params(params, "bfloat16")
         dtype = dtype[:-4]
-    mcfg = dataclasses.replace(mcfg, dtype=dtype)
+    precision = "default"
+    if dtype.endswith("-hp"):         # exact-parity mode (precision knob)
+        precision = "highest"
+        dtype = dtype[:-3]
+    mcfg = dataclasses.replace(mcfg, dtype=dtype,
+                               matmul_precision=precision)
     pcfg = PostprocessConfig(iou_threshold=0.43, score_threshold=0.301)
     rep = parity_report(images, params, mcfg, pcfg)
     print(MARK + json.dumps(rep), flush=True)
@@ -82,6 +87,8 @@ def main() -> int:
     configs = [
         ("float32", "cpu", "float32 / CPU (implementation parity)"),
         ("float32", "default", "float32 / TPU default matmul precision"),
+        ("float32-hp", "default",
+         "float32 / TPU HIGHEST precision (exact-parity mode)"),
         ("bfloat16", "default", "bfloat16 / TPU (deployed)"),
         ("bfloat16-w16", "default",
          "bfloat16 + bf16 weights / TPU (latency mode)"),
@@ -147,6 +154,11 @@ def main() -> int:
         "  pipeline scores 0.293-0.298, i.e. within 0.008 of the gate;",
         "  localization of all matched detections is identical, which is",
         "  why AP50 == AP75).",
+        "- **float32 / TPU HIGHEST** is the exact-parity escape hatch",
+        "  (`ModelConfig(matmul_precision='highest')`: 3-pass bf16 ~=",
+        "  fp32 on the MXU) — it recovers the CPU row's agreement",
+        "  on-chip. Its measured throughput cost is in README's perf",
+        "  notes; serve fast (default) or serve exact, per deployment.",
         "- **bfloat16 / TPU** is the deployed compute dtype — the analogue",
         "  of the reference's uint8 weight quantization",
         "  (IEModelEditorConverter.cs:101), which it is strictly closer to",
