@@ -10,7 +10,13 @@ ultralytics-style ONNX file.
 
 Supported ops: Conv, ConvTranspose, MaxPool, Resize(nearest, asymmetric),
 Sigmoid, Softmax, MatMul, Mul, Add, Sub, Concat, Split, Reshape,
-Transpose, Identity.
+Transpose, Identity — everything the exporter emits — plus the common
+foreign-graph vocabulary third-party (e.g. raw ultralytics) exports use
+around the same backbone: Slice, Gather, Shape, Unsqueeze, Squeeze, Div,
+Pow, Exp, Sqrt, Neg, Constant, Cast, ReduceMax, ReduceMean, ArgMax,
+Gemm, Flatten, Relu, LeakyRelu, Clip, GlobalAveragePool, Where, Equal,
+Greater, Less, Expand, Range. Axes-style arguments accept both the
+attribute form (opset < 13) and the input-tensor form (opset >= 13).
 """
 from __future__ import annotations
 
@@ -22,7 +28,12 @@ from xrseg_tpu.io.onnx_loader import (_collect, _fields, _parse_tensor,
                                       _read_varint)
 
 # AttributeProto.type enum
-_AT_FLOAT, _AT_INT, _AT_STRING, _AT_FLOATS, _AT_INTS = 1, 2, 3, 6, 7
+_AT_FLOAT, _AT_INT, _AT_STRING, _AT_TENSOR = 1, 2, 3, 4
+_AT_FLOATS, _AT_INTS = 6, 7
+
+# TensorProto.DataType code -> numpy dtype (Cast targets)
+_CAST_DTYPES = {1: np.float32, 2: np.uint8, 3: np.int8, 6: np.int32,
+                7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64}
 
 
 def _parse_attr(buf: bytes) -> Any:
@@ -31,6 +42,7 @@ def _parse_attr(buf: bytes) -> Any:
     i_val = None
     f_val = None
     s_val = None
+    t_val = None
     ints: List[int] = []
     floats: List[float] = []
     import struct as _struct
@@ -43,6 +55,8 @@ def _parse_attr(buf: bytes) -> Any:
             i_val = val
         elif fnum == 4:
             s_val = val.decode("utf8")
+        elif fnum == 5:                       # t: embedded TensorProto
+            t_val = _parse_tensor(val)[1]     # (Constant op payload)
         elif fnum == 6:
             floats.append(_struct.unpack("<f", val)[0])
         elif fnum == 7:
@@ -61,6 +75,8 @@ def _parse_attr(buf: bytes) -> Any:
         return name, f_val
     if atype == _AT_STRING:
         return name, s_val
+    if atype == _AT_TENSOR:
+        return name, t_val
     if atype == _AT_INTS:
         return name, ints
     if atype == _AT_FLOATS:
@@ -68,7 +84,8 @@ def _parse_attr(buf: bytes) -> Any:
     # untyped fallback: whichever field appeared
     return name, (i_val if i_val is not None else
                   f_val if f_val is not None else
-                  s_val if s_val is not None else ints or floats)
+                  s_val if s_val is not None else
+                  t_val if t_val is not None else ints or floats)
 
 
 def parse_onnx_full(path: str) -> Dict[str, Any]:
@@ -232,6 +249,103 @@ def run_onnx(path: str, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             out = np.transpose(ins[0], [int(p) for p in a["perm"]])
         elif op == "Identity":
             out = ins[0]
+        # ---- foreign-graph vocabulary (third-party exports) ----------
+        elif op == "Slice":
+            starts = np.asarray(ins[1]).astype(np.int64)
+            ends = np.asarray(ins[2]).astype(np.int64)
+            axes = (np.asarray(ins[3]).astype(np.int64)
+                    if len(ins) > 3 and ins[3] is not None
+                    else np.arange(len(starts)))
+            steps = (np.asarray(ins[4]).astype(np.int64)
+                     if len(ins) > 4 and ins[4] is not None
+                     else np.ones(len(starts), np.int64))
+            sl = [slice(None)] * ins[0].ndim
+            for s, e, ax, st in zip(starts, ends, axes, steps):
+                sl[int(ax)] = slice(int(s), int(e), int(st))
+            out = ins[0][tuple(sl)]
+        elif op == "Gather":
+            out = np.take(ins[0], np.asarray(ins[1]).astype(np.int64),
+                          axis=int(a.get("axis", 0)))
+        elif op == "Shape":
+            out = np.asarray(ins[0].shape, np.int64)
+        elif op in ("Unsqueeze", "Squeeze"):
+            axes = (np.asarray(ins[1]).astype(np.int64).tolist()
+                    if len(ins) > 1 and ins[1] is not None
+                    else [int(v) for v in a.get("axes", [])])
+            out = ins[0]
+            if op == "Unsqueeze":
+                for ax in sorted(ax % (out.ndim + 1) for ax in axes):
+                    out = np.expand_dims(out, ax)
+            else:
+                out = (np.squeeze(out, axis=tuple(ax % out.ndim
+                                                  for ax in axes))
+                       if axes else np.squeeze(out))
+        elif op == "Div":
+            out = ins[0] / ins[1]
+        elif op == "Pow":
+            out = np.power(ins[0].astype(np.float32), ins[1])
+        elif op == "Exp":
+            out = np.exp(ins[0].astype(np.float32))
+        elif op == "Sqrt":
+            out = np.sqrt(ins[0].astype(np.float32))
+        elif op == "Neg":
+            out = -ins[0]
+        elif op == "Constant":
+            out = np.asarray(a["value"])
+        elif op == "Cast":
+            out = ins[0].astype(_CAST_DTYPES[int(a["to"])])
+        elif op in ("ReduceMax", "ReduceMean"):
+            axes = (np.asarray(ins[1]).astype(np.int64).tolist()
+                    if len(ins) > 1 and ins[1] is not None
+                    else [int(v) for v in a.get("axes", [])])
+            keep = bool(a.get("keepdims", 1))
+            fn = np.max if op == "ReduceMax" else np.mean
+            out = fn(ins[0], axis=tuple(axes) or None, keepdims=keep)
+        elif op == "ArgMax":
+            out = np.argmax(ins[0], axis=int(a.get("axis", 0))
+                            ).astype(np.int64)
+            if bool(a.get("keepdims", 1)):
+                out = np.expand_dims(out, int(a.get("axis", 0)))
+        elif op == "Gemm":
+            x, w = ins[0].astype(np.float32), ins[1].astype(np.float32)
+            if int(a.get("transA", 0)):
+                x = x.T
+            if int(a.get("transB", 0)):
+                w = w.T
+            out = float(a.get("alpha", 1.0)) * (x @ w)
+            if len(ins) > 2 and ins[2] is not None:
+                out = out + float(a.get("beta", 1.0)) * ins[2]
+        elif op == "Flatten":
+            ax = int(a.get("axis", 1))
+            out = ins[0].reshape(int(np.prod(ins[0].shape[:ax]) or 1), -1)
+        elif op == "Relu":
+            out = np.maximum(ins[0], 0)
+        elif op == "LeakyRelu":
+            al = float(a.get("alpha", 0.01))
+            out = np.where(ins[0] >= 0, ins[0], al * ins[0])
+        elif op == "Clip":
+            lo = ins[1] if len(ins) > 1 and ins[1] is not None \
+                else a.get("min", -np.inf)
+            hi = ins[2] if len(ins) > 2 and ins[2] is not None \
+                else a.get("max", np.inf)
+            out = np.clip(ins[0], lo, hi)
+        elif op == "GlobalAveragePool":
+            out = ins[0].mean(axis=(2, 3), keepdims=True)
+        elif op == "Where":
+            out = np.where(ins[0], ins[1], ins[2])
+        elif op == "Equal":
+            out = ins[0] == ins[1]
+        elif op == "Greater":
+            out = ins[0] > ins[1]
+        elif op == "Less":
+            out = ins[0] < ins[1]
+        elif op == "Expand":
+            out = ins[0] * np.ones([int(d) for d in np.asarray(ins[1])],
+                                   ins[0].dtype)
+        elif op == "Range":
+            out = np.arange(np.asarray(ins[0]).item(),
+                            np.asarray(ins[1]).item(),
+                            np.asarray(ins[2]).item())
         else:
             raise NotImplementedError(f"op {op}")
         vals[node["outputs"][0]] = out

@@ -98,6 +98,9 @@ def _attr(name: str, value) -> bytes:
         out += _fv(20, _AT_FLOATS)
     elif isinstance(value, (list, tuple)):
         out += b"".join(_fv(7, int(v)) for v in value) + _fv(20, _AT_INTS)
+    elif isinstance(value, np.ndarray):
+        # TENSOR attribute (e.g. the Constant op's `value`)
+        out += _fb(5, _tensor_proto(name, value)) + _fv(20, _AT_TENSOR)
     else:
         raise TypeError(f"unsupported attribute {name}={value!r}")
     return out

@@ -517,7 +517,8 @@ def _main() -> int:
     ap.add_argument("--score", type=float, default=0.23)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--micro-batch", type=int, default=1,
-                    help="max dynamic batch size (1 = off)")
+                    help="max dynamic batch size (1 = off); rounded DOWN "
+                         "to a power of two (buckets compile per size)")
     ap.add_argument("--batch-window-ms", type=float, default=3.0,
                     help="how long to wait collecting a batch")
     ap.add_argument("--params-dtype", default=None,
