@@ -365,3 +365,50 @@ def test_loader_propagates_dataset_errors():
     with pytest.raises(RuntimeError, match="corrupt sample"):
         for _ in ld.epoch(0):
             pass
+
+
+def test_loader_drop_last_false_pads_to_fixed_shape():
+    """drop_last=False: the final partial batch is padded to the
+    configured size (ONE compiled shape per geometry, mesh-divisible) and
+    carries sample_weight zeros for padding; the weighted loss equals the
+    unpadded loss on the real rows."""
+    import jax.numpy as jnp
+
+    from xrseg_tpu.config import ModelConfig
+    from xrseg_tpu.models import yolo11
+    from xrseg_tpu.train.data import (AugmentConfig, Loader,
+                                      SyntheticShapesDataset)
+    from xrseg_tpu.train.losses import detection_loss
+
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                      task="detect")
+    ds = SyntheticShapesDataset(n=5, hw=(64, 64))      # 5 % 4 != 0
+    aug = AugmentConfig(mosaic=0.0, hsv=False, scale=0.0, translate=0.0)
+    loader = Loader(ds, cfg, batch=4, max_gt=4, aug=aug, drop_last=False)
+    assert loader.steps_per_epoch() == 2
+    batches = list(loader._host_batches(0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["images"].shape[0] == 4               # fixed shape
+        assert b["sample_weight"].shape == (4,)        # constant pytree
+    full, part = batches
+    assert full["sample_weight"].sum() == 4
+    assert part["sample_weight"].sum() == 1            # 5 - 4 real rows
+    assert (part["labels"][1:] == -1).all()            # padded GT empty
+    assert (part["images"][1:] == 0).all()
+
+    # weighted loss on the padded batch == loss on just the real row
+    params = yolo11.init_params(__import__("jax").random.key(0), cfg)
+    out = yolo11.forward_train(params, jnp.asarray(part["images"]), cfg)
+    tgt = {"boxes_xywh": jnp.asarray(part["boxes_xywh"]),
+           "labels": jnp.asarray(part["labels"]),
+           "sample_weight": jnp.asarray(part["sample_weight"])}
+    loss_pad, _ = detection_loss(out, tgt, cfg)
+
+    out1 = yolo11.forward_train(params, jnp.asarray(part["images"][:1]),
+                                cfg)
+    tgt1 = {"boxes_xywh": jnp.asarray(part["boxes_xywh"][:1]),
+            "labels": jnp.asarray(part["labels"][:1])}
+    loss_real, _ = detection_loss(out1, tgt1, cfg)
+    np.testing.assert_allclose(float(loss_pad), float(loss_real),
+                               rtol=1e-5)

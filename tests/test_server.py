@@ -335,3 +335,34 @@ def test_mesh_server_micro_batch_concurrent():
         assert any(int(k) > 1 for k in st["batch_hist"]), st["batch_hist"]
     finally:
         srv.close()
+
+
+def test_server_serves_display_res_masks():
+    """mask_res='display': RLE masks come back at the frame geometry,
+    upsampled inside the device program (no host-side resampling)."""
+    import jax
+
+    from xrseg_tpu.runtime.server import InferenceServer, rle_decode
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(score_threshold=1e-6, max_detections=5))
+    srv = InferenceServer(cfg, port=0, serve_masks=True,
+                          mask_res="display",
+                          params=detection_params(jax.random.key(3),
+                                                  cfg.model)).start()
+    try:
+        img = np.random.default_rng(3).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        out = _post(srv, buf.getvalue())
+        assert out["count"] > 0
+        for d in out["detections"]:
+            m = rle_decode(d["mask_rle"])
+            assert m.shape == (64, 64)       # frame res, not proto 16x16
+    finally:
+        srv.close()
+    with pytest.raises(ValueError):
+        InferenceServer(cfg, port=0, serve_masks=True, mask_res="bogus")

@@ -82,3 +82,37 @@ def test_trainer_saves_best_checkpoint(tmp_path):
     if m2 is not None and m1 is not None and m2 <= m1:
         assert os.path.getmtime(
             os.path.join(tmp_path, "best.json")) == mtime
+
+
+def test_resume_schedule_horizon_extends(tmp_path, monkeypatch):
+    """On resume, the LR schedule horizon must cover prior epochs plus the
+    new call's (the restored state.step continues from the prior run);
+    without this, warmup/decay misalign and a resumed run past the
+    original horizon trains at the terminal LR."""
+    from xrseg_tpu.train import train_step as ts_mod
+    from xrseg_tpu.train import trainer as trainer_mod
+
+    captured = []
+    real_make = ts_mod.make_optimizer
+
+    def spy(lr=1e-3, weight_decay=5e-4, warmup_steps=100, total_steps=1000):
+        captured.append(total_steps)
+        return real_make(lr, weight_decay, warmup_steps, total_steps)
+
+    monkeypatch.setattr(trainer_mod.ts, "make_optimizer", spy)
+
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32")
+    ds = D.SyntheticShapesDataset(n=8, hw=(64, 64))
+    tcfg = TrainConfig(epochs=1, batch=4, max_gt=4, warmup_steps=1,
+                       log_every=0, ckpt_dir=str(tmp_path),
+                       use_remat=False, ema_decay=0.0,
+                       aug=D.AugmentConfig(mosaic=0.0, hsv=False,
+                                           scale=0.0, translate=0.0))
+    Trainer(cfg, tcfg).fit(ds, verbose=False)          # 1 epoch, 2 steps
+    assert captured[-1] == 2
+
+    tr2 = Trainer(cfg, tcfg)
+    tr2.fit(ds, resume=True, epochs=1, verbose=False)  # 1 more epoch
+    # horizon = (1 prior + 1 new) epochs * 2 steps, NOT just 2
+    assert captured[-1] == 4
+    assert len(tr2.history) == 2

@@ -99,6 +99,7 @@ class InferenceServer:
                  micro_batch: int = 1, batch_window_ms: float = 3.0,
                  params_dtype: Optional[str] = None,
                  serve_masks: bool = False,
+                 mask_res: str = "proto",
                  mesh_shape: Optional[Dict[str, int]] = None,
                  tp_min_channels: int = 100000):
         from xrseg_tpu.compile import load_model
@@ -131,6 +132,21 @@ class InferenceServer:
                                            devices=jax.devices()[:d * m])
             self._data_axis = d
 
+        # serve_masks resolution: "proto" = input/4 (the reference's mask
+        # contract); "display" = the server's frame geometry, upsampled
+        # bilinearly INSIDE the device program (mask_display_hw — the
+        # analogue of IEMasker's bilinear-filtered display texture,
+        # IEMasker.cs:316-323)
+        if mask_res not in ("proto", "display"):
+            raise ValueError(f"mask_res {mask_res!r}: 'proto'|'display'")
+        self.mask_res = mask_res
+        self._mask_display_hw = (self.frame_hw if serve_masks
+                                 and mask_res == "display" else None)
+        if self._mask_display_hw is not None and self.mesh is not None:
+            raise ValueError("mask_res='display' is not supported with "
+                             "--mesh yet (sharded pipeline emits "
+                             "proto-res masks)")
+
         with self.tracer.section("load_model"):
             # params_dtype="bfloat16": weight-storage cast once at build
             # (~7% faster at batch=1 on v5e; see io/weights.cast_params)
@@ -150,9 +166,11 @@ class InferenceServer:
                     frame_hw=self.frame_hw,
                     tp_min_channels=self.tp_min_channels).warmup()
             else:
-                self.pipeline = load_model(cfg, params=params, seed=seed,
-                                           frame_hw=self.frame_hw, batch=1,
-                                           params_dtype=params_dtype)
+                self.pipeline = load_model(
+                    cfg, params=params, seed=seed,
+                    frame_hw=self.frame_hw, batch=1,
+                    params_dtype=params_dtype,
+                    mask_display_hw=self._mask_display_hw)
         self._lock = threading.Lock()
         # counters are bumped from concurrent handler threads; += is not
         # atomic in CPython, so guard with a dedicated lock (cheap: two
@@ -340,7 +358,9 @@ class InferenceServer:
                         from xrseg_tpu.compile import build_pipeline
                         self._pipelines[b] = build_pipeline(
                             self.cfg, self.pipeline.params,
-                            frame_hw=self.frame_hw, batch=b).warmup()
+                            frame_hw=self.frame_hw, batch=b,
+                            mask_display_hw=self._mask_display_hw
+                            ).warmup()
             return self._pipelines[b]
 
     def _dispatch_loop(self) -> None:
@@ -526,8 +546,13 @@ def _main() -> int:
                     help="weight storage precision (bfloat16: ~7% faster "
                          "at batch=1, halves weight HBM)")
     ap.add_argument("--serve-masks", action="store_true",
-                    help="include per-detection COCO-RLE masks (proto "
-                         "resolution) in /infer responses")
+                    help="include per-detection COCO-RLE masks in /infer "
+                         "responses")
+    ap.add_argument("--mask-res", default="proto",
+                    choices=["proto", "display"],
+                    help="served mask resolution: 'proto' (input/4, the "
+                         "reference contract) or 'display' (frame "
+                         "geometry, bilinear-upsampled on device)")
     ap.add_argument("--mesh", default=None,
                     help="multi-chip serving mesh, e.g. 'data=4' or "
                          "'data=4,model=2' (data must be a power of two)")
@@ -569,6 +594,7 @@ def _main() -> int:
                           batch_window_ms=args.batch_window_ms,
                           params_dtype=args.params_dtype,
                           serve_masks=args.serve_masks,
+                          mask_res=args.mask_res,
                           mesh_shape=mesh_shape,
                           tp_min_channels=args.tp_min_channels)
     mesh_note = f"  mesh={mesh_shape}" if mesh_shape else ""
