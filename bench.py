@@ -321,6 +321,17 @@ def main() -> int:
                 "vs_baseline": round(r["fps_per_chip"] / 30.0, 1),
             }), flush=True)
         return 0
+    if len(sys.argv) > 2 and sys.argv[1] == "--profile":
+        # device trace of the headline workload for TensorBoard/xprof
+        from xrseg_tpu.runtime.profiling import device_trace
+        with device_trace(sys.argv[2]):
+            r = run_device_bench(batch=128, n_chained=5, repeats=1)
+        print(json.dumps({"metric": "profiled_b128", "value":
+                          round(r["fps_per_chip"], 1),
+                          "unit": "frames/sec/chip",
+                          "trace_dir": sys.argv[2],
+                          "vs_baseline": round(r["fps_per_chip"] / 30, 1)}))
+        return 0
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     r = run_device_bench(batch=batch)
     lat = run_latency_bench()

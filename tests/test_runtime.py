@@ -1,4 +1,6 @@
 """Executor state machine, frame sources, native ring, tracer."""
+import os
+
 import numpy as np
 import pytest
 
@@ -416,3 +418,27 @@ def test_executor_coefs_only_mode():
     m_none = ex._fetch_target_mask(r2.tracked.index)
     m_all = ex_all._fetch_target_mask(r2.tracked.index)
     np.testing.assert_allclose(m_none, m_all, atol=1e-5)
+
+
+def test_profiling_device_trace(tmp_path):
+    """device_trace captures an xplane trace; profile_fn runs warmup
+    outside the trace; annotate nests without error; double-entry no-ops."""
+    import jax
+    import jax.numpy as jnp
+
+    from xrseg_tpu.runtime.profiling import (annotate, device_trace,
+                                             profile_fn)
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    d = str(tmp_path / "trace")
+    with device_trace(d):
+        with annotate("inner"):
+            jax.block_until_ready(f(x))
+        with device_trace(d):     # nested: must no-op, not crash
+            jax.block_until_ready(f(x))
+    found = [os.path.join(r, fn) for r, _, fns in os.walk(d) for fn in fns]
+    assert found, "trace produced no files"
+
+    d2 = profile_fn(lambda: f(x), str(tmp_path / "trace2"), steps=2)
+    assert any(fns for _, _, fns in os.walk(d2))
