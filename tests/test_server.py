@@ -366,3 +366,44 @@ def test_server_serves_display_res_masks():
         srv.close()
     with pytest.raises(ValueError):
         InferenceServer(cfg, port=0, serve_masks=True, mask_res="bogus")
+
+
+def test_mesh_server_serves_masks_and_reload(tmp_path):
+    """mesh serving composes with mask serving and /reload (re-sharded
+    hot swap): proto-res RLE masks on a data=2 mesh, then a weight swap
+    changes the served params without recompile."""
+    import jax
+
+    from xrseg_tpu.io.weights import save_npz
+    from xrseg_tpu.models import yolo11
+    from xrseg_tpu.runtime.server import InferenceServer, rle_decode
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(score_threshold=1e-6, max_detections=5))
+    params = detection_params(jax.random.key(3), cfg.model)
+    srv = InferenceServer(cfg, params=params, port=0, serve_masks=True,
+                          mesh_shape={"data": 2}).start()
+    try:
+        img = np.random.default_rng(3).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        out = _post(srv, buf.getvalue())
+        assert out["count"] > 0
+        assert rle_decode(out["detections"][0]["mask_rle"]).shape == (16, 16)
+
+        # hot swap on the mesh: params re-shard, inference keeps working
+        new = yolo11.init_params(jax.random.key(99), cfg.model)
+        path = str(tmp_path / "new.npz")
+        save_npz(path, jax.device_get(new))
+        req = urllib.request.Request(
+            _url(srv, "/reload"),
+            data=json.dumps({"path": path}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert json.loads(r.read())["ok"] is True
+        out2 = _post(srv, buf.getvalue())        # random init: may be 0
+        assert "count" in out2
+    finally:
+        srv.close()
