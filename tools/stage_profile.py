@@ -84,58 +84,80 @@ def main() -> int:
     H, W = mcfg.input_size
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 255, (batch, H, W, 3)), jnp.uint8)
+    s = yolo11.Spec(mcfg)
     x640 = jnp.asarray(rng.normal(0, 1, (batch, H, W, 3)), dt)
-    x160 = jnp.asarray(rng.normal(0, 1, (batch, H // 4, W // 4, 64)), dt)
-    x40x4 = jnp.asarray(rng.normal(0, 1, (batch, H // 8, W // 8, 128)), dt)
-    x40 = jnp.asarray(rng.normal(0, 1, (batch, H // 16, W // 16, 128)), dt)
-    x20 = jnp.asarray(rng.normal(0, 1, (batch, H // 32, W // 32, 256)), dt)
-    feats = (x40x4, x40, x20)
+    x160 = jnp.asarray(rng.normal(0, 1, (batch, H // 4, W // 4, s.c256)),
+                       dt)
+    x40 = jnp.asarray(rng.normal(0, 1, (batch, H // 16, W // 16, s.c512)),
+                      dt)
+    # backbone skips feeding the neck: (x4 [H/8, c512], x6 [H/16, c512],
+    # x10 [H/32, c1024])
+    sk80 = jnp.asarray(rng.normal(0, 1, (batch, H // 8, W // 8, s.c512)),
+                       dt)
+    sk20 = jnp.asarray(rng.normal(0, 1, (batch, H // 32, W // 32,
+                                         s.c1024)), dt)
+    # neck outputs feeding the heads: (P3 [H/8, c256], P4 [H/16, c512],
+    # P5 [H/32, c1024])
+    p80 = jnp.asarray(rng.normal(0, 1, (batch, H // 8, W // 8,
+                                        s.head_ch[0])), dt)
+    p40 = jnp.asarray(rng.normal(0, 1, (batch, H // 16, W // 16,
+                                        s.head_ch[1])), dt)
+    p20 = jnp.asarray(rng.normal(0, 1, (batch, H // 32, W // 32,
+                                        s.head_ch[2])), dt)
 
-    out = yolo11.forward(params, x640.astype(jnp.float32), mcfg,
-                         concat_preds=False)
+    out = jax.jit(lambda p, x: yolo11.forward(p, x, mcfg,
+                                              concat_preds=False))(
+        params, x640.astype(jnp.float32))
 
+    # (fn(c, *ops), operand arrays) — operands are jit ARGUMENTS, not
+    # closure constants: baking a [128,640,640,3] input into the HLO
+    # overflows the tunneled remote-compile request (HTTP 413)
     stages = {
-        "preprocess": (lambda c: pre_ops.preprocess(
-            frames, mcfg.input_size, dtype=dt) + c, ()),
-        "backbone_stem_b0-2": (lambda c: stem(params, x640 + c), ()),
-        "backbone_mid_b3-6": (lambda c: mid(params, x160 + c)[1], ()),
-        "backbone_deep_b7-10": (lambda c: deep(params, x40 + c), ()),
-        "neck": (lambda c: neck(params, (x40x4 + c, x40 + c, x20 + c))[2],
-                 ()),
-        "detect_heads+dfl": (lambda c: det_heads(
-            params, (x40x4 + c, x40 + c, x20 + c))[0], ()),
-        "seg_heads+proto": (lambda c: seg_heads(
-            params, (x40x4 + c, x40 + c, x20 + c))[0], ()),
-        "postprocess": (lambda c: postprocess_batch_parts(
-            out["boxes_xywh"] + c, out["cls_logits"], out["mask_coefs"],
-            out["protos"], pcfg, False, mcfg.input_size,
-            mask_dtype=dt, scores_are_logits=True)["scores"], ()),
+        "preprocess": (lambda c, fr: pre_ops.preprocess(
+            fr, mcfg.input_size, dtype=dt) + c, (frames,)),
+        "backbone_stem_b0-2": (lambda c, x: stem(params, x + c), (x640,)),
+        "backbone_mid_b3-6": (lambda c, x: mid(params, x + c)[1], (x160,)),
+        "backbone_deep_b7-10": (lambda c, x: deep(params, x + c), (x40,)),
+        "neck": (lambda c, a, b, d: neck(
+            params, (a + c, b + c, d + c))[2], (sk80, x40, sk20)),
+        "detect_heads+dfl": (lambda c, a, b, d: det_heads(
+            params, (a + c, b + c, d + c))[0], (p80, p40, p20)),
+        "seg_heads+proto": (lambda c, a, b, d: seg_heads(
+            params, (a + c, b + c, d + c))[0], (p80, p40, p20)),
+        "postprocess": (lambda c, bx, cl, mc, pr: postprocess_batch_parts(
+            bx + c, cl, mc, pr, pcfg, False, mcfg.input_size,
+            mask_dtype=dt, scores_are_logits=True)["scores"],
+            (out["boxes_xywh"], out["cls_logits"], out["mask_coefs"],
+             out["protos"])),
     }
 
-    def timed(fn, n=20, repeats=2):
+    def timed(fn, ops, n=20, repeats=2):
         @jax.jit
-        def chained():
+        def chained(*arrs):
             def body(c, _):
-                y = fn(c)
+                y = fn(c, *arrs)
                 return jnp.asarray(y, jnp.float32).ravel()[0] * 1e-6, ()
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return c
 
-        lowered = chained.lower()
-        cost = lowered.compile().cost_analysis()
-        flops = float(cost.get("flops", 0)) / n if cost else 0.0
-        _ = np.asarray(chained())          # warm + first D2H
+        # FLOPs from a single unrolled body (XLA's cost analysis counts a
+        # While body ONCE regardless of trip count, so the scan program
+        # would under-report by n)
+        cost = jax.jit(lambda *arrs: fn(jnp.float32(0), *arrs)).lower(
+            *ops).compile().cost_analysis()
+        flops = float(cost.get("flops", 0)) if cost else 0.0
+        _ = np.asarray(chained(*ops))      # warm + first D2H
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            np.asarray(chained())
+            np.asarray(chained(*ops))
             best = min(best, time.perf_counter() - t0)
         return best / n, flops
 
     total_ms = 0.0
     rows = []
-    for name, (fn, _) in stages.items():
-        sec, flops = timed(fn)
+    for name, (fn, ops) in stages.items():
+        sec, flops = timed(fn, ops)
         total_ms += sec * 1e3
         rows.append({"stage": name, "ms": round(sec * 1e3, 3),
                      "gflops": round(flops / 1e9, 1),
