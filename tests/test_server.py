@@ -407,3 +407,15 @@ def test_mesh_server_serves_masks_and_reload(tmp_path):
         assert "count" in out2
     finally:
         srv.close()
+
+
+def test_request_size_cap_413(server):
+    """Oversized uploads are rejected with 413 before buffering (the
+    Content-Length is checked against max_request_mb)."""
+    big = server.max_request_bytes + 1
+    req = urllib.request.Request(
+        _url(server, "/infer"), data=b"x", method="POST",
+        headers={"Content-Length": str(big)})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 413

@@ -101,7 +101,8 @@ class InferenceServer:
                  serve_masks: bool = False,
                  mask_res: str = "proto",
                  mesh_shape: Optional[Dict[str, int]] = None,
-                 tp_min_channels: int = 100000):
+                 tp_min_channels: int = 100000,
+                 max_request_mb: float = 64.0):
         from xrseg_tpu.compile import load_model
 
         self.cfg = cfg
@@ -172,6 +173,9 @@ class InferenceServer:
                     params_dtype=params_dtype,
                     mask_display_hw=self._mask_display_hw)
         self._lock = threading.Lock()
+        # reject absurd uploads before buffering them (a malformed or
+        # malicious Content-Length must not OOM the serving host)
+        self.max_request_bytes = int(max_request_mb * 1e6)
         # counters are bumped from concurrent handler threads; += is not
         # atomic in CPython, so guard with a dedicated lock (cheap: two
         # increments per request)
@@ -232,8 +236,20 @@ class InferenceServer:
                 else:
                     self._reply(404, {"error": "unknown path"})
 
+            # drop wedged/slow-loris connections instead of pinning a
+            # handler thread forever
+            timeout = 120
+
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
+                if n > server.max_request_bytes:
+                    with server._counter_lock:
+                        server._errors += 1
+                    self._reply(413, {"error":
+                                      f"request body {n} bytes exceeds "
+                                      f"cap {server.max_request_bytes}"})
+                    self.close_connection = True
+                    return
                 data = self.rfile.read(n)
                 if self.path == "/infer":
                     try:
@@ -553,6 +569,8 @@ def _main() -> int:
                     help="served mask resolution: 'proto' (input/4, the "
                          "reference contract) or 'display' (frame "
                          "geometry, bilinear-upsampled on device)")
+    ap.add_argument("--max-request-mb", type=float, default=64.0,
+                    help="reject request bodies larger than this (413)")
     ap.add_argument("--mesh", default=None,
                     help="multi-chip serving mesh, e.g. 'data=4' or "
                          "'data=4,model=2' (data must be a power of two)")
@@ -596,7 +614,8 @@ def _main() -> int:
                           serve_masks=args.serve_masks,
                           mask_res=args.mask_res,
                           mesh_shape=mesh_shape,
-                          tp_min_channels=args.tp_min_channels)
+                          tp_min_channels=args.tp_min_channels,
+                          max_request_mb=args.max_request_mb)
     mesh_note = f"  mesh={mesh_shape}" if mesh_shape else ""
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(POST /infer, GET /healthz, GET /stats){mesh_note}", flush=True)
