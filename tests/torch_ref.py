@@ -246,3 +246,110 @@ def oracle_detections(out: dict, iou_threshold: float, score_threshold: float,
         dets.append({"box_xywh": boxes[i], "label": int(labels[i]),
                      "score": float(scores[i]), "mask": m})
     return dets
+
+
+# ---------------------------------------------------------------------------
+# task-family heads (pose / obb / classify) — independent torch/numpy math
+# ---------------------------------------------------------------------------
+
+def branch3_heads(branch, feats):
+    """Generic (conv, conv, out) per-level branch (seg/pose/obb heads)."""
+    outs = []
+    for i, f in enumerate(feats):
+        c4 = branch[i]
+        m = conv(c4["conv1"], conv(c4["conv0"], f))
+        outs.append(conv(c4["out"], m, act=False))
+    return outs
+
+
+def pose_forward(p, x_nhwc: np.ndarray, cfg):
+    """Torch mirror of the pose task: boxes (xywh), scores, decoded kpts
+    [B, A, K, D] with xy=(raw*2 + anchor - 0.5)*stride, vis=sigmoid."""
+    base = full_forward_detect_base(p, x_nhwc, cfg)
+    feats, B = base["feats"], base["B"]
+    K, D = cfg.kpt_shape
+    nk = K * D
+    kf = np.concatenate([to_nhwc(m).reshape(B, -1, nk)
+                         for m in branch3_heads(p["pose_cv4"], feats)], 1)
+    from xrseg_tpu.models.yolo11 import make_anchors
+    anchors, strides = make_anchors(cfg.input_size)
+    y = kf.reshape(B, -1, K, D).astype(np.float64)
+    xy = (y[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) \
+        * strides[None, :, None, :]
+    if D == 3:
+        vis = 1.0 / (1.0 + np.exp(-y[..., 2:3]))
+        kpts = np.concatenate([xy, vis], -1)
+    else:
+        kpts = xy
+    return {"boxes_xywh": base["boxes_xywh"], "scores": base["scores"],
+            "kpts": kpts.astype(np.float32)}
+
+
+def obb_forward(p, x_nhwc: np.ndarray, cfg):
+    """Torch mirror of the obb task: xywhr boxes via dist2rbox."""
+    base = full_forward_detect_base(p, x_nhwc, cfg)
+    feats, B = base["feats"], base["B"]
+    af = np.concatenate([to_nhwc(m).reshape(B, -1, 1)
+                         for m in branch3_heads(p["obb_cv4"], feats)], 1)
+    angle = (1.0 / (1.0 + np.exp(-af[..., 0].astype(np.float64))) - 0.25) \
+        * np.pi
+    from xrseg_tpu.models.yolo11 import make_anchors
+    anchors, strides = make_anchors(cfg.input_size)
+    ltrb = base["ltrb"]
+    lt, rb = ltrb[..., :2], ltrb[..., 2:]
+    c, s = np.cos(angle), np.sin(angle)
+    off = (rb - lt) * 0.5
+    x_, y_ = off[..., 0] * c - off[..., 1] * s, \
+        off[..., 0] * s + off[..., 1] * c
+    xy = (np.stack([x_, y_], -1) + anchors[None]) * strides[None]
+    wh = (lt + rb) * strides[None]
+    return {"boxes_xywhr": np.concatenate(
+        [xy, wh, angle[..., None]], -1).astype(np.float32),
+        "scores": base["scores"]}
+
+
+def full_forward_detect_base(p, x_nhwc: np.ndarray, cfg):
+    """Shared detect-base forward: feats + decoded ltrb/xywh + scores."""
+    x = to_nchw(x_nhwc)
+    feats = backbone_neck(p, x)
+    boxes, clss = detect_heads(p, feats)
+    B = x.shape[0]
+    box_flat = np.concatenate(
+        [to_nhwc(m).reshape(B, -1, 4 * cfg.reg_max) for m in boxes], 1)
+    cls_flat = np.concatenate(
+        [to_nhwc(m).reshape(B, -1, cfg.num_classes) for m in clss], 1)
+    from xrseg_tpu.models.yolo11 import make_anchors
+    anchors, strides = make_anchors(cfg.input_size)
+    x4 = box_flat.reshape(B, -1, 4, cfg.reg_max)
+    probs = np.exp(x4 - x4.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ltrb = (probs * np.arange(cfg.reg_max)).sum(-1)
+    lt, rb = ltrb[..., :2], ltrb[..., 2:]
+    x1y1 = anchors[None] - lt
+    x2y2 = anchors[None] + rb
+    xywh = np.concatenate([(x1y1 + x2y2) * 0.5 * strides[None],
+                           (x2y2 - x1y1) * strides[None]], -1)
+    return {"feats": feats, "B": B, "ltrb": ltrb, "boxes_xywh": xywh,
+            "scores": 1.0 / (1.0 + np.exp(-cls_flat))}
+
+
+def classify_forward_torch(p, x_nhwc: np.ndarray, cfg):
+    """Torch mirror of the classify task: backbone -> Conv(1280) ->
+    global mean pool -> linear."""
+    x = to_nchw(x_nhwc)
+    x = conv(p["b0"], x, 2)
+    x = conv(p["b1"], x, 2)
+    x = c3k2(p["b2"], x, shortcut=True)
+    x = conv(p["b3"], x, 2)
+    x = c3k2(p["b4"], x, shortcut=True)
+    x = conv(p["b5"], x, 2)
+    x = c3k2(p["b6"], x, shortcut=True)
+    x = conv(p["b7"], x, 2)
+    x = c3k2(p["b8"], x, shortcut=True)
+    x = sppf(p["b9"], x)
+    x = c2psa(p["b10"], x)
+    h = p["cls_head"]
+    y = conv(h["conv"], x)                       # [B,1280,h,w]
+    y = y.mean(dim=(2, 3)).numpy().astype(np.float64)
+    return y @ np.asarray(h["lin_w"], np.float64) \
+        + np.asarray(h["lin_b"], np.float64)

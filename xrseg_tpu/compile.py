@@ -134,12 +134,28 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                                    mode=resize_mode,
                                    dtype=jnp.dtype(mcfg.dtype))
             out = yolo11.forward(params, x, mcfg, concat_preds=False)
-            protos = out.get("protos")
-            det = postprocess_batch_parts(
-                out["boxes_xywh"], out["cls_logits"],
-                out.get("mask_coefs"), protos, pcfg, crop_masks,
-                mcfg.input_size, mask_dtype=mdt, scores_are_logits=True,
-                with_masks=(emit_masks == "all"))
+            if mcfg.task == "classify":
+                # classification slate IS the prob row (one tiny DMA)
+                return {"logits": out["logits"], "probs": out["probs"],
+                        "slate": out["probs"]}
+            if mcfg.task == "pose":
+                from xrseg_tpu.ops.postprocess import postprocess_pose_batch
+                det = postprocess_pose_batch(
+                    out["boxes_xywh"], out["cls_logits"], out["kpts"],
+                    pcfg, scores_are_logits=True)
+            elif mcfg.task == "obb":
+                from xrseg_tpu.ops.postprocess import postprocess_obb_batch
+                det = postprocess_obb_batch(
+                    out["boxes_xywhr"], out["cls_logits"], pcfg,
+                    scores_are_logits=True)
+            else:
+                protos = out.get("protos")
+                det = postprocess_batch_parts(
+                    out["boxes_xywh"], out["cls_logits"],
+                    out.get("mask_coefs"), protos, pcfg, crop_masks,
+                    mcfg.input_size, mask_dtype=mdt,
+                    scores_are_logits=True,
+                    with_masks=(emit_masks == "all"))
             if mask_display_hw is not None and "masks" in det:
                 from xrseg_tpu.ops import masks as mask_ops
                 det["masks"] = jax.vmap(
@@ -202,12 +218,15 @@ def load_compiled(path: str):
 
 
 def pack_slate(det: Dict[str, jax.Array], max_det: int) -> jax.Array:
-    """Batched small outputs -> ONE flat [B, D*7+1] f32 array (boxes |
-    scores | labels | valid | count): a single D2H DMA per frame instead
-    of five (the reference pays 4 readbacks, IEExecutor.cs:446-449)."""
+    """Batched small outputs -> ONE flat [B, D*(bd+3)+1] f32 array
+    (boxes | scores | labels | valid | count): a single D2H DMA per frame
+    instead of five (the reference pays 4 readbacks, IEExecutor.cs:446-449).
+    bd = 4 for axis-aligned tasks, 5 for obb (cx, cy, w, h, angle)."""
     D = max_det
+    boxes = det.get("boxes_xywhr", det.get("boxes_xywh"))
+    bd = boxes.shape[-1]
     return jnp.concatenate([
-        det["boxes_xywh"].reshape(-1, D * 4),
+        boxes.reshape(-1, D * bd),
         det["scores"],
         det["labels"].astype(jnp.float32),
         det["valid"].astype(jnp.float32),
@@ -215,17 +234,21 @@ def pack_slate(det: Dict[str, jax.Array], max_det: int) -> jax.Array:
     ], axis=-1)
 
 
-def unpack_slate(slate_row, max_det: int) -> Dict[str, Any]:
-    """Host-side inverse of the on-device slate packing (one image's row)."""
+def unpack_slate(slate_row, max_det: int, box_dim: int = 4
+                 ) -> Dict[str, Any]:
+    """Host-side inverse of the on-device slate packing (one image's row).
+    box_dim=5 decodes an obb slate (key "boxes_xywhr")."""
     import numpy as np
     s = np.asarray(slate_row)
     D = max_det
+    bd = box_dim
+    box_key = "boxes_xywhr" if bd == 5 else "boxes_xywh"
     return {
-        "boxes_xywh": s[:D * 4].reshape(D, 4),
-        "scores": s[D * 4:D * 5],
-        "labels": s[D * 5:D * 6].astype(np.int32),
-        "valid": s[D * 6:D * 7] > 0.5,
-        "count": int(s[D * 7]),
+        box_key: s[:D * bd].reshape(D, bd),
+        "scores": s[D * bd:D * (bd + 1)],
+        "labels": s[D * (bd + 1):D * (bd + 2)].astype(np.int32),
+        "valid": s[D * (bd + 2):D * (bd + 3)] > 0.5,
+        "count": int(s[D * (bd + 3)]),
     }
 
 

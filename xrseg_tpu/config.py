@@ -24,7 +24,12 @@ class ModelConfig:
     num_masks: int = 32              # mask coefficients (segmentation only)
     reg_max: int = 16                # DFL bins per box side
     input_size: Tuple[int, int] = (640, 640)   # (H, W)
-    task: str = "segment"            # "segment" | "detect"
+    # The full YOLO11 task family (the reference deploys "segment";
+    # detect/pose/obb/classify are capability extensions of the same
+    # backbone): "segment" | "detect" | "pose" (keypoints) | "obb"
+    # (rotated boxes, probiou NMS) | "classify" (backbone + linear head)
+    task: str = "segment"
+    kpt_shape: Tuple[int, int] = (17, 3)   # pose: (num_kpts, dims)
     dtype: str = "bfloat16"          # compute dtype on TPU
     param_dtype: str = "float32"
     # MXU matmul precision for f32 ops: "default" (bf16 passes, fastest) |

@@ -76,6 +76,11 @@ class Spec:
         self.c4 = max(self.head_ch[0] // 4, cfg.num_masks)
         self.proto_c = ch(256)                              # npr scaled
         self.strides = (8, 16, 32)
+        # pose / obb extra-branch widths (ultralytics head conventions)
+        self.nk = cfg.kpt_shape[0] * cfg.kpt_shape[1]
+        self.c4_pose = max(self.head_ch[0] // 4, self.nk)
+        self.c4_obb = max(self.head_ch[0] // 4, 1)
+        self.cls_hidden = 1280                              # classify head
 
 
 def _c3k(spec: Spec, flag: bool) -> bool:
@@ -86,13 +91,7 @@ def _c3k(spec: Spec, flag: bool) -> bool:
 # Init
 # ---------------------------------------------------------------------------
 
-def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
-    kg = L.KeyGen(key)
-    s = Spec(cfg)   # validates scale/input_size
-    pd = jnp.dtype(cfg.param_dtype)
-    p: Params = {}
-
-    # --- backbone ---
+def _init_backbone(kg: L.KeyGen, s: Spec, pd, p: Params) -> None:
     p["b0"] = L.conv_init(kg, 3, s.c64, 3, param_dtype=pd)
     p["b1"] = L.conv_init(kg, s.c64, s.c128, 3, param_dtype=pd)
     p["b2"] = L.c3k2_init(kg, s.c128, s.c256, s.n2, _c3k(s, False), 0.25, pd)
@@ -104,6 +103,43 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     p["b8"] = L.c3k2_init(kg, s.c1024, s.c1024, s.n2, True, 0.5, pd)
     p["b9"] = L.sppf_init(kg, s.c1024, s.c1024, pd)
     p["b10"] = L.c2psa_init(kg, s.c1024, s.n2, 0.5, pd)
+
+
+def _init_branch3(kg: L.KeyGen, s: Spec, pd, c_hidden: int,
+                  c_out: int) -> list:
+    """A per-level (conv3x3, conv3x3, 1x1-out) head branch — the shape
+    shared by the seg-coef, pose-keypoint and obb-angle heads."""
+    return [{
+        "conv0": L.conv_init(kg, ci, c_hidden, 3, param_dtype=pd),
+        "conv1": L.conv_init(kg, c_hidden, c_hidden, 3, param_dtype=pd),
+        "out": L.head_conv_init(kg, c_hidden, c_out, 1, pd),
+    } for ci in s.head_ch]
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    kg = L.KeyGen(key)
+    s = Spec(cfg)   # validates scale/input_size
+    pd = jnp.dtype(cfg.param_dtype)
+    p: Params = {}
+
+    if cfg.task == "classify":
+        # backbone-only topology + Conv(1280) + pooled linear head
+        # (ultralytics Classify: Conv(c1, 1280, 1) -> AdaptiveAvgPool ->
+        # Linear(1280, nc))
+        _init_backbone(kg, s, pd, p)
+        fan = s.cls_hidden
+        p["cls_head"] = {
+            "conv": L.conv_init(kg, s.c1024, s.cls_hidden, 1,
+                                param_dtype=pd),
+            "lin_w": jax.random.uniform(
+                kg(), (s.cls_hidden, cfg.num_classes), pd,
+                -math.sqrt(3.0 / fan), math.sqrt(3.0 / fan)),
+            "lin_b": jnp.zeros((cfg.num_classes,), pd),
+        }
+        return p
+
+    # --- backbone ---
+    _init_backbone(kg, s, pd, p)
 
     # --- FPN/PAN head ---
     p["h13"] = L.c3k2_init(kg, s.c1024 + s.c512, s.c512, s.n2, _c3k(s, False), 0.5, pd)
@@ -135,16 +171,14 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         cls_bias = math.log(5 / nc / (640 / stride) ** 2)
         p["det"]["cv3"][i]["out"]["b"] = jnp.full((nc,), cls_bias, pd)
 
-    # --- segmentation extras ---
+    # --- task extras ---
     if cfg.task == "segment":
         p["proto"] = L.proto_init(kg, s.head_ch[0], s.proto_c, cfg.num_masks, pd)
-        p["seg_cv4"] = []
-        for ci in s.head_ch:
-            p["seg_cv4"].append({
-                "conv0": L.conv_init(kg, ci, s.c4, 3, param_dtype=pd),
-                "conv1": L.conv_init(kg, s.c4, s.c4, 3, param_dtype=pd),
-                "out": L.head_conv_init(kg, s.c4, cfg.num_masks, 1, pd),
-            })
+        p["seg_cv4"] = _init_branch3(kg, s, pd, s.c4, cfg.num_masks)
+    elif cfg.task == "pose":
+        p["pose_cv4"] = _init_branch3(kg, s, pd, s.c4_pose, s.nk)
+    elif cfg.task == "obb":
+        p["obb_cv4"] = _init_branch3(kg, s, pd, s.c4_obb, 1)
     return p
 
 
@@ -280,22 +314,81 @@ def head_outputs(params: Params, feats, cfg: ModelConfig,
            "cls_logits": cls_flat}
     if cfg.task == "segment":
         protos = L.proto_apply(params["proto"], feats[0], dtype=dt)
-        mcs = []
-        for i, f in enumerate(feats):
-            c4 = params["seg_cv4"][i]
-            m = L.conv_apply(c4["conv0"], f, dtype=dt)
-            m = L.conv_apply(c4["conv1"], m, dtype=dt)
-            mcs.append(L.head_conv_apply(c4["out"], m, dtype=dt))
-        mc_flat = jnp.concatenate(
-            [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1)
+        mc_flat = _branch3_forward(params["seg_cv4"], feats, dt,
+                                   cfg.num_masks)
         out["mask_coefs"] = mc_flat.astype(jnp.float32)
         out["protos"] = protos.astype(jnp.float32)
         if concat_preds:
             out["preds"] = jnp.concatenate(
                 [xywh, scores, out["mask_coefs"]], axis=-1)
+    elif cfg.task == "pose":
+        nk = cfg.kpt_shape[0] * cfg.kpt_shape[1]
+        kf = _branch3_forward(params["pose_cv4"], feats, dt, nk)
+        out["kpts"] = decode_kpts(kf.astype(jnp.float32), anchors,
+                                  strides, cfg.kpt_shape)
+        if concat_preds:
+            out["preds"] = jnp.concatenate(
+                [xywh, scores, out["kpts"].reshape(B, -1, nk)], axis=-1)
+    elif cfg.task == "obb":
+        af = _branch3_forward(params["obb_cv4"], feats, dt, 1)
+        # ultralytics OBB: angle = (sigmoid(raw) - 0.25) * pi, decoded
+        # BEFORE the box (the ltrb offsets rotate by it)
+        angle = (jax.nn.sigmoid(af[..., 0].astype(jnp.float32)) - 0.25) \
+            * jnp.pi
+        out["boxes_xywhr"] = decode_rbox(ltrb, angle, anchors, strides)
+        out["angle"] = angle
+        if concat_preds:
+            out["preds"] = jnp.concatenate(
+                [out["boxes_xywhr"][..., :4], scores, angle[..., None]],
+                axis=-1)
     elif concat_preds:
         out["preds"] = jnp.concatenate([xywh, scores], axis=-1)
     return out
+
+
+def _branch3_forward(branch, feats, dt, c_out: int) -> jax.Array:
+    """Apply a per-level (conv, conv, out) branch and flatten to
+    [B, A, c_out] in anchor order (shared by seg/pose/obb heads)."""
+    B = feats[0].shape[0]
+    outs = []
+    for i, f in enumerate(feats):
+        c4 = branch[i]
+        m = L.conv_apply(c4["conv0"], f, dtype=dt)
+        m = L.conv_apply(c4["conv1"], m, dtype=dt)
+        outs.append(L.head_conv_apply(c4["out"], m, dtype=dt))
+    return jnp.concatenate([m.reshape(B, -1, c_out) for m in outs], axis=1)
+
+
+def decode_kpts(kpt_flat: jax.Array, anchors: jax.Array,
+                strides: jax.Array, kpt_shape) -> jax.Array:
+    """Raw keypoint maps [B,A,K*D] -> decoded [B,A,K,D]: per keypoint
+    xy = (raw*2 + anchor - 0.5) * stride (input pixels), visibility =
+    sigmoid(raw) when D==3 (ultralytics Pose.kpts_decode semantics)."""
+    B, A, _ = kpt_flat.shape
+    K, D = kpt_shape
+    y = kpt_flat.reshape(B, A, K, D)
+    xy = (y[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) \
+        * strides[None, :, None, :]
+    if D == 3:
+        return jnp.concatenate(
+            [xy, jax.nn.sigmoid(y[..., 2:3])], axis=-1)
+    return xy
+
+
+def decode_rbox(ltrb: jax.Array, angle: jax.Array, anchors: jax.Array,
+                strides: jax.Array) -> jax.Array:
+    """DFL ltrb distances + angle -> rotated boxes [B,A,5] (cx, cy, w, h
+    in input pixels, angle in radians) — ultralytics dist2rbox: the
+    center offset rotates by the angle; w/h stay axis-local."""
+    lt, rb = ltrb[..., :2], ltrb[..., 2:]
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    off = (rb - lt) * 0.5
+    xf, yf = off[..., 0], off[..., 1]
+    x = xf * c - yf * s
+    y = xf * s + yf * c
+    xy = (jnp.stack([x, y], -1) + anchors[None]) * strides[None]
+    wh = (lt + rb) * strides[None]
+    return jnp.concatenate([xy, wh, angle[..., None]], axis=-1)
 
 
 def forward(params: Params, x: jax.Array, cfg: ModelConfig,
@@ -308,8 +401,25 @@ def forward(params: Params, x: jax.Array, cfg: ModelConfig,
     dt = jnp.dtype(cfg.dtype)
     from xrseg_tpu.precision import precision_scope
     with precision_scope(cfg.matmul_precision):
+        if cfg.task == "classify":
+            return classify_forward(params, x, cfg)
         feats = _backbone_neck(params, x, cfg, dt)
         return head_outputs(params, feats, cfg, concat_preds=concat_preds)
+
+
+def classify_forward(params: Params, x: jax.Array, cfg: ModelConfig
+                     ) -> Dict[str, jax.Array]:
+    """Classification task: backbone -> Conv(1280) -> global average pool
+    -> linear (ultralytics Classify head). Returns logits [B,nc] and
+    probs (softmax, matching the deployed classify graph)."""
+    dt = jnp.dtype(cfg.dtype)
+    _, _, x10 = backbone(params, x, cfg, dt)
+    h = params["cls_head"]
+    y = L.conv_apply(h["conv"], x10, dtype=dt)      # [B,h,w,1280]
+    y = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+    logits = y @ h["lin_w"].astype(jnp.float32) \
+        + h["lin_b"].astype(jnp.float32)
+    return {"logits": logits, "probs": jax.nn.softmax(logits, axis=-1)}
 
 
 def forward_train(params: Params, x: jax.Array, cfg: ModelConfig

@@ -222,6 +222,138 @@ def nms_fixed_batched(boxes_xywh: jax.Array, scores: jax.Array,
         class_aware=class_aware, backend="scan"))(boxes_xywh, scores, labels)
 
 
+# ---------------------------------------------------------------------------
+# Rotated boxes (OBB task): probIoU select-and-suppress
+# ---------------------------------------------------------------------------
+
+def _rbox_covariance(xywhr: jax.Array):
+    """Rotated box -> 2D Gaussian covariance terms (a, b, c): the
+    probIoU representation (w^2/12, h^2/12 variances rotated by angle)."""
+    w, h, r = xywhr[..., 2], xywhr[..., 3], xywhr[..., 4]
+    a0 = w * w / 12.0
+    b0 = h * h / 12.0
+    cs, sn = jnp.cos(r), jnp.sin(r)
+    a = a0 * cs * cs + b0 * sn * sn
+    b = a0 * sn * sn + b0 * cs * cs
+    c = (a0 - b0) * cs * sn
+    return a, b, c
+
+
+def probiou_row(box: jax.Array, boxes: jax.Array,
+                eps: float = 1e-7) -> jax.Array:
+    """probIoU of one rotated box [5] against many [K,5] -> [K].
+
+    Bhattacharyya-distance-based IoU between the boxes' Gaussian
+    embeddings (the standard OBB overlap measure ultralytics' rotated
+    NMS uses; exact polygon IoU needs clipping loops that do not map to
+    fixed-shape XLA)."""
+    x1, y1 = box[0], box[1]
+    x2, y2 = boxes[..., 0], boxes[..., 1]
+    a1, b1, c1 = _rbox_covariance(box)
+    a2, b2, c2 = _rbox_covariance(boxes)
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2
+          + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    det1 = jnp.maximum(a1 * b1 - c1 * c1, 0.0)
+    det2 = jnp.maximum(a2 * b2 - c2 * c2, 0.0)
+    t3 = jnp.log(denom / (4.0 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return 1.0 - hd
+
+
+@partial(jax.jit, static_argnames=("iou_threshold", "max_det",
+                                   "class_aware"))
+def nms_fixed_rotated(boxes_xywhr: jax.Array, scores: jax.Array,
+                      labels: jax.Array, *, iou_threshold: float,
+                      score_threshold: float, max_det: int = 50,
+                      class_aware: bool = True) -> Dict[str, jax.Array]:
+    """Single-image fixed-shape rotated NMS (OBB task): the same greedy
+    select-and-suppress slate contract as nms_fixed, with probIoU as the
+    overlap measure. Class separation translates box centers by
+    label * _CLASS_OFFSET (far-apart Gaussians -> probIoU ~ 0), the same
+    trick the axis-aligned path uses.
+
+    boxes_xywhr: [A,5] (cx, cy, w, h, angle_rad). Output slate uses key
+    "boxes_xywhr" [max_det,5].
+    """
+    sc = scores.astype(jnp.float32)
+    off = labels.astype(jnp.float32) * _CLASS_OFFSET if class_aware else 0.0
+    shifted = boxes_xywhr.astype(jnp.float32)
+    if class_aware:
+        shifted = shifted.at[..., 0].add(off).at[..., 1].add(off)
+    k_idx = jnp.arange(sc.shape[0])
+    masked0 = jnp.where(sc > score_threshold, sc, -jnp.inf)
+
+    def body(masked, _):
+        i = jnp.argmax(masked)
+        ok = masked[i] != -jnp.inf
+        iou = probiou_row(shifted[i], shifted)
+        suppress = (iou > iou_threshold) | (k_idx == i)
+        masked = jnp.where(ok & suppress, -jnp.inf, masked)
+        return masked, (i.astype(jnp.int32), ok)
+
+    _, (sel, oks) = jax.lax.scan(body, masked0, None, length=max_det)
+    out = _take_slate(sel, oks, jnp.arange(sc.shape[0], dtype=jnp.int32),
+                      boxes_xywhr, sc, labels, max_det)
+    out["boxes_xywhr"] = out.pop("boxes_xywh")
+    return out
+
+
+def nms_fixed_rotated_batched(boxes_xywhr, scores, labels, *,
+                              iou_threshold, score_threshold,
+                              max_det: int = 50, class_aware: bool = True
+                              ) -> Dict[str, jax.Array]:
+    return jax.vmap(lambda b, s, l: nms_fixed_rotated(
+        b, s, l, iou_threshold=iou_threshold,
+        score_threshold=score_threshold, max_det=max_det,
+        class_aware=class_aware))(boxes_xywhr, scores, labels)
+
+
+def probiou_numpy(b1, b2, eps=1e-7):
+    """Scalar numpy probIoU (test oracle, independent arithmetic)."""
+    import numpy as np
+
+    def cov(b):
+        a0, b0 = b[2] ** 2 / 12.0, b[3] ** 2 / 12.0
+        c, s = np.cos(b[4]), np.sin(b[4])
+        return (a0 * c * c + b0 * s * s, a0 * s * s + b0 * c * c,
+                (a0 - b0) * c * s)
+
+    a1, bb1, c1 = cov(b1)
+    a2, bb2, c2 = cov(b2)
+    den = (a1 + a2) * (bb1 + bb2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (b1[1] - b2[1]) ** 2
+          + (bb1 + bb2) * (b1[0] - b2[0]) ** 2) / den * 0.25
+    t2 = ((c1 + c2) * (b2[0] - b1[0]) * (b1[1] - b2[1])) / den * 0.5
+    t3 = 0.5 * np.log(den / (4.0 * np.sqrt(
+        max((a1 * bb1 - c1 * c1), 0.0) * max((a2 * bb2 - c2 * c2), 0.0))
+        + eps) + eps)
+    bd = min(max(t1 + t2 + t3, eps), 100.0)
+    return 1.0 - np.sqrt(1.0 - np.exp(-bd) + eps)
+
+
+def nms_rotated_reference_numpy(boxes_xywhr, scores, labels, iou_threshold,
+                                score_threshold, class_aware=True):
+    """Naive greedy rotated NMS (test oracle)."""
+    import numpy as np
+    order = np.argsort(-scores, kind="stable")
+    order = [i for i in order if scores[i] > score_threshold]
+    kept = []
+    for i in order:
+        ok = True
+        for j in kept:
+            if class_aware and labels[i] != labels[j]:
+                continue
+            if probiou_numpy(boxes_xywhr[i], boxes_xywhr[j]) > iou_threshold:
+                ok = False
+                break
+        if ok:
+            kept.append(i)
+    return kept
+
+
 def nms_reference_numpy(boxes_xywh, scores, labels, iou_threshold,
                         score_threshold, class_aware=True):
     """Naive O(N^2) host NMS — test oracle only."""

@@ -152,6 +152,53 @@ def postprocess_batch_parts(boxes: jax.Array, cls_scores: jax.Array,
     return det
 
 
+def _logit_threshold(cfg: PostprocessConfig, scores_are_logits: bool):
+    if not scores_are_logits:
+        return cfg.score_threshold
+    t = min(max(float(cfg.score_threshold), 1e-7), 1 - 1e-7)
+    return float(np.log(t / (1.0 - t)))
+
+
+def postprocess_pose_batch(boxes: jax.Array, cls_scores: jax.Array,
+                           kpts: jax.Array, cfg: PostprocessConfig,
+                           scores_are_logits: bool = False,
+                           backend: str = "auto") -> Dict[str, jax.Array]:
+    """Pose task: standard (axis-aligned) NMS on boxes [B,A,4] +
+    cls_scores [B,A,nc], then gather each survivor's decoded keypoints
+    kpts [B,A,K,D] -> det["kpts"] [B,max_det,K,D]."""
+    scores = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
+    labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    det = nms_ops.nms_fixed_batched(
+        boxes, scores, labels, iou_threshold=cfg.iou_threshold,
+        score_threshold=_logit_threshold(cfg, scores_are_logits),
+        max_det=cfg.max_detections, class_aware=cfg.class_aware,
+        backend=backend)
+    if scores_are_logits:
+        det["scores"] = jax.nn.sigmoid(det["scores"]) * det["valid"]
+    k = jnp.take_along_axis(kpts, det["indices"][..., None, None], axis=1)
+    det["kpts"] = k * det["valid"][..., None, None]
+    return det
+
+
+def postprocess_obb_batch(boxes_xywhr: jax.Array, cls_scores: jax.Array,
+                          cfg: PostprocessConfig,
+                          scores_are_logits: bool = False
+                          ) -> Dict[str, jax.Array]:
+    """OBB task: rotated (probIoU) NMS on boxes_xywhr [B,A,5]; slate key
+    is "boxes_xywhr" [B,max_det,5] (cx, cy, w, h, angle_rad)."""
+    scores = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
+    labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+    det = nms_ops.nms_fixed_rotated_batched(
+        boxes_xywhr, scores, labels, iou_threshold=cfg.iou_threshold,
+        score_threshold=_logit_threshold(cfg, scores_are_logits),
+        max_det=cfg.max_detections, class_aware=cfg.class_aware)
+    if scores_are_logits:
+        det["scores"] = jax.nn.sigmoid(det["scores"]) * det["valid"]
+    return det
+
+
 def postprocess_single(preds: jax.Array, protos: jax.Array | None,
                        cfg: PostprocessConfig, num_classes: int = 80,
                        crop: bool = False,
