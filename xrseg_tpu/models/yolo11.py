@@ -460,15 +460,19 @@ def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
         if cfg.task == "segment":
             out["protos"] = L.proto_apply(params["proto"], feats[0],
                                           dtype=dt).astype(jnp.float32)
-            mcs = []
-            for i, f in enumerate(feats):
-                c4 = params["seg_cv4"][i]
-                m = L.conv_apply(c4["conv0"], f, dtype=dt)
-                m = L.conv_apply(c4["conv1"], m, dtype=dt)
-                mcs.append(L.head_conv_apply(c4["out"], m, dtype=dt))
-            out["mask_coefs"] = jnp.concatenate(
-                [m.reshape(B, -1, cfg.num_masks) for m in mcs], axis=1
+            out["mask_coefs"] = _branch3_forward(
+                params["seg_cv4"], feats, dt, cfg.num_masks
             ).astype(jnp.float32)
+        elif cfg.task == "pose":
+            nk = cfg.kpt_shape[0] * cfg.kpt_shape[1]
+            kf = _branch3_forward(params["pose_cv4"], feats, dt, nk)
+            out["kpts"] = decode_kpts(kf.astype(jnp.float32), anchors,
+                                      strides, cfg.kpt_shape)
+        elif cfg.task == "obb":
+            af = _branch3_forward(params["obb_cv4"], feats, dt, 1)
+            angle = (jax.nn.sigmoid(af[..., 0].astype(jnp.float32))
+                     - 0.25) * jnp.pi
+            out["boxes_xywhr"] = decode_rbox(ltrb, angle, anchors, strides)
     return out
 
 

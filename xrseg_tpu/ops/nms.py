@@ -239,18 +239,19 @@ def _rbox_covariance(xywhr: jax.Array):
     return a, b, c
 
 
-def probiou_row(box: jax.Array, boxes: jax.Array,
-                eps: float = 1e-7) -> jax.Array:
-    """probIoU of one rotated box [5] against many [K,5] -> [K].
+def probiou(obb1: jax.Array, obb2: jax.Array,
+            eps: float = 1e-7) -> jax.Array:
+    """Elementwise/broadcast probIoU of rotated boxes [..., 5] -> [...].
 
     Bhattacharyya-distance-based IoU between the boxes' Gaussian
     embeddings (the standard OBB overlap measure ultralytics' rotated
-    NMS uses; exact polygon IoU needs clipping loops that do not map to
-    fixed-shape XLA)."""
-    x1, y1 = box[0], box[1]
-    x2, y2 = boxes[..., 0], boxes[..., 1]
-    a1, b1, c1 = _rbox_covariance(box)
-    a2, b2, c2 = _rbox_covariance(boxes)
+    NMS and OBB box loss use; exact polygon IoU needs clipping loops
+    that do not map to fixed-shape XLA). Differentiable — also the OBB
+    training box loss (1 - probiou)."""
+    x1, y1 = obb1[..., 0], obb1[..., 1]
+    x2, y2 = obb2[..., 0], obb2[..., 1]
+    a1, b1, c1 = _rbox_covariance(obb1)
+    a2, b2, c2 = _rbox_covariance(obb2)
     denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
     t1 = ((a1 + a2) * (y1 - y2) ** 2
           + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
@@ -261,6 +262,12 @@ def probiou_row(box: jax.Array, boxes: jax.Array,
     bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
     hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
     return 1.0 - hd
+
+
+def probiou_row(box: jax.Array, boxes: jax.Array,
+                eps: float = 1e-7) -> jax.Array:
+    """probIoU of one rotated box [5] against many [K,5] -> [K]."""
+    return probiou(box[None] if box.ndim == 1 else box, boxes, eps)
 
 
 @partial(jax.jit, static_argnames=("iou_threshold", "max_det",

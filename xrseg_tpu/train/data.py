@@ -594,3 +594,149 @@ class Loader:
                 except queue.Empty:
                     break
             t.join(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+# Task-family synthetic datasets (pose / obb / classify) + collates —
+# the exact-GT procedural stand-ins that let the new tasks' training
+# paths run and be tested without real annotated data on disk.
+# ---------------------------------------------------------------------------
+
+class SyntheticPoseDataset:
+    """Circles with K=5 keypoints each: center + 4 rim points (N/E/S/W),
+    all visible. Normalized coords; exact GT."""
+
+    def __init__(self, n: int = 64, hw: Tuple[int, int] = (160, 160),
+                 n_classes: int = 2, max_objects: int = 2, seed: int = 0):
+        self.base = SyntheticShapesDataset(n, hw, n_classes, max_objects,
+                                           seed)
+        self.kpt_shape = (5, 3)
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, i: int):
+        s = self.base[i]
+        kpts = []
+        for b in s["boxes"]:
+            cx, cy, w, h = b
+            r = w / 2
+            pts = np.asarray([[cx, cy], [cx, cy - h / 2], [cx + r, cy],
+                              [cx, cy + h / 2], [cx - r, cy]], np.float32)
+            kpts.append(np.concatenate(
+                [pts, np.ones((5, 1), np.float32)], -1))
+        s = dict(s)
+        s["kpts"] = (np.stack(kpts) if kpts
+                     else np.zeros((0, 5, 3), np.float32))
+        return s
+
+
+class SyntheticOBBDataset:
+    """Rotated filled rectangles with exact (cx, cy, w, h, angle) GT."""
+
+    def __init__(self, n: int = 64, hw: Tuple[int, int] = (160, 160),
+                 n_classes: int = 2, max_objects: int = 2, seed: int = 0):
+        self.n, self.hw = n, hw
+        self.n_classes, self.max_objects = n_classes, max_objects
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int):
+        rng = np.random.default_rng((self.seed, 7, i % self.n))
+        h, w = self.hw
+        img = (rng.uniform(0, 0.3, (h, w, 3)) * 255).astype(np.uint8)
+        n_obj = int(rng.integers(1, self.max_objects + 1))
+        boxes, labels = [], []
+        yy, xx = np.mgrid[0:h, 0:w]
+        for _ in range(n_obj):
+            bw = rng.uniform(0.15, 0.35) * w
+            bh = rng.uniform(0.08, 0.18) * h
+            ang = rng.uniform(-np.pi / 4, 3 * np.pi / 4)
+            m = max(bw, bh)
+            cx = rng.uniform(m, w - m)
+            cy = rng.uniform(m, h - m)
+            cls = int(rng.integers(0, self.n_classes))
+            ca, sa = np.cos(ang), np.sin(ang)
+            # point-in-rotated-rect: rotate offsets into the box frame
+            dx, dy = xx - cx, yy - cy
+            u = dx * ca + dy * sa
+            v = -dx * sa + dy * ca
+            inside = (np.abs(u) < bw / 2) & (np.abs(v) < bh / 2)
+            color = (np.eye(3)[cls] * rng.uniform(0.7, 1.0) * 255)
+            img[inside] = color.astype(np.uint8)
+            boxes.append([cx / w, cy / h, bw / w, bh / h, ang])
+            labels.append(cls)
+        return {"image": img,
+                "boxes_xywhr": np.asarray(boxes, np.float32),
+                "labels": np.asarray(labels, np.int32)}
+
+
+class SyntheticClassifyDataset:
+    """One dominant shape per image; label = its class."""
+
+    def __init__(self, n: int = 64, hw: Tuple[int, int] = (64, 64),
+                 n_classes: int = 3, seed: int = 0):
+        self.base = SyntheticShapesDataset(n, hw, n_classes,
+                                           max_objects=1, seed=seed)
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, i: int):
+        s = self.base[i]
+        return {"image": s["image"], "label": int(s["labels"][0])}
+
+
+def collate_pose(samples: Sequence, input_hw: Tuple[int, int],
+                 max_gt: int = 8) -> Dict[str, np.ndarray]:
+    """Pose batch: images + px boxes/labels + kpts [B,G,K,3] (px, vis)."""
+    H, W = input_hw
+    B = len(samples)
+    K = samples[0]["kpts"].shape[1] if samples[0]["kpts"].size else 5
+    images = np.zeros((B, H, W, 3), np.float32)
+    boxes = np.zeros((B, max_gt, 4), np.float32)
+    labels = np.full((B, max_gt), -1, np.int32)
+    kpts = np.zeros((B, max_gt, K, 3), np.float32)
+    for b, s in enumerate(samples):
+        images[b] = _resize_uint8(s["image"], (H, W)).astype(np.float32) / 255
+        n = min(len(s["labels"]), max_gt)
+        boxes[b, :n] = s["boxes"][:n] * (W, H, W, H)
+        labels[b, :n] = s["labels"][:n]
+        k = s["kpts"][:n].copy()
+        k[..., 0] *= W
+        k[..., 1] *= H
+        kpts[b, :n] = k
+    return {"images": images, "boxes_xywh": boxes, "labels": labels,
+            "kpts": kpts}
+
+
+def collate_obb(samples: Sequence, input_hw: Tuple[int, int],
+                max_gt: int = 8) -> Dict[str, np.ndarray]:
+    """OBB batch: images + rotated px boxes [B,G,5] + labels."""
+    H, W = input_hw
+    B = len(samples)
+    images = np.zeros((B, H, W, 3), np.float32)
+    boxes = np.zeros((B, max_gt, 5), np.float32)
+    labels = np.full((B, max_gt), -1, np.int32)
+    for b, s in enumerate(samples):
+        images[b] = _resize_uint8(s["image"], (H, W)).astype(np.float32) / 255
+        n = min(len(s["labels"]), max_gt)
+        bx = s["boxes_xywhr"][:n].copy()
+        bx[:, 0] *= W
+        bx[:, 1] *= H
+        bx[:, 2] *= W
+        bx[:, 3] *= H
+        boxes[b, :n] = bx
+        labels[b, :n] = s["labels"][:n]
+    return {"images": images, "boxes_xywhr": boxes, "labels": labels}
+
+
+def collate_classify(samples: Sequence, input_hw: Tuple[int, int]
+                     ) -> Dict[str, np.ndarray]:
+    H, W = input_hw
+    images = np.stack([_resize_uint8(s["image"], (H, W)) for s in samples]
+                      ).astype(np.float32) / 255
+    labels = np.asarray([s["label"] for s in samples], np.int32)
+    return {"images": images, "labels": labels}

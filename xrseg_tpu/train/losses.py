@@ -155,10 +155,36 @@ def assign_targets_tal(pred_boxes: jax.Array, cls_logits: jax.Array,
     return {"gt_idx": gt_idx, "fg": fg, "target_scores": target_scores}
 
 
+# COCO 17-keypoint OKS sigmas (the published per-joint tolerance
+# constants); non-17 layouts fall back to uniform 1/K.
+_OKS_SIGMAS_17 = [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072,
+                  0.072, 0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089,
+                  0.089]
+
+
+def _kpt_sigmas(k: int):
+    import numpy as np
+    if k == 17:
+        return np.asarray(_OKS_SIGMAS_17, np.float32)
+    return np.full((k,), 1.0 / k, np.float32)
+
+
+def classification_loss(logits: jax.Array, labels: jax.Array
+                        ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Classify task: softmax cross-entropy + top-1 accuracy.
+    logits [B,nc], labels [B] int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nc = logits.shape[-1]
+    ce = -(jax.nn.one_hot(labels, nc) * logp).sum(-1).mean()
+    acc = (jnp.argmax(logits, -1) == labels).mean()
+    return ce, {"acc": acc}
+
+
 def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
                    cfg: ModelConfig,
                    box_w: float = 7.5, cls_w: float = 0.5,
                    dfl_w: float = 1.5, seg_w: float = 1.0,
+                   kpt_w: float = 12.0, kobj_w: float = 1.0,
                    assigner: str = "tal",
                    input_hw: Optional[Tuple[int, int]] = None
                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
@@ -174,6 +200,19 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
     strides_j = jnp.asarray(strides)
 
     def single(out_b, tgt_b):
+        # OBB targets arrive as rotated boxes [G,5]; assignment and the
+        # cls branch run on the circumscribed axis-aligned rectangles
+        # (documented approximation of ultralytics' rotated assigner),
+        # regression runs on the rotated boxes via probIoU below.
+        is_obb = "boxes_xywhr" in tgt_b
+        if is_obb:
+            rbx = tgt_b["boxes_xywhr"]
+            ca = jnp.abs(jnp.cos(rbx[:, 4]))
+            sa = jnp.abs(jnp.sin(rbx[:, 4]))
+            tgt_b = dict(tgt_b, boxes_xywh=jnp.stack(
+                [rbx[:, 0], rbx[:, 1],
+                 rbx[:, 2] * ca + rbx[:, 3] * sa,
+                 rbx[:, 2] * sa + rbx[:, 3] * ca], -1))
         if assigner == "tal":
             a = assign_targets_tal(out_b["boxes_xywh"], out_b["cls_logits"],
                                    tgt_b["boxes_xywh"], tgt_b["labels"], cfg,
@@ -198,14 +237,30 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
         # cls BCE over all anchors against the (soft) target scores
         l_cls = bce_logits(out_b["cls_logits"], cls_tgt).sum() / denom
 
-        # box CIoU on positives, aligned-score weighted
-        l_box = (jnp.where(fg, (1.0 - ciou(out_b["boxes_xywh"], gt_box)) * w,
-                           0.0).sum() / denom)
+        # box loss on positives, aligned-score weighted: CIoU for
+        # axis-aligned tasks, differentiable probIoU for rotated boxes
+        # (the OBB angle can only learn through this term)
+        if is_obb:
+            from xrseg_tpu.ops.nms import probiou
+            gt_rb = tgt_b["boxes_xywhr"][gt_idx]                 # [A,5]
+            l_box = (jnp.where(
+                fg, (1.0 - probiou(out_b["boxes_xywhr"], gt_rb)) * w,
+                0.0).sum() / denom)
+        else:
+            l_box = (jnp.where(
+                fg, (1.0 - ciou(out_b["boxes_xywh"], gt_box)) * w,
+                0.0).sum() / denom)
 
-        # DFL: target ltrb distances in grid units, two-bin soft target
+        # DFL: target ltrb distances in grid units, two-bin soft target.
+        # OBB uses the rotated target's UNROTATED (cx,cy,w,h) extents as
+        # the DFL target (ultralytics v8OBBLoss does exactly this:
+        # bbox2dist on target_bboxes[..., :4]) — it bootstraps center/
+        # extent localization; the angle learns through probIoU.
+        dfl_gt = (tgt_b["boxes_xywhr"][gt_idx][:, :4] if is_obb
+                  else gt_box)
         cxy = anchors_j * strides_j
-        lt = (cxy - (gt_box[:, :2] - gt_box[:, 2:] / 2)) / strides_j
-        rb = ((gt_box[:, :2] + gt_box[:, 2:] / 2) - cxy) / strides_j
+        lt = (cxy - (dfl_gt[:, :2] - dfl_gt[:, 2:] / 2)) / strides_j
+        rb = ((dfl_gt[:, :2] + dfl_gt[:, 2:] / 2) - cxy) / strides_j
         ltrb = jnp.clip(jnp.concatenate([lt, rb], -1), 0,
                         cfg.reg_max - 1 - 1e-3)                  # [A,4]
         tl = jnp.floor(ltrb)
@@ -221,6 +276,30 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
 
         loss = box_w * l_box + cls_w * l_cls + dfl_w * l_dfl
         aux = {"box": l_box, "cls": l_cls, "dfl": l_dfl}
+
+        if "kpts" in out_b and "kpts" in tgt_b:
+            # OKS-style keypoint loss (ultralytics KeypointLoss): per
+            # positive anchor, per visible keypoint,
+            # 1 - exp(-d^2 / (2*sigma)^2 / (2*area)); plus a visibility
+            # BCE (pred vis is already sigmoided by the decode)
+            K = out_b["kpts"].shape[-2]
+            sig = jnp.asarray(_kpt_sigmas(K))
+            gt_k = tgt_b["kpts"][gt_idx]                         # [A,K,3]
+            pred_k = out_b["kpts"]
+            d2 = jnp.sum((pred_k[..., :2] - gt_k[..., :2]) ** 2, -1)
+            area = jnp.maximum(gt_box[:, 2] * gt_box[:, 3], 1.0)
+            e = d2 / ((2.0 * sig[None]) ** 2) / (2.0 * area[:, None])
+            kmask = (gt_k[..., 2] > 0.5) & fg[:, None]
+            l_kpt = (jnp.where(kmask, 1.0 - jnp.exp(-e), 0.0).sum()
+                     / jnp.maximum(kmask.sum(), 1))
+            pv = jnp.clip(pred_k[..., 2], 1e-6, 1.0 - 1e-6)
+            tv = (gt_k[..., 2] > 0.5).astype(jnp.float32)
+            bce = -(tv * jnp.log(pv) + (1.0 - tv) * jnp.log(1.0 - pv))
+            l_kobj = (jnp.where(fg[:, None], bce, 0.0).sum()
+                      / jnp.maximum(fg.sum() * K, 1))
+            loss = loss + kpt_w * l_kpt + kobj_w * l_kobj
+            aux["kpt"] = l_kpt
+            aux["kobj"] = l_kobj
 
         if "protos" in out_b and "masks" in tgt_b:
             # seg BCE: logits = coef . protos per positive anchor

@@ -63,8 +63,9 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
 
     def loss_fn(params, batch):
         out = fwd(params, batch["images"], cfg)
-        tgt = {k: batch[k] for k in ("boxes_xywh", "labels",
-                                     "sample_weight") if k in batch}
+        tgt = {k: batch[k] for k in ("boxes_xywh", "boxes_xywhr", "kpts",
+                                     "labels", "sample_weight")
+               if k in batch}
         if "masks" in batch and cfg.task == "segment":
             tgt["masks"] = batch["masks"]
         # anchors follow the batch's actual (H,W): multi-scale batches each
@@ -125,3 +126,27 @@ def shard_train_state(state: TrainState, mesh: Mesh,
         state.opt_state)
     return TrainState(params=params, opt_state=opt_state,
                       step=jax.device_put(state.step, repl))
+
+
+def make_classify_train_step(cfg: ModelConfig,
+                             optimizer: optax.GradientTransformation):
+    """Train step for the classify task: softmax CE + top-1 accuracy.
+    batch: {"images": [B,H,W,3] f32 in [0,1], "labels": [B] int32}."""
+    from xrseg_tpu.train.losses import classification_loss
+
+    def loss_fn(params, batch):
+        out = yolo11.classify_forward(params, batch["images"], cfg)
+        return classification_loss(out["logits"], batch["labels"])
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1),
+                {"loss": loss, **aux,
+                 "grad_norm": optax.global_norm(grads)})
+
+    return jax.jit(step)
