@@ -87,3 +87,61 @@ def test_average_precision_basic():
                            np.array([True, False, True]), 2)
     # P@r=0.5 -> 1.0; P@r=1.0 -> 2/3
     assert 0.8 < ap < 0.9
+
+
+def test_oks_keypoint_ap():
+    """Pose AP with OKS similarity: exact keypoints score 1.0; keypoints
+    displaced by ~the object size drop OKS below the usable range."""
+    from xrseg_tpu.eval.metrics import Detection, GroundTruth, evaluate, oks
+
+    rng = np.random.default_rng(0)
+    per_image = []
+    for _ in range(4):
+        k = np.concatenate([rng.uniform(20, 100, (5, 2)),
+                            np.ones((5, 1))], -1).astype(np.float32)
+        box = np.asarray([60, 60, 40, 40], np.float32)
+        gt = GroundTruth(box, 0, kpts=k)
+        det = Detection(box, 0, 0.9, kpts=k.copy())
+        per_image.append(([det], [gt]))
+    r = evaluate(per_image, similarity="oks")
+    np.testing.assert_allclose([r["mAP"], r["AP50"]], 1.0, rtol=1e-9)
+
+    # displace keypoints by ~object scale: OKS collapses
+    far = [([Detection(g[1][0].box_xywh, 0, 0.9,
+                       kpts=g[1][0].kpts + np.asarray([120, 120, 0]))],
+            g[1]) for g in per_image]
+    r2 = evaluate(far, similarity="oks")
+    assert r2["mAP"] < 0.2
+    # oks() itself: exact = 1, and visibility gating works
+    k0 = per_image[0][1][0].kpts
+    assert abs(oks(k0, k0, 1600.0) - 1.0) < 1e-9
+    kv = k0.copy()
+    kv[:, 2] = 0
+    assert oks(k0, kv, 1600.0) == 0.0
+
+
+def test_rotated_box_ap():
+    """OBB AP with probIoU similarity: exact rotated boxes score 1.0; a
+    90-degree-rotated thin box is a miss at AP50."""
+    from xrseg_tpu.eval.metrics import Detection, GroundTruth, evaluate
+
+    rng = np.random.default_rng(1)
+    per_image = []
+    for _ in range(4):
+        rb = np.asarray([rng.uniform(40, 90), rng.uniform(40, 90),
+                         60, 12, rng.uniform(0, np.pi / 2)], np.float32)
+        axis = np.asarray([rb[0], rb[1], 60, 60], np.float32)
+        gt = GroundTruth(axis, 0, box_xywhr=rb)
+        det = Detection(axis, 0, 0.9, box_xywhr=rb.copy())
+        per_image.append(([det], [gt]))
+    r = evaluate(per_image, similarity="rbox")
+    np.testing.assert_allclose(r["mAP"], 1.0, rtol=1e-9)
+
+    rot = []
+    for dets, gts in per_image:
+        bad = dets[0].box_xywhr.copy()
+        bad[4] += np.pi / 2              # thin box rotated 90 degrees
+        rot.append(([Detection(dets[0].box_xywh, 0, 0.9,
+                               box_xywhr=bad)], gts))
+    r2 = evaluate(rot, similarity="rbox")
+    assert r2["AP50"] == 0.0

@@ -20,6 +20,8 @@ class Detection:
     label: int
     score: float
     mask: Optional[np.ndarray] = None   # bool [H,W] (any resolution)
+    kpts: Optional[np.ndarray] = None   # [K,3] x,y,vis (pose task)
+    box_xywhr: Optional[np.ndarray] = None  # [5] rotated (obb task)
 
 
 @dataclasses.dataclass
@@ -27,6 +29,8 @@ class GroundTruth:
     box_xywh: np.ndarray
     label: int
     mask: Optional[np.ndarray] = None
+    kpts: Optional[np.ndarray] = None
+    box_xywhr: Optional[np.ndarray] = None
 
 
 def box_iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
@@ -49,11 +53,40 @@ def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter) / union if union > 0 else 0.0
 
 
+def oks(det_kpts: np.ndarray, gt_kpts: np.ndarray, gt_area: float,
+        sigmas: Optional[np.ndarray] = None) -> float:
+    """COCO Object Keypoint Similarity: mean over labeled keypoints of
+    exp(-d^2 / (2 * area * (2*sigma)^2)). det/gt kpts [K,3] (x, y, vis);
+    only gt-visible keypoints count."""
+    from xrseg_tpu.train.losses import _kpt_sigmas
+    k = gt_kpts.shape[0]
+    sig = np.asarray(sigmas if sigmas is not None else _kpt_sigmas(k),
+                     np.float64)
+    vis = gt_kpts[:, 2] > 0.5
+    if not vis.any():
+        return 0.0
+    d2 = ((det_kpts[:, :2] - gt_kpts[:, :2]) ** 2).sum(-1)
+    e = d2 / ((2.0 * sig) ** 2) / (2.0 * max(gt_area, 1.0))
+    return float(np.exp(-e)[vis].mean())
+
+
+def _similarity(d: Detection, g: GroundTruth, sim: str) -> float:
+    if sim == "mask" and d.mask is not None and g.mask is not None:
+        return mask_iou(d.mask, g.mask)
+    if sim == "oks" and d.kpts is not None and g.kpts is not None:
+        return oks(d.kpts, g.kpts, float(g.box_xywh[2] * g.box_xywh[3]))
+    if sim == "rbox" and d.box_xywhr is not None and g.box_xywhr is not None:
+        from xrseg_tpu.ops.nms import probiou_numpy
+        return probiou_numpy(d.box_xywhr, g.box_xywhr)
+    return box_iou_xywh(d.box_xywh, g.box_xywh)
+
+
 def _match_image(dets: Sequence[Detection], gts: Sequence[GroundTruth],
-                 iou_thr: float, use_mask: bool) -> Tuple[np.ndarray, int]:
+                 iou_thr: float, sim: str) -> Tuple[np.ndarray, int]:
     """Greedy matching (COCO protocol): detections by descending score, each
-    takes the highest-IoU unmatched same-class GT. Returns (tp flags aligned
-    with score-sorted dets, n_gt)."""
+    takes the highest-similarity unmatched same-class GT. sim: "box" |
+    "mask" | "oks" (pose, OKS thresholds in place of IoU) | "rbox" (obb,
+    probIoU). Returns (tp flags aligned with score-sorted dets, n_gt)."""
     order = np.argsort([-d.score for d in dets], kind="stable")
     matched = [False] * len(gts)
     tp = np.zeros(len(dets), bool)
@@ -63,10 +96,7 @@ def _match_image(dets: Sequence[Detection], gts: Sequence[GroundTruth],
         for gi, g in enumerate(gts):
             if matched[gi] or g.label != d.label:
                 continue
-            if use_mask and d.mask is not None and g.mask is not None:
-                iou = mask_iou(d.mask, g.mask)
-            else:
-                iou = box_iou_xywh(d.box_xywh, g.box_xywh)
+            iou = _similarity(d, g, sim)
             if iou >= best_iou:
                 best, best_iou = gi, iou
         if best >= 0:
@@ -97,12 +127,17 @@ def average_precision(scores: np.ndarray, tps: np.ndarray, n_gt: int) -> float:
 
 def evaluate(per_image: Sequence[Tuple[Sequence[Detection], Sequence[GroundTruth]]],
              iou_thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
-             use_mask: bool = False) -> Dict[str, float]:
+             use_mask: bool = False,
+             similarity: Optional[str] = None) -> Dict[str, float]:
     """COCO-style mAP over a dataset.
 
     per_image: list of (detections, ground_truths).
+    similarity: "box" (default) | "mask" | "oks" (pose keypoint AP — the
+    thresholds become OKS thresholds) | "rbox" (obb probIoU AP).
+    use_mask=True is kept as an alias for similarity="mask".
     Returns {"mAP": mean over IoU thresholds and classes, "AP50", "AP75"}.
     """
+    sim = similarity or ("mask" if use_mask else "box")
     classes = sorted({g.label for _, gts in per_image for g in gts})
     ap_per_thr: Dict[float, List[float]] = {t: [] for t in iou_thresholds}
     for cls in classes:
@@ -111,7 +146,7 @@ def evaluate(per_image: Sequence[Tuple[Sequence[Detection], Sequence[GroundTruth
             for dets, gts in per_image:
                 cd = [d for d in dets if d.label == cls]
                 cg = [g for g in gts if g.label == cls]
-                tp, ng = _match_image(cd, cg, thr, use_mask)
+                tp, ng = _match_image(cd, cg, thr, sim)
                 order = np.argsort([-d.score for d in cd], kind="stable")
                 scores += [cd[i].score for i in order]
                 tps += list(tp)
