@@ -274,6 +274,42 @@ def run_multistream_bench(scale: str = "x", n_streams: int = 2,
     }
 
 
+def run_task_bench(task: str, batch: int = 128, n_chained: int = 20,
+                   scale: str = "n", repeats: int = 2) -> dict:
+    """Throughput of the extended task family's compiled pipelines
+    (pose / obb / classify), same chained-on-device methodology."""
+    import jax
+    import jax.numpy as jnp
+
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.config import ExecutorConfig, ModelConfig
+    from xrseg_tpu.models import yolo11
+
+    cfg = ExecutorConfig(model=ModelConfig(scale=scale, task=task))
+    params = yolo11.init_params(jax.random.key(0), cfg.model)
+    pipe = build_pipeline(cfg, params, batch=batch)
+
+    @jax.jit
+    def chained(params, frames):
+        def body(carry, _):
+            det = pipe.fn(params, frames + carry)
+            s = det["slate"].sum()
+            return (s % 2).astype(jnp.uint8), s
+        c, ss = jax.lax.scan(body, jnp.uint8(0), None, length=n_chained)
+        return ss.sum()
+
+    frames = jnp.zeros((batch, 640, 640, 3), jnp.uint8)
+    _ = np.asarray(chained(params, frames))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = np.asarray(chained(params, frames))
+        best = min(best, time.perf_counter() - t0)
+    per_batch = best / n_chained
+    return {"task": task, "fps_per_chip": batch / per_batch,
+            "ms_per_batch": per_batch * 1e3, "batch": batch}
+
+
 # The five BASELINE.json configs (single chip; config 5's two stereo
 # streams = batch 2).
 BASELINE_CONFIGS = {
@@ -309,6 +345,16 @@ def main() -> int:
             "vs_baseline": round(r5["fps_per_chip"] / 30.0, 1),
             "p50_latency_ms": round(r5["p50_latency_ms"], 2),
         }), flush=True)
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--tasks":
+        for task in ("pose", "obb", "classify"):
+            r = run_task_bench(task)
+            print(json.dumps({
+                "metric": f"task_{task}_yolo11n_640_b128",
+                "value": round(r["fps_per_chip"], 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(r["fps_per_chip"] / 30.0, 1),
+            }), flush=True)
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--configs":
         for i, kw in BASELINE_CONFIGS.items():

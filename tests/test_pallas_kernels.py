@@ -127,3 +127,41 @@ def test_nms_select_batched_pallas_matches_scan():
         assert int(np.asarray(ok[b]).sum()) == n
         np.testing.assert_array_equal(np.asarray(idx[b])[:n],
                                       np.asarray(ref["indices"])[:n])
+
+
+def test_nms_rotated_batched_pallas_matches_scan():
+    """The rotated (probIoU) batched kernel equals the vmapped scan path
+    (both exact greedy rotated NMS) — boxes, order, counts."""
+    from xrseg_tpu.ops.nms import nms_fixed_rotated_batched
+
+    rng = np.random.default_rng(9)
+    B, K = 5, 300
+    boxes = np.concatenate([
+        rng.uniform(40, 600, (B, K, 2)),
+        rng.uniform(10, 80, (B, K, 2)),
+        rng.uniform(-np.pi / 4, 3 * np.pi / 4, (B, K, 1)),
+    ], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (B, K)).astype(np.float32)
+    labels = rng.integers(0, 3, (B, K)).astype(np.int32)
+
+    kw = dict(iou_threshold=0.4, score_threshold=0.3, max_det=20)
+    ref = jax.device_get(nms_fixed_rotated_batched(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        backend="scan", **kw))
+    # interpret mode on CPU exercises the kernel's math end to end
+    import xrseg_tpu.ops.pallas_kernels as pk
+    orig = pk.nms_rotated_batched_pallas
+    pk_call = lambda *a, **k: orig(*a, **dict(k, interpret=True))
+    try:
+        pk.nms_rotated_batched_pallas = pk_call
+        got = jax.device_get(nms_fixed_rotated_batched(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+            backend="pallas", **kw))
+    finally:
+        pk.nms_rotated_batched_pallas = orig
+
+    np.testing.assert_array_equal(got["count"], ref["count"])
+    np.testing.assert_array_equal(got["indices"], ref["indices"])
+    np.testing.assert_allclose(got["boxes_xywhr"], ref["boxes_xywhr"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(got["scores"], ref["scores"], rtol=1e-6)

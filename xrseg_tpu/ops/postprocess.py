@@ -184,16 +184,19 @@ def postprocess_pose_batch(boxes: jax.Array, cls_scores: jax.Array,
 
 def postprocess_obb_batch(boxes_xywhr: jax.Array, cls_scores: jax.Array,
                           cfg: PostprocessConfig,
-                          scores_are_logits: bool = False
-                          ) -> Dict[str, jax.Array]:
+                          scores_are_logits: bool = False,
+                          backend: str = "auto") -> Dict[str, jax.Array]:
     """OBB task: rotated (probIoU) NMS on boxes_xywhr [B,A,5]; slate key
     is "boxes_xywhr" [B,max_det,5] (cx, cy, w, h, angle_rad)."""
     scores = jnp.max(cls_scores, axis=-1).astype(jnp.float32)
     labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
     det = nms_ops.nms_fixed_rotated_batched(
         boxes_xywhr, scores, labels, iou_threshold=cfg.iou_threshold,
         score_threshold=_logit_threshold(cfg, scores_are_logits),
-        max_det=cfg.max_detections, class_aware=cfg.class_aware)
+        max_det=cfg.max_detections, class_aware=cfg.class_aware,
+        backend=backend)
     if scores_are_logits:
         det["scores"] = jax.nn.sigmoid(det["scores"]) * det["valid"]
     return det
