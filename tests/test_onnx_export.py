@@ -66,3 +66,63 @@ def test_export_wider_scale_smoke(tmp_path):
     got = np.transpose(out["output0"], (0, 2, 1))
     np.testing.assert_allclose(got[..., 4:], ref["preds"][..., 4:],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_export_pose_matches_jax_forward(tmp_path):
+    """Pose export: output0 [1, 4+nc+nk, A] with in-graph kpt decode."""
+    cfg = ModelConfig(scale="n", task="pose", input_size=(64, 64),
+                      dtype="float32", kpt_shape=(5, 3), num_classes=4)
+    params = yolo11.init_params(jax.random.key(5), cfg)
+    path = str(tmp_path / "pose.onnx")
+    export_onnx(jax.device_get(params), cfg, path)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = run_onnx(path, {"images": np.transpose(x, (0, 3, 1, 2))})
+    ref = jax.device_get(yolo11.forward(params, jnp.asarray(x), cfg,
+                                        concat_preds=False))
+    got = np.transpose(out["output0"], (0, 2, 1))  # [1, A, 4+nc+nk]
+    np.testing.assert_allclose(got[..., :4], ref["boxes_xywh"],
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(got[..., 4:8], ref["scores"],
+                               rtol=1e-4, atol=1e-4)
+    kpts = got[..., 8:].reshape(1, -1, 5, 3)
+    np.testing.assert_allclose(kpts, ref["kpts"], rtol=1e-4, atol=5e-3)
+
+
+def test_export_obb_matches_jax_forward(tmp_path):
+    """OBB export: output0 [1, 4+nc+1, A] with in-graph dist2rbox."""
+    cfg = ModelConfig(scale="n", task="obb", input_size=(64, 64),
+                      dtype="float32", num_classes=4)
+    params = yolo11.init_params(jax.random.key(6), cfg)
+    path = str(tmp_path / "obb.onnx")
+    export_onnx(jax.device_get(params), cfg, path)
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = run_onnx(path, {"images": np.transpose(x, (0, 3, 1, 2))})
+    ref = jax.device_get(yolo11.forward(params, jnp.asarray(x), cfg,
+                                        concat_preds=False))
+    got = np.transpose(out["output0"], (0, 2, 1))  # [1, A, 4+nc+1]
+    np.testing.assert_allclose(got[..., :4], ref["boxes_xywhr"][..., :4],
+                               rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(got[..., -1], ref["boxes_xywhr"][..., 4],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[..., 4:-1], ref["scores"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_export_classify_matches_jax_forward(tmp_path):
+    """Classify export: output0 [1, nc] softmax probabilities."""
+    cfg = ModelConfig(scale="n", task="classify", input_size=(64, 64),
+                      dtype="float32", num_classes=6)
+    params = yolo11.init_params(jax.random.key(7), cfg)
+    path = str(tmp_path / "cls.onnx")
+    export_onnx(jax.device_get(params), cfg, path)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    # (graph declares batch 1 but every op broadcasts; run per image)
+    ref = jax.device_get(yolo11.forward(params, jnp.asarray(x), cfg))
+    for b in range(2):
+        out = run_onnx(path, {"images": np.transpose(
+            x[b:b + 1], (0, 3, 1, 2))})
+        np.testing.assert_allclose(out["output0"][0], ref["probs"][b],
+                                   rtol=1e-4, atol=1e-4)

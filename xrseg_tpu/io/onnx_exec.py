@@ -286,6 +286,10 @@ def run_onnx(path: str, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             out = np.power(ins[0].astype(np.float32), ins[1])
         elif op == "Exp":
             out = np.exp(ins[0].astype(np.float32))
+        elif op == "Cos":
+            out = np.cos(ins[0].astype(np.float32))
+        elif op == "Sin":
+            out = np.sin(ins[0].astype(np.float32))
         elif op == "Sqrt":
             out = np.sqrt(ins[0].astype(np.float32))
         elif op == "Neg":

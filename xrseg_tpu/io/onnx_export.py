@@ -286,11 +286,17 @@ def _proto(g: _G, p, x: str) -> str:
 def export_onnx(params, cfg, path: str) -> str:
     """Write an ultralytics-contract ONNX file for `params`/`cfg`.
 
-    Input: images [1,3,H,W] float32 in [0,1].
-    Outputs: output0 [1, 4+nc(+nm), A] (decoded xywh in input pixels,
-    sigmoid scores, raw mask coefs), and for segment output1
-    [1, nm, H/4, W/4] — exactly the contract the reference's converter
-    slices (IEModelEditorConverter.cs:48-65).
+    Input: images [1,3,H,W] float32 in [0,1]. Outputs by task:
+      detect   output0 [1, 4+nc, A]
+      segment  output0 [1, 4+nc+nm, A] + output1 [1, nm, H/4, W/4] —
+               exactly the contract the reference's converter slices
+               (IEModelEditorConverter.cs:48-65)
+      pose     output0 [1, 4+nc+nk, A] (in-graph keypoint decode)
+      obb      output0 [1, 4+nc+1, A] (in-graph dist2rbox, angle last)
+      classify output0 [1, nc] softmax probabilities
+    (Weight-loading round-trip via io/onnx_loader supports the
+    detect/segment conv ordering; pose/obb/classify exports are for
+    execution/interop.)
     """
     from xrseg_tpu.models.yolo11 import Spec, make_anchors
 
@@ -311,6 +317,24 @@ def export_onnx(params, cfg, path: str) -> str:
     x = _c3k2(g, params["b8"], x)
     x = _sppf(g, params["b9"], x)
     x10 = _c2psa(g, params["b10"], x, (H // 32, W // 32))
+
+    if cfg.task == "classify":
+        # backbone -> Conv(1280) -> GlobalAveragePool -> Gemm -> Softmax:
+        # output0 [1, nc] class probabilities (ultralytics classify export)
+        h = params["cls_head"]
+        y = _conv(g, h["conv"], x10)
+        p = g.n("GlobalAveragePool", [y])
+        f = g.n("Flatten", [p], axis=1)
+        gm = g.n("Gemm", [f,
+                          g.init("lin_w", np.asarray(h["lin_w"],
+                                                     np.float32)),
+                          g.init("lin_b", np.asarray(h["lin_b"],
+                                                     np.float32))],
+                 alpha=1.0, beta=1.0, transB=0)
+        g.n("Softmax", [gm], axis=1, out_names=["output0"])
+        return _write_model(g, cfg, path,
+                            [_value_info("output0",
+                                         (1, cfg.num_classes))])
 
     # --- neck + heads, interleaved per reference graph order ---
     u = _upsample2x(g, x10)
@@ -382,7 +406,72 @@ def export_onnx(params, cfg, path: str) -> str:
     scores = g.n("Sigmoid", [cls_cat])
 
     outputs = []
-    if cfg.task == "segment":
+    if cfg.task == "pose":
+        # keypoint branch -> in-graph kpts decode:
+        # xy = (raw*2 + anchor - 0.5) * stride, vis = sigmoid ->
+        # output0 [1, 4+nc+nk, A] (ultralytics pose export contract)
+        K, Dk = cfg.kpt_shape
+        nk = K * Dk
+        kpt_maps: List[Tuple[str, int]] = []
+        for i, (f, hw) in enumerate(
+                zip((x16, x19, x22),
+                    ((H // 8, W // 8), (H // 16, W // 16),
+                     (H // 32, W // 32)))):
+            c4 = params["pose_cv4"][i]
+            m = _conv(g, c4["conv0"], f)
+            m = _conv(g, c4["conv1"], m)
+            kpt_maps.append((_conv(g, c4["out"], m, act=False),
+                             hw[0] * hw[1]))
+        kf = flat(kpt_maps, nk)                          # [1, nk, A]
+        kr = g.n("Reshape", [kf, g.init(
+            "kshape", np.asarray([1, K, Dk, A], np.int64))])
+        xy, v = g.n("Split", [kr, g.init(
+            "ksplit", np.asarray([2, Dk - 2], np.int64))], n_out=2,
+            axis=2)
+        two = g.init("two", np.asarray(2.0, np.float32))
+        anch_k = g.init("anch_k", np.ascontiguousarray(
+            anchors_np.T[None, None]) - 0.5)             # [1,1,2,A]
+        str_k = g.init("str_k", np.ascontiguousarray(
+            strides_np.T[None, None]))                   # [1,1,1,A]
+        xy = g.n("Mul", [g.n("Add", [g.n("Mul", [xy, two]), anch_k]),
+                         str_k])
+        v = g.n("Sigmoid", [v])
+        kd = g.n("Concat", [xy, v], axis=2)              # [1,K,Dk,A]
+        kpts = g.n("Reshape", [kd, g.init(
+            "kflat", np.asarray([1, nk, A], np.int64))])
+        g.n("Concat", [boxes, scores, kpts], axis=1, out_names=["output0"])
+        outputs = [_value_info("output0", (1, 4 + nc + nk, A))]
+    elif cfg.task == "obb":
+        # angle branch -> (sigmoid-0.25)*pi; boxes via in-graph dist2rbox
+        # -> output0 [1, 4+nc+1, A] (ultralytics obb export contract)
+        ang_maps: List[Tuple[str, int]] = []
+        for i, (f, hw) in enumerate(
+                zip((x16, x19, x22),
+                    ((H // 8, W // 8), (H // 16, W // 16),
+                     (H // 32, W // 32)))):
+            c4 = params["obb_cv4"][i]
+            m = _conv(g, c4["conv0"], f)
+            m = _conv(g, c4["conv1"], m)
+            ang_maps.append((_conv(g, c4["out"], m, act=False),
+                             hw[0] * hw[1]))
+        af = flat(ang_maps, 1)                           # [1, 1, A]
+        ang = g.n("Mul", [g.n("Sub", [g.n("Sigmoid", [af]),
+                                      g.init("q", np.asarray(
+                                          0.25, np.float32))]),
+                          g.init("pi", np.asarray(np.pi, np.float32))])
+        co, si = g.n("Cos", [ang]), g.n("Sin", [ang])
+        off = g.n("Mul", [g.n("Sub", [rb, lt]),
+                          g.init("half2", np.asarray(0.5, np.float32))])
+        xf, yf = g.n("Split", [off, g.init(
+            "osplit", np.asarray([1, 1], np.int64))], n_out=2, axis=1)
+        rx = g.n("Sub", [g.n("Mul", [xf, co]), g.n("Mul", [yf, si])])
+        ry = g.n("Add", [g.n("Mul", [xf, si]), g.n("Mul", [yf, co])])
+        rxy = g.n("Add", [g.n("Concat", [rx, ry], axis=1), anchors])
+        rwh = g.n("Add", [lt, rb])
+        rboxes = g.n("Mul", [g.n("Concat", [rxy, rwh], axis=1), strides])
+        g.n("Concat", [rboxes, scores, ang], axis=1, out_names=["output0"])
+        outputs = [_value_info("output0", (1, 4 + nc + 1, A))]
+    elif cfg.task == "segment":
         coef_maps: List[Tuple[str, int]] = []
         for i, (f, hw) in enumerate(
                 zip((x16, x19, x22),
@@ -405,6 +494,11 @@ def export_onnx(params, cfg, path: str) -> str:
         g.n("Concat", [boxes, scores], axis=1, out_names=["output0"])
         outputs = [_value_info("output0", (1, 4 + nc, A))]
 
+    return _write_model(g, cfg, path, outputs)
+
+
+def _write_model(g: _G, cfg, path: str, outputs: List[bytes]) -> str:
+    H, W = cfg.input_size
     graph = b"".join(_fb(1, n) for n in g.nodes)
     graph += _fs(2, f"xrseg_yolo11{cfg.scale}_{cfg.task}")
     graph += b"".join(_fb(5, t) for t in g.inits)
