@@ -135,3 +135,21 @@ def test_masker_lost_frame_keeps_damping():
     mk.keep_current_mask(dt=1 / 30)
     d2 = np.linalg.norm(mk._pos - target)
     assert d2 < d1
+
+
+def test_draw_rotated_boxes_and_keypoints():
+    from xrseg_tpu.viz.boxer import draw_keypoints, draw_rotated_boxes
+
+    frame = np.zeros((64, 64, 3), np.uint8)
+    rb = np.asarray([[32, 32, 24, 10, 0.6]], np.float32)
+    out = draw_rotated_boxes(frame, rb, np.asarray([1]),
+                             np.asarray([0.9]), count=1)
+    assert out.shape == frame.shape and out.sum() > 0
+    assert frame.sum() == 0                   # input untouched
+
+    kpts = np.asarray([[[20, 20, 1.0], [40, 20, 1.0], [30, 40, 0.1]]],
+                      np.float32)
+    out2 = draw_keypoints(frame, kpts, skeleton=[(0, 1), (1, 2)])
+    assert out2.sum() > 0
+    # the low-visibility keypoint is not drawn
+    assert out2[38:42, 28:32].sum() == 0

@@ -34,6 +34,13 @@ def build_sharded_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
     n/s/m-sized models that fit one chip.
     """
     mcfg, pcfg = cfg.model, cfg.post
+    if mcfg.task in ("obb", "classify"):
+        # obb needs rotated NMS and classify has no detection slate; the
+        # sharded serving path speaks the detect/segment contract only —
+        # fail loudly instead of silently mis-decoding
+        raise ValueError(f"sharded serving does not support task "
+                         f"{mcfg.task!r} (detect/segment/pose only; "
+                         "pose serves boxes, keypoints are single-chip)")
     fh, fw = frame_hw or mcfg.input_size
     if batch % mesh.shape["data"]:
         raise ValueError(f"batch {batch} not divisible by data axis "

@@ -76,3 +76,77 @@ class Boxer:
             _draw_text(img, f"{b.class_name} {b.score:.2f}",
                        x1 + 3, max(12, y1 - 4), color)
         return img
+
+
+def _draw_line(img: np.ndarray, x1: float, y1: float, x2: float, y2: float,
+               color, thickness: int = 2) -> None:
+    """Simple stepped line rasterizer (numpy, no cv2 dependency)."""
+    H, W = img.shape[:2]
+    n = int(max(abs(x2 - x1), abs(y2 - y1), 1))
+    xs = np.linspace(x1, x2, n + 1)
+    ys = np.linspace(y1, y2, n + 1)
+    t = max(1, thickness // 2)
+    for x, y in zip(xs, ys):
+        xi, yi = int(round(x)), int(round(y))
+        if -t < xi < W + t and -t < yi < H + t:
+            img[max(0, yi - t):min(H, yi + t),
+                max(0, xi - t):min(W, xi + t)] = color
+
+
+def draw_rotated_boxes(frame: np.ndarray, boxes_xywhr: np.ndarray,
+                       labels: np.ndarray, scores: np.ndarray,
+                       count: int, thickness: int = 2) -> np.ndarray:
+    """OBB overlay: rasterize each rotated box's 4 edges. boxes_xywhr
+    [D,5] in frame-pixel coords (cx, cy, w, h, angle_rad), image-row-down
+    convention."""
+    img = np.array(frame, copy=True)
+    for i in range(min(int(count), MAX_DRAWN_BOXES)):
+        cx, cy, w, h, r = (float(v) for v in boxes_xywhr[i])
+        ca, sa = np.cos(r), np.sin(r)
+        corners = []
+        for dx, dy in ((-w / 2, -h / 2), (w / 2, -h / 2),
+                       (w / 2, h / 2), (-w / 2, h / 2)):
+            corners.append((cx + dx * ca - dy * sa,
+                            cy + dx * sa + dy * ca))
+        color = class_color(int(labels[i]))
+        for a, b in zip(corners, corners[1:] + corners[:1]):
+            _draw_line(img, a[0], a[1], b[0], b[1], color, thickness)
+    return img
+
+
+# COCO 17-keypoint skeleton (pairs of keypoint indices); other K values
+# draw points only.
+COCO_SKELETON_17 = [(15, 13), (13, 11), (16, 14), (14, 12), (11, 12),
+                    (5, 11), (6, 12), (5, 6), (5, 7), (6, 8), (7, 9),
+                    (8, 10), (1, 2), (0, 1), (0, 2), (1, 3), (2, 4),
+                    (3, 5), (4, 6)]
+
+
+def draw_keypoints(frame: np.ndarray, kpts: np.ndarray,
+                   vis_threshold: float = 0.5, radius: int = 3,
+                   color=(0, 255, 96), skeleton=None) -> np.ndarray:
+    """Pose overlay: kpts [D,K,3] (x, y, vis) in frame-pixel coords.
+    Draws visible keypoints as filled squares plus skeleton edges (the
+    COCO 17-point skeleton by default when K==17)."""
+    img = np.array(frame, copy=True)
+    H, W = img.shape[:2]
+    kpts = np.asarray(kpts)
+    if kpts.ndim == 2:
+        kpts = kpts[None]
+    K = kpts.shape[1]
+    if skeleton is None and K == 17:
+        skeleton = COCO_SKELETON_17
+    for inst in kpts:
+        vis = inst[:, 2] >= vis_threshold
+        if skeleton:
+            for a, b in skeleton:
+                if a < K and b < K and vis[a] and vis[b]:
+                    _draw_line(img, inst[a, 0], inst[a, 1],
+                               inst[b, 0], inst[b, 1], color, 1)
+        for k in range(K):
+            if not vis[k]:
+                continue
+            x, y = int(round(inst[k, 0])), int(round(inst[k, 1]))
+            img[max(0, y - radius):min(H, y + radius),
+                max(0, x - radius):min(W, x + radius)] = color
+    return img
