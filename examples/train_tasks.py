@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--n-samples", type=int, default=8)
     ap.add_argument("--out", default=None, help="save final params (.npz)")
+    ap.add_argument("--eval", type=int, default=0, metavar="N",
+                    help="after training, score N dataset images through "
+                         "the compiled pipeline (OKS AP / rotated AP / "
+                         "top-1 accuracy)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -83,6 +87,14 @@ def main() -> int:
             print(f"step {i}: loss={float(m['loss']):.4f}{extra}",
                   flush=True)
     print(f"{args.steps} steps in {time.perf_counter() - t0:.1f}s")
+
+    if args.eval:
+        from xrseg_tpu.eval.dataset_eval import evaluate_task_dataset
+        r = evaluate_task_dataset(cfg, state.params, ds,
+                                  max_images=args.eval,
+                                  batch=min(4, args.eval))
+        print("eval:", {k: (round(v, 4) if isinstance(v, float) else v)
+                        for k, v in r.items()})
 
     if args.out:
         from xrseg_tpu.io.weights import save_npz

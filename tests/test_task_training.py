@@ -85,6 +85,16 @@ def test_obb_training_learns_rotated_box():
     assert iou1 > max(0.5, iou0 + 0.2), (iou0, iou1)
     assert losses[-1] < losses[9], losses
 
+    # end-to-end: the trained model through the REAL compiled pipeline +
+    # rotated-AP scorer (the task-family `val`). 60 steps localize well
+    # (probIoU ~0.8) but leave confidence ~0.02 (TAL's IoU-normalized
+    # soft targets rise slowly), so use a lower val gate — standard mAP
+    # practice for uncalibrated scores.
+    from xrseg_tpu.eval.dataset_eval import evaluate_task_dataset
+    r = evaluate_task_dataset(cfg, state.params, ds, max_images=1,
+                              batch=1, score_threshold=0.005)
+    assert r["rbox_AP50"] > 0.9, r
+
 
 def test_classify_training_reaches_high_accuracy():
     cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
@@ -104,6 +114,10 @@ def test_classify_training_reaches_high_accuracy():
     # measured trajectory: memorizes the 8 exact-GT images by step ~50
     assert losses[-1] < losses[0] * 0.2, losses
     assert accs[-1] >= 0.9, accs
+
+    from xrseg_tpu.eval.dataset_eval import evaluate_task_dataset
+    r = evaluate_task_dataset(cfg, state.params, ds, batch=4)
+    assert r["top1_acc"] >= 0.9, r
 
 
 def test_kpt_loss_matches_numpy_recompute():

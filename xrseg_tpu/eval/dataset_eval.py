@@ -137,3 +137,97 @@ def _main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(_main())
+
+
+def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
+                          score_threshold: float = 0.05,
+                          iou_threshold: float = 0.6,
+                          max_detections: int = 50,
+                          max_images: Optional[int] = None,
+                          batch: int = 4,
+                          pipe=None) -> Dict[str, float]:
+    """Task-family `val`: pose (OKS keypoint AP), obb (probIoU rotated
+    AP), classify (top-1 accuracy) of `params` through the REAL compiled
+    pipeline on a dataset speaking the task's Sample contract
+    (SyntheticPoseDataset / SyntheticOBBDataset / SyntheticClassifyDataset
+    or equivalents)."""
+    import jax
+
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.eval.metrics import Detection, GroundTruth, evaluate
+    from xrseg_tpu.train import data as data_lib
+
+    if cfg.task not in ("pose", "obb", "classify"):
+        raise ValueError("use evaluate_dataset for detect/segment")
+    if pipe is None:
+        ex_cfg = ExecutorConfig(
+            model=cfg,
+            post=PostprocessConfig(score_threshold=score_threshold,
+                                   iou_threshold=iou_threshold,
+                                   max_detections=max_detections))
+        pipe = build_pipeline(ex_cfg, jax.device_get(params),
+                              frame_hw=cfg.input_size, batch=batch)
+    H, W = cfg.input_size
+    n = len(dataset) if max_images is None else min(len(dataset),
+                                                    max_images)
+
+    if cfg.task == "classify":
+        correct = 0
+        for b0 in range(0, n, batch):
+            idx = range(b0, min(b0 + batch, n))
+            raw = [dataset[i] for i in idx]
+            frames = np.zeros((batch, H, W, 3), np.uint8)
+            for j, s in enumerate(raw):
+                frames[j] = data_lib._resize_uint8(s["image"], (H, W))
+            probs = np.asarray(jax.device_get(pipe(frames))["slate"])
+            for j, s in enumerate(raw):
+                correct += int(probs[j].argmax() == s["label"])
+        return {"top1_acc": correct / max(n, 1), "n_images": n}
+
+    per_image = []
+    n_gt = 0
+    for b0 in range(0, n, batch):
+        idx = range(b0, min(b0 + batch, n))
+        raw = [dataset[i] for i in idx]
+        frames = np.zeros((batch, H, W, 3), np.uint8)
+        for j, s in enumerate(raw):
+            frames[j] = data_lib._resize_uint8(s["image"], (H, W))
+        det = jax.device_get(pipe(frames))
+        for j, s in enumerate(raw):
+            cnt = int(det["count"][j])
+            dets, gts = [], []
+            if cfg.task == "pose":
+                for i in range(cnt):
+                    dets.append(Detection(
+                        np.asarray(det["boxes_xywh"][j][i], np.float32),
+                        int(det["labels"][j][i]),
+                        float(det["scores"][j][i]),
+                        kpts=np.asarray(det["kpts"][j][i], np.float32)))
+                for g in range(len(s["labels"])):
+                    bx = (s["boxes"][g] * (W, H, W, H)).astype(np.float32)
+                    k = np.asarray(s["kpts"][g], np.float32).copy()
+                    k[:, 0] *= W
+                    k[:, 1] *= H
+                    gts.append(GroundTruth(bx, int(s["labels"][g]),
+                                           kpts=k))
+            else:                                      # obb
+                for i in range(cnt):
+                    rb = np.asarray(det["boxes_xywhr"][j][i], np.float32)
+                    dets.append(Detection(
+                        rb[:4], int(det["labels"][j][i]),
+                        float(det["scores"][j][i]), box_xywhr=rb))
+                for g in range(len(s["labels"])):
+                    rb = np.asarray(s["boxes_xywhr"][g], np.float32).copy()
+                    rb[0] *= W
+                    rb[1] *= H
+                    rb[2] *= W
+                    rb[3] *= H
+                    gts.append(GroundTruth(rb[:4], int(s["labels"][g]),
+                                           box_xywhr=rb))
+            n_gt += len(gts)
+            per_image.append((dets, gts))
+    sim = "oks" if cfg.task == "pose" else "rbox"
+    r = evaluate(per_image, similarity=sim)
+    key = "oks" if cfg.task == "pose" else "rbox"
+    return {f"{key}_mAP": r["mAP"], f"{key}_AP50": r["AP50"],
+            "n_images": n, "n_gt": n_gt}
