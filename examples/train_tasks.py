@@ -36,6 +36,9 @@ def main() -> int:
                     help="after training, score N dataset images through "
                          "the compiled pipeline (OKS AP / rotated AP / "
                          "top-1 accuracy)")
+    ap.add_argument("--render", default=None, metavar="DIR",
+                    help="pose/obb: write overlay PNGs (skeletons / "
+                         "rotated boxes) for a few dataset images")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -56,12 +59,14 @@ def main() -> int:
     if args.task == "pose":
         cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
                           task="pose", kpt_shape=(5, 3), num_classes=2)
-        ds = D.SyntheticPoseDataset(n=args.n_samples, hw=hw)
+        ds = D.SyntheticPoseDataset(n=args.n_samples, hw=hw,
+                                    max_objects=1)
         batch = D.collate_pose([ds[i] for i in range(args.batch)], hw)
     elif args.task == "obb":
         cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
                           task="obb", num_classes=2)
-        ds = D.SyntheticOBBDataset(n=args.n_samples, hw=hw)
+        ds = D.SyntheticOBBDataset(n=args.n_samples, hw=hw,
+                                   max_objects=1)
         batch = D.collate_obb([ds[i] for i in range(args.batch)], hw)
     else:
         cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
@@ -92,9 +97,36 @@ def main() -> int:
         from xrseg_tpu.eval.dataset_eval import evaluate_task_dataset
         r = evaluate_task_dataset(cfg, state.params, ds,
                                   max_images=args.eval,
-                                  batch=min(4, args.eval))
+                                  batch=min(4, args.eval),
+                                  score_threshold=0.005)
         print("eval:", {k: (round(v, 4) if isinstance(v, float) else v)
                         for k, v in r.items()})
+
+    if args.render and args.task in ("pose", "obb"):
+        import numpy as np
+        from PIL import Image
+
+        from xrseg_tpu.compile import build_pipeline
+        from xrseg_tpu.config import ExecutorConfig, PostprocessConfig
+        from xrseg_tpu.viz.boxer import draw_keypoints, draw_rotated_boxes
+        os.makedirs(args.render, exist_ok=True)
+        pipe = build_pipeline(
+            ExecutorConfig(model=cfg, post=PostprocessConfig(
+                score_threshold=0.005)),
+            jax.device_get(state.params), batch=1)
+        for i in range(min(4, len(ds))):
+            frame = np.asarray(ds[i]["image"])
+            det = jax.device_get(pipe(frame[None]))
+            n = int(det["count"][0])
+            if args.task == "obb":
+                img = draw_rotated_boxes(frame, det["boxes_xywhr"][0],
+                                         det["labels"][0],
+                                         det["scores"][0], n)
+            else:
+                img = draw_keypoints(frame, det["kpts"][0][:n])
+            path = os.path.join(args.render, f"{args.task}_{i}.png")
+            Image.fromarray(img).save(path)
+            print(f"rendered {path} ({n} detections)")
 
     if args.out:
         from xrseg_tpu.io.weights import save_npz
