@@ -56,6 +56,12 @@ def param_shardings(params: Any, mesh: Mesh,
     (n, 1) mesh this degrades to full replication — same code path for
     single-chip and multi-chip.
     """
+    if jax.process_count() > 1:
+        # multi-host: params replicate across every host's devices (TP
+        # weight slicing across hosts is not supported — each process
+        # holds the full host-local copy; see parallel/multihost.py)
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
     def rule(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim == 4 and \
                 leaf.shape[-1] >= tp_min_channels:
@@ -67,6 +73,12 @@ def param_shardings(params: Any, mesh: Mesh,
 
 def shard_params(params: Any, mesh: Mesh, tp_min_channels: int = 256) -> Any:
     """Place params on the mesh with TP rules applied."""
+    if jax.process_count() > 1:
+        # lift identical host-local params to a GLOBAL replicated
+        # placement (device_put cannot target non-addressable devices)
+        from jax.experimental import multihost_utils
+        return multihost_utils.host_local_array_to_global_array(
+            params, mesh, P())
     shardings = param_shardings(params, mesh, tp_min_channels)
     return jax.tree.map(jax.device_put, params, shardings)
 
