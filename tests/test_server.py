@@ -419,3 +419,79 @@ def test_request_size_cap_413(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 413
+
+
+# ---------------------------------------------------------------------------
+# task-family serving (pose / obb / classify responses)
+# ---------------------------------------------------------------------------
+
+def test_server_serves_pose_keypoints():
+    import jax
+
+    from xrseg_tpu.runtime.server import InferenceServer
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="pose", kpt_shape=(5, 3)),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=5))
+    srv = InferenceServer(cfg, port=0,
+                          params=detection_params(jax.random.key(3),
+                                                  cfg.model)).start()
+    try:
+        out = _post(srv, _npy(np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8)))
+        assert out["count"] > 0
+        for d in out["detections"]:
+            assert len(d["kpts"]) == 5 and len(d["kpts"][0]) == 3
+            assert 0.0 <= d["kpts"][0][2] <= 1.0     # visibility
+    finally:
+        srv.close()
+
+
+def test_server_serves_obb_rotated_boxes():
+    import jax
+
+    from xrseg_tpu.runtime.server import InferenceServer
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="obb"),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=5))
+    srv = InferenceServer(cfg, port=0,
+                          params=detection_params(jax.random.key(3),
+                                                  cfg.model)).start()
+    try:
+        out = _post(srv, _npy(np.random.default_rng(1).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8)))
+        assert out["count"] > 0
+        for d in out["detections"]:
+            assert len(d["box_xywhr"]) == 5
+            assert -np.pi / 4 - 1e-6 < d["box_xywhr"][4] < 3 * np.pi / 4 + 1e-6
+            assert "box_xywh" not in d
+    finally:
+        srv.close()
+
+
+def test_server_serves_classify_probs():
+    import jax
+
+    from xrseg_tpu.models import yolo11
+    from xrseg_tpu.runtime.server import InferenceServer
+
+    cfg = ExecutorConfig(model=ModelConfig(
+        scale="n", input_size=(64, 64), dtype="float32",
+        task="classify", num_classes=7))
+    srv = InferenceServer(cfg, port=0,
+                          params=yolo11.init_params(jax.random.key(0),
+                                                    cfg.model),
+                          labels=[f"c{i}" for i in range(7)]).start()
+    try:
+        out = _post(srv, _npy(np.random.default_rng(2).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8)))
+        assert len(out["probs"]) == 7
+        assert abs(sum(out["probs"]) - 1.0) < 1e-3
+        assert out["class_name"] == f"c{out['label']}"
+    finally:
+        srv.close()

@@ -73,6 +73,11 @@ class Executor:
                  screen_wh: Optional[Tuple[float, float]] = None,
                  labels=None, seed: int = 0, depth_backend: str = "jax",
                  auto_recompile: bool = False, max_cached_pipelines: int = 4):
+        if cfg.model.task not in ("detect", "segment"):
+            raise ValueError(
+                f"Executor supports detect/segment (the XR product "
+                f"tasks), not {cfg.model.task!r}; use compile."
+                "build_pipeline or runtime.server for the other tasks")
         self.cfg = cfg
         self.auto_recompile = auto_recompile
         # LRU cache of per-geometry pipelines. Each geometry costs a full

@@ -109,6 +109,14 @@ class InferenceServer:
         self.frame_hw = tuple(frame_hw or cfg.model.input_size)
         self.labels = list(labels) if labels is not None else list(COCO_LABELS)
         self.tracer = Tracer()
+        # task-shaped responses: detect/segment (boxes [+RLE masks]),
+        # pose (+ per-detection keypoints), obb (rotated model-space
+        # boxes — anisotropic frame scaling would distort angles, so obb
+        # serves input(640)-space xywhr), classify (probs + top-1)
+        self._task = cfg.model.task
+        self._box_dim = 5 if self._task == "obb" else 4
+        if self._task in ("obb", "classify") and mesh_shape:
+            raise ValueError(f"--mesh does not support task {self._task!r}")
 
         # -- multi-chip serving (BASELINE configs 2-3 as a product):
         # batch axis sharded over the mesh's data axis; XLA rides ICI.
@@ -305,23 +313,49 @@ class InferenceServer:
                         [frames, np.zeros((self._data_axis - 1,)
                                           + frame.shape, np.uint8)])
                 det = self.pipeline(frames)
-                from xrseg_tpu.compile import unpack_slate
-                host = unpack_slate(np.asarray(det["slate"][0]),
-                                    self.cfg.post.max_detections)
-                if self.serve_masks:
-                    n = int(host["count"])
-                    host["masks"] = np.asarray(det["masks"][0, :n],
-                                               np.float32)
+                host = self._host_result(det, 0)
         latency_ms = (time.perf_counter() - t0) * 1e3
         with self._counter_lock:
             self._requests += 1
         return self._format(host, latency_ms)
 
+    def _host_result(self, det: dict, j: int) -> dict:
+        """One image's device outputs -> host dict for _format."""
+        from xrseg_tpu.compile import unpack_slate
+        if self._task == "classify":
+            return {"probs": np.asarray(det["slate"][j], np.float32)}
+        host = unpack_slate(np.asarray(det["slate"][j]),
+                            self.cfg.post.max_detections,
+                            box_dim=self._box_dim)
+        n = int(host["count"])
+        if self.serve_masks and "masks" in det:
+            host["masks"] = np.asarray(det["masks"][j, :n], np.float32)
+        if self._task == "pose":
+            host["kpts"] = np.asarray(det["kpts"][j, :n], np.float32)
+        return host
+
     def _format(self, host: dict, latency_ms: float) -> dict:
+        if self._task == "classify":
+            probs = host["probs"]
+            lab = int(probs.argmax())
+            return {"probs": [round(float(p), 5) for p in probs],
+                    "label": lab,
+                    "class_name": (self.labels[lab]
+                                   if 0 <= lab < len(self.labels)
+                                   else str(lab)),
+                    "latency_ms": round(latency_ms, 2)}
         n = int(host["count"])
         from xrseg_tpu.ops.preprocess import boxes_to_frame_space
-        boxes = boxes_to_frame_space(host["boxes_xywh"][:n], self.frame_hw,
-                                     self.cfg.model.input_size, "stretch")
+        if self._task == "obb":
+            boxes = np.asarray(host["boxes_xywhr"][:n])  # model space
+        else:
+            boxes = boxes_to_frame_space(host["boxes_xywh"][:n],
+                                         self.frame_hw,
+                                         self.cfg.model.input_size,
+                                         "stretch")
+        # keypoints scale exactly under the stretch (pointwise)
+        ky = self.frame_hw[0] / self.cfg.model.input_size[0]
+        kx = self.frame_hw[1] / self.cfg.model.input_size[1]
         dets = []
         for i in range(n):
             lab = int(host["labels"][i])
@@ -330,10 +364,19 @@ class InferenceServer:
                 "class_name": (self.labels[lab]
                                if 0 <= lab < len(self.labels) else str(lab)),
                 "score": round(float(host["scores"][i]), 4),
-                "box_xywh": [round(float(v), 2) for v in boxes[i]],
             }
+            if self._task == "obb":
+                d["box_xywhr"] = [round(float(v), 4) for v in boxes[i]]
+            else:
+                d["box_xywh"] = [round(float(v), 2) for v in boxes[i]]
             if "masks" in host and i < len(host["masks"]):
                 d["mask_rle"] = rle_encode(host["masks"][i] > 0.5)
+            if "kpts" in host and i < len(host["kpts"]):
+                k = host["kpts"][i].copy()
+                k[:, 0] *= kx
+                k[:, 1] *= ky
+                d["kpts"] = [[round(float(x), 2), round(float(y), 2),
+                              round(float(v), 3)] for x, y, v in k]
             dets.append(d)
         return {"detections": dets, "count": n,
                 "latency_ms": round(latency_ms, 2)}
@@ -382,7 +425,6 @@ class InferenceServer:
     def _dispatch_loop(self) -> None:
         """Collect requests for up to batch_window_ms, run ONE batched
         device program, fan results back out."""
-        from xrseg_tpu.compile import unpack_slate
         while not self._closing:
             try:
                 items = [self._q.get(timeout=0.1)]
@@ -406,18 +448,12 @@ class InferenceServer:
                     + [np.zeros_like(items[0].frame)] * (b - len(items)))
                 with self._lock, self.tracer.section("infer"):
                     det = self._pipeline_for(b)(frames)
-                    slates = np.asarray(det["slate"][:len(items)])
-                    masks = (np.asarray(det["masks"][:len(items)],
-                                        np.float32)
-                             if self.serve_masks else None)
+                    results = [self._host_result(det, j)
+                               for j in range(len(items))]
                 self._batch_hist[len(items)] = (
                     self._batch_hist.get(len(items), 0) + 1)
-                for j, (it, slate) in enumerate(zip(items, slates)):
-                    it.result = unpack_slate(slate,
-                                             self.cfg.post.max_detections)
-                    if masks is not None:
-                        n = int(it.result["count"])
-                        it.result["masks"] = masks[j, :n]
+                for it, host in zip(items, results):
+                    it.result = host
                     it.event.set()
             except Exception as e:       # surface to every waiting request
                 for it in items:
@@ -547,7 +583,8 @@ def _main() -> int:
     ap.add_argument("--weights", help=".sentis/.onnx/.npz/orbax weights")
     ap.add_argument("--scale", default="n", choices=list("nsmlx"))
     ap.add_argument("--task", default="segment",
-                    choices=["segment", "detect"])
+                    choices=["segment", "detect", "pose", "obb",
+                             "classify"])
     ap.add_argument("--frame-hw", type=int, nargs=2, default=None)
     ap.add_argument("--iou", type=float, default=0.6)
     ap.add_argument("--score", type=float, default=0.23)
