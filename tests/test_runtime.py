@@ -442,3 +442,37 @@ def test_profiling_device_trace(tmp_path):
 
     d2 = profile_fn(lambda: f(x), str(tmp_path / "trace2"), steps=2)
     assert any(fns for _, _, fns in os.walk(d2))
+
+
+def test_streaming_runner_obb_and_classify_slates():
+    """StreamingRunner decodes task-shaped slates: 5-wide rotated boxes
+    for obb, raw prob rows for classify."""
+    import dataclasses
+
+    import jax
+
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.runtime.streaming import StreamingRunner
+    from xrseg_tpu.testing import detection_params
+
+    obb_cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="obb"),
+        post=PostprocessConfig(max_detections=10, score_threshold=0.01))
+    pipe = build_pipeline(obb_cfg, detection_params(jax.random.key(0),
+                                                    obb_cfg.model))
+    r = next(StreamingRunner(pipe, depth=1).run(
+        iter([np.zeros((1, 64, 64, 3), np.uint8)])))
+    assert r.slate["boxes_xywhr"].shape == (10, 5)
+    assert r.slate["count"] > 0
+
+    cls_cfg = ExecutorConfig(model=ModelConfig(
+        scale="n", input_size=(64, 64), dtype="float32",
+        task="classify", num_classes=5))
+    from xrseg_tpu.models import yolo11
+    pipe2 = build_pipeline(cls_cfg,
+                           yolo11.init_params(jax.random.key(1),
+                                              cls_cfg.model))
+    r2 = next(StreamingRunner(pipe2, depth=1).run(
+        iter([np.zeros((1, 64, 64, 3), np.uint8)])))
+    np.testing.assert_allclose(r2.slate["probs"].sum(), 1.0, rtol=1e-5)

@@ -115,7 +115,10 @@ class InferenceServer:
         # serves input(640)-space xywhr), classify (probs + top-1)
         self._task = cfg.model.task
         self._box_dim = 5 if self._task == "obb" else 4
-        if self._task in ("obb", "classify") and mesh_shape:
+        if self._task not in ("detect", "segment") and mesh_shape:
+            # sharded pipelines speak the detect/segment contract (obb
+            # needs rotated NMS, classify has no slate, and the sharded
+            # pose path would drop keypoints)
             raise ValueError(f"--mesh does not support task {self._task!r}")
 
         # -- multi-chip serving (BASELINE configs 2-3 as a product):

@@ -68,8 +68,13 @@ class StreamingRunner:
         fid, t0, out = self._inflight.popleft()
         with self.tracer.section("readback"):
             slate_host = np.asarray(out["slate"])
-        max_det = out["boxes_xywh"].shape[1]
-        slates = [unpack_slate(row, max_det) for row in slate_host]
+        boxes = out.get("boxes_xywhr", out.get("boxes_xywh"))
+        if boxes is None:          # classify: the slate IS the prob row
+            slates = [{"probs": row} for row in slate_host]
+        else:
+            max_det, box_dim = boxes.shape[1], boxes.shape[2]
+            slates = [unpack_slate(row, max_det, box_dim=box_dim)
+                      for row in slate_host]
         slate = slates[0] if len(slates) == 1 else {
             k: [s[k] for s in slates] for k in slates[0]}
         return StreamResult(frame_id=fid, slate=slate,
