@@ -49,7 +49,8 @@ def main() -> int:
     det = fn(gparams, garr)
     slate = mh.gather_to_hosts(det["slate"])
 
-    ref = np.load(ref_path)["slate"]
+    ref_npz = np.load(ref_path)
+    ref = ref_npz["slate"]
     assert slate.shape == ref.shape, (slate.shape, ref.shape)
     np.testing.assert_array_equal(
         slate[:, -1], ref[:, -1])                  # counts
@@ -60,6 +61,33 @@ def main() -> int:
         print(f"[{pid}] row0 ref   {ref[0][:12]}", flush=True)
     np.testing.assert_allclose(slate, ref, atol=1e-4)
     print(f"[{pid}] MULTIHOST_OK count={slate[:, -1]}", flush=True)
+
+    # ---- multi-host TRAINING step: batch sharded across hosts, params
+    # replicated, gradients all-reduced by XLA across processes ----
+    from xrseg_tpu.train import train_step as ts
+    opt = ts.make_optimizer()
+    state = ts.init_train_state(jax.random.key(0), cfg.model, opt)
+    state = ts.shard_train_state(state, mesh)
+    step = ts.make_train_step(cfg.model, opt, mesh=mesh, use_remat=False)
+    rng = np.random.default_rng(1)
+    gb = {
+        "images": rng.uniform(0, 1, (GB, 64, 64, 3)).astype(np.float32),
+        "boxes_xywh": rng.uniform(8, 56, (GB, 4, 4)).astype(np.float32),
+        "labels": rng.integers(0, 80, (GB, 4)).astype(np.int32),
+        "masks": (rng.uniform(0, 1, (GB, 4, 16, 16)) > 0.5
+                  ).astype(np.float32),
+    }
+    local_b = {k: v[pid * 2:(pid + 1) * 2] for k, v in gb.items()}
+    gbatch = mh.shard_host_batch(local_b, mesh, global_batch=GB)
+    state, metrics = step(state, gbatch)
+    loss = float(np.asarray(metrics["loss"]))     # replicated output
+    gn = float(np.asarray(metrics["grad_norm"]))
+    ref_loss = float(ref_npz["train_loss"])
+    ref_gn = float(ref_npz["train_grad_norm"])
+    assert abs(loss - ref_loss) < 1e-3, (loss, ref_loss)
+    assert abs(gn - ref_gn) < 1e-3, (gn, ref_gn)
+    print(f"[{pid}] MULTIHOST_TRAIN_OK loss={loss:.4f} "
+          f"grad_norm={gn:.4f}", flush=True)
     return 0
 
 

@@ -40,8 +40,26 @@ def test_two_process_dp_matches_single_controller(tmp_path):
     ref = build_pipeline(cfg, params, frame_hw=(64, 64),
                          batch=4)(frames)
     assert int(np.asarray(ref["count"]).min()) > 0
+
+    # reference train step (single controller, no mesh) on the same batch
+    from xrseg_tpu.train import train_step as ts
+    opt = ts.make_optimizer()
+    state = ts.init_train_state(jax.random.key(0), cfg.model, opt)
+    step = ts.make_train_step(cfg.model, opt, use_remat=False)
+    rng = np.random.default_rng(1)
+    gb = {
+        "images": rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32),
+        "boxes_xywh": rng.uniform(8, 56, (4, 4, 4)).astype(np.float32),
+        "labels": rng.integers(0, 80, (4, 4)).astype(np.int32),
+        "masks": (rng.uniform(0, 1, (4, 4, 16, 16)) > 0.5
+                  ).astype(np.float32),
+    }
+    _, metrics = step(state, gb)
+
     ref_path = str(tmp_path / "ref.npz")
-    np.savez(ref_path, slate=np.asarray(ref["slate"]))
+    np.savez(ref_path, slate=np.asarray(ref["slate"]),
+             train_loss=np.asarray(metrics["loss"]),
+             train_grad_norm=np.asarray(metrics["grad_norm"]))
 
     # two worker processes against a fresh coordinator
     port = _free_port()
@@ -63,3 +81,4 @@ def test_two_process_dp_matches_single_controller(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert "MULTIHOST_OK" in out, out[-2000:]
+        assert "MULTIHOST_TRAIN_OK" in out, out[-2000:]

@@ -11,6 +11,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -121,6 +122,19 @@ def shard_train_state(state: TrainState, mesh: Mesh,
                       tp_min_channels: int = 100000) -> TrainState:
     params = mesh_lib.shard_params(state.params, mesh, tp_min_channels)
     repl = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        # multi-host: device_put cannot target non-addressable devices;
+        # lift identical host-local values to GLOBAL replicated arrays
+        from jax.experimental import multihost_utils
+
+        def lift(x):
+            if not hasattr(x, "shape"):
+                return x
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P())
+        opt_state = jax.tree.map(lift, state.opt_state)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=lift(state.step))
     opt_state = jax.tree.map(
         lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
         state.opt_state)
