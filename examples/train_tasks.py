@@ -9,6 +9,11 @@ paths user-reachable:
   python examples/train_tasks.py --task obb      [--steps 60]
   python examples/train_tasks.py --task classify [--steps 60]
 
+With --data DIR, trains on an ultralytics-format on-disk dataset instead
+of synthetic GT: pose/obb expect `DIR/images + DIR/labels` (keypoint /
+DOTA 8-point label lines), classify expects `DIR/<class_name>/*.jpg`.
+Batches then cycle through the dataset rather than repeating one batch.
+
 Prints per-step loss (plus accuracy for classify); saves final params to
 --out as npz.
 """
@@ -22,6 +27,16 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _infer_classes(ds, floor: int = 1) -> int:
+    """Max label id + 1 across the dataset (bounded scan)."""
+    hi = floor - 1
+    for i in range(min(len(ds), 256)):
+        labels = ds[i]["labels"]
+        if len(labels):
+            hi = max(hi, int(labels.max()))
+    return hi + 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--task", required=True,
@@ -31,6 +46,17 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--n-samples", type=int, default=8)
+    ap.add_argument("--data", default=None, metavar="DIR",
+                    help="ultralytics-format dataset dir (pose/obb: "
+                         "images+labels; classify: folder-per-class). "
+                         "Default: synthetic exact-GT data")
+    ap.add_argument("--classes", type=int, default=None,
+                    help="num classes (default: synthetic preset, or "
+                         "inferred from --data labels)")
+    ap.add_argument("--kpt-shape", type=int, nargs=2, default=None,
+                    metavar=("K", "D"),
+                    help="pose keypoint shape in the label files "
+                         "(default: 5 3 synthetic, 17 3 with --data)")
     ap.add_argument("--out", default=None, help="save final params (.npz)")
     ap.add_argument("--eval", type=int, default=0, metavar="N",
                     help="after training, score N dataset images through "
@@ -57,24 +83,55 @@ def main() -> int:
 
     hw = (args.size, args.size)
     if args.task == "pose":
+        kpt = tuple(args.kpt_shape or ((17, 3) if args.data else (5, 3)))
+        if args.data:
+            ds = D.YoloPoseDataset(args.data, kpt_shape=kpt)
+            ncls = args.classes or _infer_classes(ds, 1)
+        else:
+            ds = D.SyntheticPoseDataset(n=args.n_samples, hw=hw,
+                                        max_objects=1)
+            ncls = args.classes or 2
+        # model stores (K, 3); D=2 label files synthesize vis=1 on load
         cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
-                          task="pose", kpt_shape=(5, 3), num_classes=2)
-        ds = D.SyntheticPoseDataset(n=args.n_samples, hw=hw,
-                                    max_objects=1)
-        batch = D.collate_pose([ds[i] for i in range(args.batch)], hw)
+                          task="pose", kpt_shape=(kpt[0], 3),
+                          num_classes=ncls)
+        collate = lambda samples: D.collate_pose(samples, hw)
     elif args.task == "obb":
+        if args.data:
+            ds = D.YoloOBBDataset(args.data)
+            ncls = args.classes or _infer_classes(ds, 1)
+        else:
+            ds = D.SyntheticOBBDataset(n=args.n_samples, hw=hw,
+                                       max_objects=1)
+            ncls = args.classes or 2
         cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
-                          task="obb", num_classes=2)
-        ds = D.SyntheticOBBDataset(n=args.n_samples, hw=hw,
-                                   max_objects=1)
-        batch = D.collate_obb([ds[i] for i in range(args.batch)], hw)
+                          task="obb", num_classes=ncls)
+        collate = lambda samples: D.collate_obb(samples, hw)
     else:
+        if args.data:
+            ds = D.ImageFolderDataset(args.data)
+            ncls = args.classes or len(ds.classes)
+        else:
+            ds = D.SyntheticClassifyDataset(n=args.n_samples, hw=hw)
+            ncls = args.classes or 3
         cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
-                          task="classify", num_classes=3)
-        ds = D.SyntheticClassifyDataset(n=args.n_samples, hw=hw)
-        batch = D.collate_classify([ds[i] for i in range(args.n_samples)],
-                                   hw)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                          task="classify", num_classes=ncls)
+        collate = lambda samples: D.collate_classify(samples, hw)
+
+    import numpy as np
+    perm = np.random.default_rng(0).permutation(len(ds))
+
+    def batch_at(step_i: int):
+        if not args.data:
+            # synthetic demo: one fixed batch, exact convergence check
+            idx = range(args.batch)
+        else:
+            # deterministic shuffle so folder-sorted datasets (e.g.
+            # classify's one-folder-per-class) mix classes within a batch
+            start = (step_i * args.batch) % len(ds)
+            idx = [perm[(start + j) % len(ds)] for j in range(args.batch)]
+        b = collate([ds[i] for i in idx])
+        return {k: jnp.asarray(v) for k, v in b.items()}
 
     opt = ts.make_optimizer(args.lr, warmup_steps=2,
                             total_steps=args.steps)
@@ -84,7 +141,10 @@ def main() -> int:
             else ts.make_train_step(cfg, opt, use_remat=False))
 
     t0 = time.perf_counter()
+    batch = batch_at(0)
     for i in range(args.steps):
+        if args.data and i:
+            batch = batch_at(i)
         state, m = step(state, batch)
         if i % 10 == 0 or i == args.steps - 1:
             extra = (f" acc={float(m['acc']):.3f}"

@@ -412,3 +412,107 @@ def test_loader_drop_last_false_pads_to_fixed_shape():
     loss_real, _ = detection_loss(out1, tgt1, cfg)
     np.testing.assert_allclose(float(loss_pad), float(loss_real),
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ultralytics on-disk formats for the extended tasks (pose / OBB)
+# ---------------------------------------------------------------------------
+
+def test_parse_pose_label_3dim(tmp_path):
+    p = tmp_path / "a.txt"
+    # K=2 keypoints with COCO visibility (0=absent, 1=occluded, 2=visible)
+    p.write_text("0 0.5 0.5 0.2 0.4 0.4 0.4 2 0.6 0.6 0\n"
+                 "1 0.2 0.2 0.1 0.1 0.2 0.2 1 0.3 0.3 2\n"
+                 "9 0.5 0.5 0.1 0.1 0.5\n")          # malformed -> skipped
+    boxes, labels, kpts = D.parse_yolo_pose_label_file(str(p), (2, 3))
+    assert labels.tolist() == [0, 1]
+    assert kpts.shape == (2, 2, 3)
+    np.testing.assert_allclose(boxes[0], [0.5, 0.5, 0.2, 0.4], atol=1e-6)
+    # v>=1 counts visible, v=0 does not
+    assert kpts[0, :, 2].tolist() == [1.0, 0.0]
+    assert kpts[1, :, 2].tolist() == [1.0, 1.0]
+
+
+def test_parse_pose_label_2dim(tmp_path):
+    p = tmp_path / "a.txt"
+    p.write_text("0 0.5 0.5 0.2 0.4 0.4 0.4 0.6 0.6\n")
+    boxes, labels, kpts = D.parse_yolo_pose_label_file(str(p), (2, 2))
+    assert kpts.shape == (1, 2, 3)                    # vis synthesized
+    assert (kpts[0, :, 2] == 1).all()
+    np.testing.assert_allclose(kpts[0, 0, :2], [0.4, 0.4], atol=1e-6)
+
+
+def test_parse_obb_label_nonsquare(tmp_path):
+    # rotated rect drawn in PIXEL space of a 200x100 (WxH) image, corners
+    # normalized per-axis the ultralytics way; parser must recover the
+    # pixel-space geometry (angle/w/h computed on normalized coords would
+    # be skewed by the 2:1 aspect)
+    W, H = 200, 100
+    cx, cy, w, h, ang = 100.0, 50.0, 40.0, 20.0, np.deg2rad(30)
+    u = np.asarray([np.cos(ang), np.sin(ang)])
+    v = np.asarray([-np.sin(ang), np.cos(ang)])
+    c = np.asarray([cx, cy])
+    pts = np.stack([c - w / 2 * u - h / 2 * v, c + w / 2 * u - h / 2 * v,
+                    c + w / 2 * u + h / 2 * v, c - w / 2 * u + h / 2 * v])
+    pts_n = pts / (W, H)
+    p = tmp_path / "a.txt"
+    p.write_text("3 " + " ".join(f"{x:.6f}" for x in pts_n.ravel()) + "\n")
+    boxes, labels = D.parse_yolo_obb_label_file(str(p), (H, W))
+    assert labels.tolist() == [3]
+    np.testing.assert_allclose(
+        boxes[0], [cx / W, cy / H, w / W, h / H, ang], atol=1e-4)
+
+
+def test_parse_obb_angle_folds_into_model_range(tmp_path):
+    # a rect at 150 deg == the same rect at -30 deg (pi symmetry); the
+    # model's angle range is (-pi/4, 3pi/4)
+    W = H = 100
+    cx, cy, w, h, ang = 50.0, 50.0, 30.0, 10.0, np.deg2rad(150)
+    u = np.asarray([np.cos(ang), np.sin(ang)])
+    v = np.asarray([-np.sin(ang), np.cos(ang)])
+    c = np.asarray([cx, cy])
+    pts = np.stack([c - w / 2 * u - h / 2 * v, c + w / 2 * u - h / 2 * v,
+                    c + w / 2 * u + h / 2 * v, c - w / 2 * u + h / 2 * v])
+    p = tmp_path / "a.txt"
+    p.write_text("0 " + " ".join(f"{x:.6f}" for x in (pts / W).ravel())
+                 + "\n")
+    boxes, _ = D.parse_yolo_obb_label_file(str(p), (H, W))
+    np.testing.assert_allclose(boxes[0, 4], np.deg2rad(-30), atol=1e-4)
+    np.testing.assert_allclose(boxes[0, 2:4], [w / W, h / H], atol=1e-4)
+
+
+def _write_img(path, hw=(32, 32)):
+    from PIL import Image
+    Image.fromarray(np.zeros(hw + (3,), np.uint8)).save(path)
+
+
+def test_yolo_pose_dataset_collates(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    _write_img(tmp_path / "images" / "a.jpg")
+    (tmp_path / "labels" / "a.txt").write_text(
+        "0 0.5 0.5 0.2 0.4 0.4 0.4 2 0.6 0.6 2 0.5 0.5 0\n")
+    ds = D.YoloPoseDataset(str(tmp_path), kpt_shape=(3, 3))
+    assert len(ds) == 1
+    batch = D.collate_pose([ds[0]], (64, 64), max_gt=4)
+    assert batch["kpts"].shape == (1, 4, 3, 3)
+    np.testing.assert_allclose(batch["boxes_xywh"][0, 0],
+                               [32, 32, 12.8, 25.6], atol=1e-4)
+    np.testing.assert_allclose(batch["kpts"][0, 0, 0],
+                               [25.6, 25.6, 1.0], atol=1e-4)
+
+
+def test_yolo_obb_dataset_collates(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    _write_img(tmp_path / "images" / "a.jpg")
+    # axis-aligned square: corners of a 0.2x0.2 box centered at (0.5, 0.5)
+    (tmp_path / "labels" / "a.txt").write_text(
+        "1 0.4 0.4 0.6 0.4 0.6 0.6 0.4 0.6\n")
+    ds = D.YoloOBBDataset(str(tmp_path))
+    s = ds[0]
+    assert s["boxes_xywhr"].shape == (1, 5)
+    batch = D.collate_obb([s], (64, 64), max_gt=4)
+    np.testing.assert_allclose(batch["boxes_xywhr"][0, 0],
+                               [32, 32, 12.8, 12.8, 0.0], atol=1e-4)
+    assert batch["labels"][0, 0] == 1

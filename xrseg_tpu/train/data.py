@@ -740,3 +740,153 @@ def collate_classify(samples: Sequence, input_hw: Tuple[int, int]
                       ).astype(np.float32) / 255
     labels = np.asarray([s["label"] for s in samples], np.int32)
     return {"images": images, "labels": labels}
+
+
+# ---------------------------------------------------------------------------
+# Ultralytics on-disk label formats for the extended tasks
+# ---------------------------------------------------------------------------
+
+def parse_yolo_pose_label_file(path: str, kpt_shape: Tuple[int, int]
+                               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ultralytics pose label line: `cls cx cy w h x1 y1 v1 x2 y2 v2 ...`
+    (normalized coords; v = 0/1/2 COCO visibility, or the 2-dim variant
+    `x y` pairs without visibility). Returns (boxes [N,4] cxcywh,
+    labels [N], kpts [N,K,3] with vis in {0,1} — v>=1 counts visible)."""
+    K, D = kpt_shape
+    boxes, labels, kpts = [], [], []
+    if not os.path.exists(path):
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32),
+                np.zeros((0, K, 3), np.float32))
+    with open(path) as f:
+        for line in f:
+            vals = [float(v) for v in line.split()]
+            if len(vals) != 1 + 4 + K * D:
+                continue
+            labels.append(int(vals[0]))
+            boxes.append(vals[1:5])
+            k = np.asarray(vals[5:], np.float32).reshape(K, D)
+            if D == 2:
+                k = np.concatenate(
+                    [k, np.ones((K, 1), np.float32)], -1)
+            else:
+                k = np.concatenate(
+                    [k[:, :2], (k[:, 2:3] >= 1).astype(np.float32)], -1)
+            kpts.append(k)
+    if not boxes:
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32),
+                np.zeros((0, K, 3), np.float32))
+    return (np.asarray(boxes, np.float32), np.asarray(labels, np.int32),
+            np.stack(kpts))
+
+
+def parse_yolo_obb_label_file(path: str,
+                              img_hw: Tuple[int, int] = (1, 1)
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Ultralytics OBB label line (DOTA-style): `cls x1 y1 x2 y2 x3 y3
+    x4 y4` — four normalized corner points in order. Geometry (edge
+    lengths, angle) is computed in PIXEL space via `img_hw` — computing
+    it on normalized coords would skew w/h/angle on non-square images —
+    then re-normalized per-axis to match the SyntheticOBBDataset
+    contract (cx/W, cy/H, w/W, h/H, angle in image radians). Returns
+    (boxes_xywhr [N,5], labels [N])."""
+    H, W = img_hw
+    boxes, labels = [], []
+    if not os.path.exists(path):
+        return np.zeros((0, 5), np.float32), np.zeros((0,), np.int32)
+    with open(path) as f:
+        for line in f:
+            vals = [float(v) for v in line.split()]
+            if len(vals) != 9:
+                continue
+            pts = np.asarray(vals[1:], np.float32).reshape(4, 2)
+            pts *= (W, H)
+            # corners -> (cx, cy, w, h, angle): w along edge p0->p1,
+            # h along p1->p2 (ultralytics xyxyxyxy2xywhr convention)
+            cx, cy = pts.mean(0)
+            e0 = pts[1] - pts[0]
+            e1 = pts[2] - pts[1]
+            w = float(np.hypot(*e0))
+            h = float(np.hypot(*e1))
+            ang = float(np.arctan2(e0[1], e0[0]))
+            # fold into the model's (-pi/4, 3pi/4) angle range: the range
+            # spans pi, and a rect at angle a == the same rect at a +/- pi
+            while ang >= 3 * np.pi / 4:
+                ang -= np.pi
+            while ang < -np.pi / 4:
+                ang += np.pi
+            labels.append(int(vals[0]))
+            boxes.append([cx / W, cy / H, w / W, h / H, ang])
+    if not boxes:
+        return np.zeros((0, 5), np.float32), np.zeros((0,), np.int32)
+    return np.asarray(boxes, np.float32), np.asarray(labels, np.int32)
+
+
+class YoloPoseDataset:
+    """Ultralytics pose dataset directory (images/ + labels/*.txt with
+    keypoint lines). Samples speak the SyntheticPoseDataset contract."""
+
+    def __init__(self, root: str, kpt_shape: Tuple[int, int] = (17, 3)):
+        self._base = YoloDataset(root)
+        self.kpt_shape = kpt_shape
+
+    def __len__(self) -> int:
+        return len(self._base)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+        path = self._base.images[i % len(self._base.images)]
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        boxes, labels, kpts = parse_yolo_pose_label_file(
+            self._base._label_for(path), self.kpt_shape)
+        return {"image": img, "boxes": boxes, "labels": labels,
+                "kpts": kpts}
+
+
+class ImageFolderDataset:
+    """Ultralytics classify layout: `root/<class_name>/*.jpg`, one folder
+    per class, class ids assigned by sorted folder name. Samples speak
+    the SyntheticClassifyDataset contract ({image, label})."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.classes = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+        if not self.classes:
+            raise FileNotFoundError(f"no class folders under {root!r}")
+        self.items: List[Tuple[str, int]] = []
+        for cls_id, name in enumerate(self.classes):
+            for ext in IMG_EXTS:
+                for p in sorted(glob.glob(
+                        os.path.join(root, name, "*" + ext))):
+                    self.items.append((p, cls_id))
+        if not self.items:
+            raise FileNotFoundError(f"no images under {root!r}")
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+        path, label = self.items[i % len(self.items)]
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        return {"image": img, "label": label}
+
+
+class YoloOBBDataset:
+    """Ultralytics OBB dataset directory (DOTA-style 8-point labels).
+    Samples speak the SyntheticOBBDataset contract."""
+
+    def __init__(self, root: str):
+        self._base = YoloDataset(root)
+
+    def __len__(self) -> int:
+        return len(self._base)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+        path = self._base.images[i % len(self._base.images)]
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        boxes, labels = parse_yolo_obb_label_file(
+            self._base._label_for(path), img.shape[:2])
+        return {"image": img, "boxes_xywhr": boxes, "labels": labels}
