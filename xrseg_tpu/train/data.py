@@ -465,12 +465,18 @@ class Loader:
                  max_gt: int = 16, aug: AugmentConfig = AugmentConfig(),
                  seed: int = 0, mesh=None, prefetch: int = 2,
                  drop_last: bool = True,
-                 scales: Optional[Sequence[Tuple[int, int]]] = None):
+                 scales: Optional[Sequence[Tuple[int, int]]] = None,
+                 kpt_flip_idx: Optional[Sequence[int]] = None):
         """`scales`: optional multi-scale bucket list, e.g.
         [(512,512),(576,576),(640,640),(704,704)]. Each batch picks one
         bucket deterministically from (seed, epoch, step); the train step
         compiles once per bucket (anchors/masks follow the batch shape).
-        All entries must be multiples of 32 (P5 stride)."""
+        All entries must be multiples of 32 (P5 stride).
+
+        cfg.task selects the sample contract: detect/segment use the
+        full augmentation pipeline + `collate`; pose/obb/classify use
+        augment_task_sample + their task collate. `kpt_flip_idx`: pose
+        keypoint left/right permutation applied on hflip."""
         self.ds = dataset
         self.cfg = cfg
         self.batch = batch
@@ -485,6 +491,7 @@ class Loader:
                 if hw[0] % 32 or hw[1] % 32:
                     raise ValueError(f"scale {hw} not a multiple of 32")
         self.scales = list(scales) if scales else None
+        self.kpt_flip_idx = kpt_flip_idx
 
     def steps_per_epoch(self) -> int:
         n = len(self.ds)
@@ -503,14 +510,27 @@ class Loader:
                 input_hw = self.scales[int(srng.integers(len(self.scales)))]
             else:
                 input_hw = self.cfg.input_size
+            task = self.cfg.task
             samples = []
             for i in idx:
                 rng = np.random.default_rng((self.seed, epoch, int(i)))
-                samples.append(augment_sample(
-                    self.ds.__getitem__, int(i), rng, input_hw,
-                    self.aug, n))
-            batch = collate(samples, self.cfg, self.max_gt,
-                            self.aug.min_box_px, input_hw=input_hw)
+                if task in ("pose", "obb", "classify"):
+                    samples.append(augment_task_sample(
+                        self.ds.__getitem__, int(i), rng, input_hw,
+                        self.aug, task, self.kpt_flip_idx))
+                else:
+                    samples.append(augment_sample(
+                        self.ds.__getitem__, int(i), rng, input_hw,
+                        self.aug, n))
+            if task == "pose":
+                batch = collate_pose(samples, input_hw, self.max_gt)
+            elif task == "obb":
+                batch = collate_obb(samples, input_hw, self.max_gt)
+            elif task == "classify":
+                batch = collate_classify(samples, input_hw)
+            else:
+                batch = collate(samples, self.cfg, self.max_gt,
+                                self.aug.min_box_px, input_hw=input_hw)
             if not self.drop_last:
                 batch = self._pad_batch(batch, len(samples))
             yield batch
@@ -740,6 +760,73 @@ def collate_classify(samples: Sequence, input_hw: Tuple[int, int]
                       ).astype(np.float32) / 255
     labels = np.asarray([s["label"] for s in samples], np.int32)
     return {"images": images, "labels": labels}
+
+
+# ---------------------------------------------------------------------------
+# Task-family augmentation (geometry-aware hflip + color)
+# ---------------------------------------------------------------------------
+
+def hflip_pose_sample(s, flip_idx: Optional[Sequence[int]] = None):
+    """Horizontal flip of a pose sample: image mirrored, box centers and
+    visible keypoint x mirrored in normalized space. `flip_idx` permutes
+    keypoints into their left/right-symmetric slots (COCO-style skeletons
+    swap left/right joints under a mirror — without the permutation the
+    flipped GT would label a left wrist as a right wrist)."""
+    out = dict(s)
+    out["image"] = s["image"][:, ::-1]
+    b = s["boxes"].copy()
+    if len(b):
+        b[:, 0] = 1.0 - b[:, 0]
+    out["boxes"] = b
+    k = s["kpts"].copy()
+    if k.size:
+        # invisible slots (v=0) are zero-filled; leave them at 0 so the
+        # padding contract survives the flip
+        k[..., 0] = np.where(k[..., 2] > 0, 1.0 - k[..., 0], k[..., 0])
+        if flip_idx is not None:
+            k = k[:, np.asarray(flip_idx)]
+    out["kpts"] = k
+    return out
+
+
+def hflip_obb_sample(s):
+    """Horizontal flip of an OBB sample: the w-edge direction
+    (cos a, sin a) mirrors to (-cos a, sin a), i.e. a -> pi - a, folded
+    back into the model's (-pi/4, 3pi/4) range by the rectangle's pi
+    symmetry."""
+    out = dict(s)
+    out["image"] = s["image"][:, ::-1]
+    b = s["boxes_xywhr"].copy()
+    if len(b):
+        b[:, 0] = 1.0 - b[:, 0]
+        a = np.pi - b[:, 4]
+        a = np.where(a >= 3 * np.pi / 4, a - np.pi, a)
+        a = np.where(a < -np.pi / 4, a + np.pi, a)
+        b[:, 4] = a
+    out["boxes_xywhr"] = b
+    return out
+
+
+def augment_task_sample(get, i: int, rng: np.random.Generator,
+                        input_hw: Tuple[int, int], aug: AugmentConfig,
+                        task: str,
+                        flip_idx: Optional[Sequence[int]] = None):
+    """Task-family counterpart of augment_sample: stretch-resize +
+    geometry-aware hflip + HSV jitter. Mosaic / affine / copy-paste are
+    detect/segment-only (they operate on polygon masks); the task path
+    keeps the same deterministic per-(seed, epoch, i) RNG contract."""
+    s = get(i)
+    s = dict(s, image=_resize_uint8(s["image"], input_hw))
+    if rng.uniform() < aug.hflip:
+        if task == "pose":
+            s = hflip_pose_sample(s, flip_idx)
+        elif task == "obb":
+            s = hflip_obb_sample(s)
+        else:                                    # classify: image only
+            s = dict(s, image=s["image"][:, ::-1])
+    if aug.hsv:
+        s = dict(s, image=hsv_jitter(s["image"], rng))
+    return s
 
 
 # ---------------------------------------------------------------------------

@@ -172,11 +172,14 @@ def _kpt_sigmas(k: int):
 def classification_loss(logits: jax.Array, labels: jax.Array
                         ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Classify task: softmax cross-entropy + top-1 accuracy.
-    logits [B,nc], labels [B] int."""
+    logits [B,nc], labels [B] int; labels < 0 mark padding rows
+    (Loader drop_last=False) and are excluded from both CE and acc."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nc = logits.shape[-1]
-    ce = -(jax.nn.one_hot(labels, nc) * logp).sum(-1).mean()
-    acc = (jnp.argmax(logits, -1) == labels).mean()
+    valid = (labels >= 0).astype(logp.dtype)
+    n = jnp.maximum(valid.sum(), 1.0)
+    ce = (-(jax.nn.one_hot(labels, nc) * logp).sum(-1) * valid).sum() / n
+    acc = ((jnp.argmax(logits, -1) == labels) * valid).sum() / n
     return ce, {"acc": acc}
 
 

@@ -51,28 +51,41 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     tp_min_channels: int = 100000,
                     use_remat: bool = True):
-    """Build the jitted train step.
+    """Build the jitted train step for ANY task.
 
-    batch: {"images": [B,H,W,3] f32 in [0,1], "boxes_xywh": [B,G,4],
-            "labels": [B,G] (-1 pad), "masks": [B,G,mh,mw] (segment)}
+    detect/segment/pose/obb batch: {"images": [B,H,W,3] f32 in [0,1],
+        "boxes_xywh": [B,G,4], "labels": [B,G] (-1 pad),
+        "masks": [B,G,mh,mw] (segment), "boxes_xywhr"/"kpts" (obb/pose)}
+    classify batch: {"images": [B,H,W,3] f32, "labels": [B] (-1 pad)}
     """
-    fwd = yolo11.forward_train
-    if use_remat:
-        # rematerialize the backbone activations: trades FLOPs for HBM —
-        # the standard TPU memory lever for training.
-        fwd = jax.checkpoint(fwd, static_argnums=(2,))
+    if cfg.task == "classify":
+        from xrseg_tpu.train.losses import classification_loss
+        cfwd = yolo11.classify_forward
+        if use_remat:
+            cfwd = jax.checkpoint(cfwd, static_argnums=(2,))
 
-    def loss_fn(params, batch):
-        out = fwd(params, batch["images"], cfg)
-        tgt = {k: batch[k] for k in ("boxes_xywh", "boxes_xywhr", "kpts",
-                                     "labels", "sample_weight")
-               if k in batch}
-        if "masks" in batch and cfg.task == "segment":
-            tgt["masks"] = batch["masks"]
-        # anchors follow the batch's actual (H,W): multi-scale batches each
-        # trace their own specialization (bounded by the scale bucket list)
-        return detection_loss(out, tgt, cfg,
-                              input_hw=tuple(batch["images"].shape[1:3]))
+        def loss_fn(params, batch):
+            out = cfwd(params, batch["images"], cfg)
+            return classification_loss(out["logits"], batch["labels"])
+    else:
+        fwd = yolo11.forward_train
+        if use_remat:
+            # rematerialize the backbone activations: trades FLOPs for
+            # HBM — the standard TPU memory lever for training.
+            fwd = jax.checkpoint(fwd, static_argnums=(2,))
+
+        def loss_fn(params, batch):
+            out = fwd(params, batch["images"], cfg)
+            tgt = {k: batch[k] for k in ("boxes_xywh", "boxes_xywhr",
+                                         "kpts", "labels", "sample_weight")
+                   if k in batch}
+            if "masks" in batch and cfg.task == "segment":
+                tgt["masks"] = batch["masks"]
+            # anchors follow the batch's actual (H,W): multi-scale batches
+            # each trace their own specialization (bounded by the scale
+            # bucket list)
+            return detection_loss(out, tgt, cfg,
+                                  input_hw=tuple(batch["images"].shape[1:3]))
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -144,23 +157,6 @@ def shard_train_state(state: TrainState, mesh: Mesh,
 
 def make_classify_train_step(cfg: ModelConfig,
                              optimizer: optax.GradientTransformation):
-    """Train step for the classify task: softmax CE + top-1 accuracy.
-    batch: {"images": [B,H,W,3] f32 in [0,1], "labels": [B] int32}."""
-    from xrseg_tpu.train.losses import classification_loss
-
-    def loss_fn(params, batch):
-        out = yolo11.classify_forward(params, batch["images"], cfg)
-        return classification_loss(out["logits"], batch["labels"])
-
-    def step(state: TrainState, batch) -> Tuple[TrainState, dict]:
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (TrainState(params=params, opt_state=opt_state,
-                           step=state.step + 1),
-                {"loss": loss, **aux,
-                 "grad_norm": optax.global_norm(grads)})
-
-    return jax.jit(step)
+    """Back-compat alias: classify now routes through make_train_step
+    (same mesh/remat machinery as every other task)."""
+    return make_train_step(cfg, optimizer, use_remat=False)

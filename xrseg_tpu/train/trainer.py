@@ -58,9 +58,12 @@ class TrainConfig:
     # Each bucket compiles its own train-step specialization once.
     scales: Optional[tuple] = None
     # keep a separate `best` checkpoint of the eval (EMA) params whenever
-    # validation mAP improves (metric: val_mask_mAP for segment when
-    # present, else val_box_mAP)
+    # validation improves (metric: val_mask_mAP for segment when present,
+    # else val_box_mAP; tasks: val_oks_mAP / val_rbox_mAP / val_top1_acc)
     save_best: bool = True
+    # pose: keypoint left/right permutation applied on hflip augmentation
+    # (COCO-style skeletons swap left/right joints under a mirror)
+    kpt_flip_idx: Optional[tuple] = None
 
 
 class Trainer:
@@ -184,7 +187,8 @@ class Trainer:
         epochs = t.epochs if epochs is None else epochs
         loader = data_lib.Loader(dataset, self.cfg, t.batch,
                                  max_gt=t.max_gt, aug=t.aug, seed=t.seed,
-                                 mesh=self.mesh, scales=t.scales)
+                                 mesh=self.mesh, scales=t.scales,
+                                 kpt_flip_idx=t.kpt_flip_idx)
         steps_per_epoch = loader.steps_per_epoch()
         if self.state is None:
             # On resume the restored state.step continues from the prior
@@ -227,7 +231,9 @@ class Trainer:
             self.history.append(row)
             if verbose:
                 extras = "".join(f" {k}={row[k]:.4f}"
-                                 for k in ("val_box_mAP", "val_mask_mAP")
+                                 for k in ("val_box_mAP", "val_mask_mAP",
+                                           "val_oks_mAP", "val_rbox_mAP",
+                                           "val_top1_acc")
                                  if k in row)
                 print(f"epoch {e}: loss={row.get('loss', float('nan')):.4f}"
                       f" ({row['sec']:.1f}s){extras}", flush=True)
@@ -236,7 +242,8 @@ class Trainer:
         return self.history
 
     def _best_metric(self, row: Dict) -> Optional[float]:
-        for k in ("val_mask_mAP", "val_box_mAP"):
+        for k in ("val_mask_mAP", "val_box_mAP", "val_oks_mAP",
+                  "val_rbox_mAP", "val_top1_acc"):
             if k in row:
                 return float(row[k])
         return None
@@ -266,9 +273,11 @@ class Trainer:
 
     def evaluate(self, dataset, max_images: Optional[int] = None,
                  batch: int = 8) -> Dict[str, float]:
-        """mAP of the CURRENT params through the deployed pipeline
-        (eval.dataset_eval.evaluate_dataset) against the dataset's GT.
-        Returns {val_box_mAP, val_box_AP50, val_mask_mAP?}.
+        """Validation of the CURRENT (EMA) params through the deployed
+        pipeline against the dataset's GT. detect/segment return
+        {val_box_mAP, val_box_AP50, val_mask_mAP?}; tasks return their
+        family metric (pose {val_oks_mAP, val_oks_AP50}, obb
+        {val_rbox_mAP, val_rbox_AP50}, classify {val_top1_acc}).
 
         The validation pipeline compiles ONCE per Trainer: params are a
         jit argument (not baked), so later epochs swap in fresh (EMA)
@@ -279,9 +288,11 @@ class Trainer:
 
         from xrseg_tpu.config import ExecutorConfig, PostprocessConfig
         from xrseg_tpu.compile import build_pipeline
-        from xrseg_tpu.eval.dataset_eval import evaluate_dataset
+        from xrseg_tpu.eval.dataset_eval import (evaluate_dataset,
+                                                 evaluate_task_dataset)
 
         t = self.tcfg
+        is_task = self.cfg.task in ("pose", "obb", "classify")
         params = jax.device_get(self.eval_params)
         if (self._val_pipe is not None
                 and self._val_pipe.input_shape[0] != batch):
@@ -292,11 +303,20 @@ class Trainer:
                 post=PostprocessConfig(
                     score_threshold=t.val_score_threshold,
                     max_detections=t.val_max_detections))
-            self._val_pipe = build_pipeline(ex_cfg, params, crop_masks=True,
+            self._val_pipe = build_pipeline(ex_cfg, params,
+                                            crop_masks=not is_task,
                                             frame_hw=self.cfg.input_size,
                                             batch=batch)
         else:
             self._val_pipe = _dc.replace(self._val_pipe, params=params)
+        if is_task:
+            m = evaluate_task_dataset(self.cfg, params, dataset,
+                                      score_threshold=t.val_score_threshold,
+                                      max_detections=t.val_max_detections,
+                                      max_images=max_images, batch=batch,
+                                      pipe=self._val_pipe)
+            return {f"val_{k}": float(v) for k, v in m.items()
+                    if k not in ("n_images", "n_gt")}
         m = evaluate_dataset(self.cfg, params, dataset,
                              score_threshold=t.val_score_threshold,
                              max_detections=t.val_max_detections,
