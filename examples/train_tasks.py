@@ -14,6 +14,12 @@ of synthetic GT: pose/obb expect `DIR/images + DIR/labels` (keypoint /
 DOTA 8-point label lines), classify expects `DIR/<class_name>/*.jpg`.
 Batches then cycle through the dataset rather than repeating one batch.
 
+With --epochs N, trains through the FULL Trainer instead of the raw step
+loop: Loader augmentation (geometry-aware hflip; COCO-17 keypoint
+left/right permutation applied automatically for 17-kpt pose), EMA
+weights, per-epoch validation on the task metric (enable with --eval),
+checkpoints (--ckpt DIR, --resume).
+
 Prints per-step loss (plus accuracy for classify); saves final params to
 --out as npz.
 """
@@ -57,6 +63,15 @@ def main() -> int:
                     metavar=("K", "D"),
                     help="pose keypoint shape in the label files "
                          "(default: 5 3 synthetic, 17 3 with --data)")
+    ap.add_argument("--epochs", type=int, default=0, metavar="N",
+                    help="train with the FULL Trainer for N epochs "
+                         "(EMA, per-epoch validation, checkpoints) "
+                         "instead of the raw --steps loop")
+    ap.add_argument("--ckpt", default=None, metavar="DIR",
+                    help="Trainer mode: checkpoint dir (resume with "
+                         "--resume)")
+    ap.add_argument("--resume", action="store_true",
+                    help="Trainer mode: resume from --ckpt")
     ap.add_argument("--out", default=None, help="save final params (.npz)")
     ap.add_argument("--eval", type=int, default=0, metavar="N",
                     help="after training, score N dataset images through "
@@ -119,6 +134,29 @@ def main() -> int:
         collate = lambda samples: D.collate_classify(samples, hw)
 
     import numpy as np
+
+    if args.epochs:
+        # full Trainer: Loader augmentation (geometry-aware hflip), EMA,
+        # per-epoch validation on the task metric, checkpoints/resume
+        from xrseg_tpu.train.trainer import TrainConfig, Trainer
+        # COCO-17 left/right joint permutation under a horizontal mirror
+        flip_idx = ((0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
+                     16, 15) if args.task == "pose"
+                    and cfg.kpt_shape[0] == 17 else None)
+        tcfg = TrainConfig(
+            epochs=args.epochs, batch=args.batch, lr=args.lr,
+            warmup_steps=2, use_remat=False, ckpt_dir=args.ckpt,
+            val_max_images=args.eval or 8, kpt_flip_idx=flip_idx,
+            aug=D.AugmentConfig(mosaic=0.0, scale=0.0, translate=0.0))
+        tr = Trainer(cfg, tcfg)
+        t0 = time.perf_counter()
+        tr.fit(ds, val_dataset=ds if args.eval else None,
+               resume=args.resume)
+        print(f"{args.epochs} epochs in {time.perf_counter() - t0:.1f}s")
+        params = jax.device_get(tr.eval_params)
+    else:
+        params = None                       # raw step loop below
+
     perm = np.random.default_rng(0).permutation(len(ds))
 
     def batch_at(step_i: int):
@@ -133,29 +171,31 @@ def main() -> int:
         b = collate([ds[i] for i in idx])
         return {k: jnp.asarray(v) for k, v in b.items()}
 
-    opt = ts.make_optimizer(args.lr, warmup_steps=2,
-                            total_steps=args.steps)
-    state = ts.init_train_state(jax.random.key(0), cfg, opt)
-    step = (ts.make_classify_train_step(cfg, opt)
-            if args.task == "classify"
-            else ts.make_train_step(cfg, opt, use_remat=False))
+    if params is None:
+        opt = ts.make_optimizer(args.lr, warmup_steps=2,
+                                total_steps=args.steps)
+        state = ts.init_train_state(jax.random.key(0), cfg, opt)
+        step = (ts.make_classify_train_step(cfg, opt)
+                if args.task == "classify"
+                else ts.make_train_step(cfg, opt, use_remat=False))
 
-    t0 = time.perf_counter()
-    batch = batch_at(0)
-    for i in range(args.steps):
-        if args.data and i:
-            batch = batch_at(i)
-        state, m = step(state, batch)
-        if i % 10 == 0 or i == args.steps - 1:
-            extra = (f" acc={float(m['acc']):.3f}"
-                     if "acc" in m else "")
-            print(f"step {i}: loss={float(m['loss']):.4f}{extra}",
-                  flush=True)
-    print(f"{args.steps} steps in {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        batch = batch_at(0)
+        for i in range(args.steps):
+            if args.data and i:
+                batch = batch_at(i)
+            state, m = step(state, batch)
+            if i % 10 == 0 or i == args.steps - 1:
+                extra = (f" acc={float(m['acc']):.3f}"
+                         if "acc" in m else "")
+                print(f"step {i}: loss={float(m['loss']):.4f}{extra}",
+                      flush=True)
+        print(f"{args.steps} steps in {time.perf_counter() - t0:.1f}s")
+        params = jax.device_get(state.params)
 
     if args.eval:
         from xrseg_tpu.eval.dataset_eval import evaluate_task_dataset
-        r = evaluate_task_dataset(cfg, state.params, ds,
+        r = evaluate_task_dataset(cfg, params, ds,
                                   max_images=args.eval,
                                   batch=min(4, args.eval),
                                   score_threshold=0.005)
@@ -173,7 +213,7 @@ def main() -> int:
         pipe = build_pipeline(
             ExecutorConfig(model=cfg, post=PostprocessConfig(
                 score_threshold=0.005)),
-            jax.device_get(state.params), batch=1)
+            params, batch=1)
         for i in range(min(4, len(ds))):
             frame = np.asarray(ds[i]["image"])
             det = jax.device_get(pipe(frame[None]))
@@ -190,7 +230,7 @@ def main() -> int:
 
     if args.out:
         from xrseg_tpu.io.weights import save_npz
-        save_npz(args.out, jax.device_get(state.params))
+        save_npz(args.out, params)
         print(f"saved {args.out}")
     return 0
 
