@@ -166,3 +166,33 @@ def test_int8_quantized_real_weights_still_detect(real_params, pipe_factory):
     n = int(det["count"][0])
     names = [COCO_LABELS[int(det["labels"][0, i])] for i in range(n)]
     assert "bus" in names and float(det["scores"][0, 0]) > 0.6
+
+
+def test_sentis_writer_roundtrip(real_params, tmp_path):
+    """write_yolo11_sentis transplants weights into a copy of the deployed
+    artifact: the flatbuffer program region stays byte-identical except
+    the re-derived per-tensor scale/zero-point scalars, and reloading
+    reproduces every leaf within the uint8 quantization step."""
+    import jax
+
+    from xrseg_tpu.io.sentis import load_yolo11_params, write_yolo11_sentis
+    params, cfg = real_params
+    out = str(tmp_path / "rt.sentis")
+    write_yolo11_sentis(out, params, SENTIS, cfg)
+
+    orig = open(SENTIS, "rb").read()
+    new = open(out, "rb").read()
+    assert len(orig) == len(new)
+    fb_size = int(np.frombuffer(orig[:4], np.uint32)[0])
+    prog_diff = sum(a != b for a, b in
+                    zip(orig[:4 + fb_size], new[:4 + fb_size]))
+    # only quantization scalars may move, and barely (same data in ->
+    # same affine out up to fp rounding)
+    assert prog_diff < 64, f"{prog_diff} program-region bytes changed"
+
+    params2, _ = load_yolo11_params(out)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        a, b = np.asarray(a), np.asarray(b)
+        step = (float(a.max()) - float(a.min())) / 255.0
+        assert np.abs(a - b).max() <= step * 0.51 + 1e-7

@@ -101,3 +101,20 @@ def test_sentis_finetune_export_roundtrip(tmp_path):
         f"fine-tune destroyed the bus detection: {labels1}"
     ft_bus_score = float(scores1[labels1 == BUS_CLASS].max())
     assert ft_bus_score > 0.5, (base_bus_score, ft_bus_score)
+
+    # ---- stage 5: redeploy WITHOUT the Unity editor converter — write
+    # the fine-tuned weights straight into a .sentis artifact (weight
+    # transplant into the deployed template, program region unchanged)
+    # and confirm the artifact round-trips: reloading reproduces the
+    # fine-tuned weights within the uint8 quantization step.
+    from xrseg_tpu.io.sentis import load_yolo11_params, write_yolo11_sentis
+    ft_params = jax.device_get(trainer.state.params)
+    ft_sentis = str(tmp_path / "finetuned.sentis")
+    write_yolo11_sentis(ft_sentis, ft_params, SENTIS, mcfg640)
+    reloaded, _ = load_yolo11_params(ft_sentis)
+    import jax as _jax
+    for a, b in zip(_jax.tree_util.tree_leaves(ft_params),
+                    _jax.tree_util.tree_leaves(reloaded)):
+        a, b = np.asarray(a), np.asarray(b)
+        step = (float(a.max()) - float(a.min())) / 255.0
+        assert np.abs(a - b).max() <= step * 0.51 + 1e-6

@@ -54,6 +54,12 @@ class SentisProgram:
     ep_inputs: List[int]
     ep_outputs: List[int]
     segment: bytes
+    # absolute FILE byte offset of each value's scalar payload (Float/Int
+    # unions only; None otherwise) — lets the writer patch quantization
+    # scale/zero-point in place without re-serializing the flatbuffer
+    value_pos: Optional[List[Optional[int]]] = None
+    # absolute file offset where the constant segment begins
+    segment_base: int = 0
 
     def tensor(self, idx: int) -> SentisTensor:
         ty, payload = self.values[idx]
@@ -143,10 +149,12 @@ def parse_sentis(path: str) -> SentisProgram:
     operators = [fb.string(fb.fields(t)[0]) for t in fb.vec_tables(epf[7])]
 
     values: List[Tuple[int, Any]] = []
+    value_pos: List[Optional[int]] = []
     for t in fb.vec_tables(epf[1]):
         ff = fb.fields(t)
         ty = fb.u8(ff[0]) if 0 in ff else 0
         payload: Any = None
+        pos: Optional[int] = None
         if 1 in ff:
             vt = fb.ind(ff[1])
             vff = fb.fields(vt)
@@ -160,13 +168,16 @@ def parse_sentis(path: str) -> SentisProgram:
                 )
             elif ty == 3:
                 payload = fb.f32(vff[0]) if 0 in vff else 0.0
+                pos = vff.get(0)
             elif ty == 2:
                 payload = fb.i32(vff[0]) if 0 in vff else 0
+                pos = vff.get(0)
             elif ty == 8:
                 payload = fb.vec_i32(vff[0]) if 0 in vff else []
             elif ty == 4:
                 payload = fb.string(vff[0]) if 0 in vff else ""
         values.append((ty, payload))
+        value_pos.append(pos)
 
     chains: List[SentisChain] = []
     for t in fb.vec_tables(epf[6]):
@@ -188,7 +199,8 @@ def parse_sentis(path: str) -> SentisProgram:
         version=version, values=values, chains=chains, operators=operators,
         ep_inputs=fb.vec_i32(epf[2]) if 2 in epf else [],
         ep_outputs=fb.vec_i32(epf[4]) if 4 in epf else [],
-        segment=segment,
+        segment=segment, value_pos=value_pos,
+        segment_base=len(data) - len(segment),
     )
 
 
@@ -321,6 +333,150 @@ def load_yolo11_params(path: str, cfg=None):
         if b is not None:
             tgt["b"] = jnp.asarray(b)
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Writer: weight transplant into the deployed artifact
+# ---------------------------------------------------------------------------
+
+def quantize_uint8(w: np.ndarray) -> Tuple[np.ndarray, float, int]:
+    """Per-tensor affine uint8 quantization matching the artifact's
+    DequantizeUint8 semantics (w ~ (q - zp) * scale). The range is forced
+    to include 0 so the zero-point is exact and lands in [0, 255]."""
+    lo = min(float(w.min()), 0.0)
+    hi = max(float(w.max()), 0.0)
+    if hi == lo:
+        return np.zeros(w.shape, np.uint8), 1.0, 0
+    scale = (hi - lo) / 255.0
+    zp = int(round(-lo / scale))
+    zp = max(0, min(255, zp))
+    q = np.clip(np.rint(w / scale) + zp, 0, 255).astype(np.uint8)
+    return q, scale, zp
+
+
+def write_yolo11_sentis(out_path: str, params, template_path: str,
+                        cfg=None) -> None:
+    """Write a YOLO11 param pytree back into a `.sentis` artifact by
+    transplanting weights into a COPY of `template_path` (normally the
+    reference's deployed model, IEModelEditorConverter.cs:100-102).
+
+    The flatbuffer program region stays byte-identical — same graph, same
+    tensor shapes/offsets, same baked postprocess — so the output is a
+    drop-in replacement for the artifact the Unity runtime already loads.
+    Only the constant payloads change: each conv weight/bias is
+    re-quantized per-tensor to uint8 and written over the old bytes, and
+    its scale / zero-point scalars are patched in place inside the
+    flatbuffer (positions recorded by parse_sentis). Float constants are
+    overwritten as float32.
+
+    This closes the fine-tune -> redeploy loop without Unity's editor
+    converter: .sentis in (load_yolo11_params) -> train -> .sentis out.
+    Architecture CHANGES (different scale/task/channels) can't transplant
+    — export ONNX (io/onnx_export.py) and re-convert in Unity instead.
+    """
+    import jax
+
+    from xrseg_tpu.config import ModelConfig
+    from xrseg_tpu.models import yolo11
+
+    if cfg is None:
+        cfg = ModelConfig(scale="n")
+    data = bytearray(open(template_path, "rb").read())
+    prog = parse_sentis(template_path)
+    slots = yolo11.ordered_param_slots(cfg)
+    weighted = [ch for ch in prog.chains if ch.op in WEIGHTED_OPS]
+    if len(weighted) != len(slots):
+        raise ValueError(
+            f"template/model mismatch: template has {len(weighted)} "
+            f"weighted ops, model ({cfg.scale}, {cfg.task}) expects "
+            f"{len(slots)} — architecture changes need the ONNX path")
+
+    # DequantizeUint8 output id -> (u8 tensor id, scale value id, zp id)
+    dequant: Dict[int, Tuple[int, int, int]] = {}
+    for ch in prog.chains:
+        if ch.op == "DequantizeUint8" and ch.inputs and ch.outputs:
+            dequant[ch.outputs[0]] = (ch.inputs[0], ch.args[0], ch.args[1])
+
+    params = jax.device_get(params)
+
+    def patch(value_id: int, arr: np.ndarray) -> None:
+        """Overwrite constant `value_id` with `arr` (f32), re-quantizing
+        when the template stores it as uint8."""
+        arr = np.ascontiguousarray(arr, np.float32)
+        if value_id in dequant:
+            qid, sid, zid = dequant[value_id]
+            t = prog.tensor(qid)
+            spos, zpos = prog.value_pos[sid], prog.value_pos[zid]
+            if spos is None:
+                raise ValueError(
+                    f"scale position unrecorded for value {value_id}")
+            if zpos is None:
+                # zero-point stored as the flatbuffer DEFAULT (0): the
+                # field has no bytes to patch, so quantize with zp pinned
+                # to the template's value. Fine for tensors that stay
+                # one-signed (this artifact: one all-positive bias);
+                # material mass outside the representable range is an
+                # error, not a silent clamp.
+                zp = int(prog.values[zid][1])
+                lo, hi = float(arr.min()), float(arr.max())
+                scale = max(hi / (255 - zp) if zp < 255 else 0.0,
+                            lo / (0 - zp) if zp > 0 and lo < 0 else 0.0,
+                            1e-12)
+                q = np.clip(np.rint(arr / scale) + zp, 0, 255
+                            ).astype(np.uint8)
+                err = np.abs((q.astype(np.float32) - zp) * scale - arr)
+                if err.max() > 3.0 * scale:
+                    raise ValueError(
+                        f"value {value_id}: new values exceed the "
+                        f"template's fixed zero-point ({zp}) range "
+                        f"(max clamp error {err.max():.4g} vs scale "
+                        f"{scale:.4g}) — use the ONNX path")
+            else:
+                q, scale, zp = quantize_uint8(arr)
+                struct.pack_into("<i", data, zpos, zp)
+            if q.nbytes != t.nbytes:
+                raise ValueError(f"size mismatch at value {value_id}: "
+                                 f"{q.nbytes} vs template {t.nbytes}")
+            off = prog.segment_base + t.offset
+            data[off:off + t.nbytes] = q.tobytes()
+            struct.pack_into("<f", data, spos, scale)
+            return
+        t = prog.tensor(value_id)
+        if t.dtype != 0:
+            raise ValueError(f"value {value_id}: unexpected dtype {t.dtype}")
+        if arr.nbytes != t.nbytes:
+            raise ValueError(f"size mismatch at value {value_id}: "
+                             f"{arr.nbytes} vs template {t.nbytes}")
+        off = prog.segment_base + t.offset
+        data[off:off + t.nbytes] = arr.tobytes()
+
+    def node_at(path):
+        node = params
+        for k in path[:-1]:
+            node = node[k]
+        return node, path[-1]
+
+    for (pathk, kind), ch in zip(slots, weighted):
+        if kind == "dfl":
+            continue                 # fixed arange conv: template keeps it
+        if kind == "convtranspose":
+            node, _ = node_at(pathk + ("up_w",))
+            # ours [kH, kW, I, O] -> file [I, O, kH, kW]
+            patch(ch.inputs[1], np.transpose(np.asarray(node["up_w"]),
+                                             (2, 3, 0, 1)))
+            if len(ch.inputs) > 2:
+                patch(ch.inputs[2], np.asarray(node["up_b"]))
+            continue
+        node, leaf = node_at(pathk)
+        tgt = node[leaf]
+        # ours HWIO -> file OIHW
+        patch(ch.inputs[1], np.transpose(np.asarray(tgt["w"]),
+                                         (3, 2, 0, 1)))
+        if len(ch.inputs) > 2 and "b" in tgt:
+            patch(ch.inputs[2], np.asarray(tgt["b"]))
+
+    with open(out_path, "wb") as f:
+        f.write(bytes(data))
 
 
 if __name__ == "__main__":
