@@ -363,3 +363,42 @@ def test_detection_loss_matches_torch_oracle():
         np.testing.assert_allclose(float(aux[key]),
                                    float(torch.stack(ref).mean()), rtol=2e-5,
                                    err_msg=key)
+
+
+def test_fsdp_train_step_matches_dp():
+    """FSDP (ZeRO-3: params + moments sharded over the data axis) runs the
+    IDENTICAL step function as DP — only placement differs — so three
+    steps must reproduce the DP params, while the large leaves actually
+    live sharded on the mesh."""
+    cfg = _cfg()
+    rng = np.random.default_rng(3)
+    mesh = mesh_lib.make_mesh((8, 1))
+    opt = ts.make_optimizer(lr=2e-3, warmup_steps=1, total_steps=50)
+    min_size = 1024                    # tiny test model: force real shards
+
+    state = ts.init_train_state(jax.random.key(0), cfg, opt)
+    fstate = ts.shard_train_state(state, mesh, fsdp=True,
+                                  fsdp_min_size=min_size)
+    # large leaves sharded over data, small replicated
+    big = fstate.params["b7"]["w"]
+    assert "data" in tuple(big.sharding.spec), big.sharding
+    assert fstate.params["b0"]["b"].sharding.spec == \
+        jax.sharding.PartitionSpec()
+
+    fstep = ts.make_train_step(cfg, opt, mesh=mesh, use_remat=False,
+                               fsdp=True, fsdp_min_size=min_size)
+    dstep = ts.make_train_step(cfg, opt, mesh=mesh, use_remat=False)
+    dstate = ts.shard_train_state(
+        ts.init_train_state(jax.random.key(0), cfg, opt), mesh)
+
+    for i in range(3):
+        batch = mesh_lib.shard_batch(_batch(rng, B=8), mesh)
+        fstate, fm = fstep(fstate, batch)
+        dstate, dm = dstep(dstate, batch)
+        np.testing.assert_allclose(float(fm["loss"]), float(dm["loss"]),
+                                   rtol=2e-4)
+    # output state keeps the FSDP placement (no silent re-replication)
+    assert "data" in tuple(fstate.params["b7"]["w"].sharding.spec)
+    for a, b in zip(jax.tree.leaves(jax.device_get(fstate.params)),
+                    jax.tree.leaves(jax.device_get(dstate.params))):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)

@@ -71,6 +71,42 @@ def param_shardings(params: Any, mesh: Mesh,
     return jax.tree.map(rule, params)
 
 
+def fsdp_param_shardings(tree: Any, mesh: Mesh, axis: str = "data",
+                         min_size: int = 65536) -> Any:
+    """FSDP / ZeRO-3-style sharding rules for a param-shaped pytree.
+
+    Each large leaf shards ONE dimension — the largest one divisible by
+    the axis size (preferring the trailing/output-channel dim on ties) —
+    over the data axis; small leaves and indivisible shapes replicate.
+    Applied to params AND optimizer moments, this spreads the training
+    state across the mesh: XLA all-gathers each layer's weights just
+    before use and reduce-scatters its gradients, entirely from the
+    sharding annotations (the scaling-book FSDP recipe — no hand-written
+    collectives, same step function as DP).
+
+    min_size keeps small leaves (biases, BN-folded scales, stems)
+    replicated: gathering a tiny tensor costs more in latency than its
+    shard saves in HBM.
+    """
+    n = mesh.shape[axis]
+
+    def rule(leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0 or \
+                np.prod(leaf.shape) < min_size or n == 1:
+            return NamedSharding(mesh, P())
+        # largest dim divisible by n; ties prefer the LAST (output) dim
+        dims = sorted(range(leaf.ndim),
+                      key=lambda d: (leaf.shape[d], d), reverse=True)
+        for d in dims:
+            if leaf.shape[d] % n == 0:
+                spec = [None] * leaf.ndim
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
 def shard_params(params: Any, mesh: Mesh, tp_min_channels: int = 256) -> Any:
     """Place params on the mesh with TP rules applied."""
     if jax.process_count() > 1:

@@ -41,6 +41,10 @@ class TrainConfig:
     seed: int = 0
     aug: data_lib.AugmentConfig = data_lib.AugmentConfig()
     tp_min_channels: int = 100000      # TP off by default (DP-only)
+    # FSDP/ZeRO-3: shard params + optimizer moments over the mesh's data
+    # axis (train_step.make_train_step fsdp docs). Requires a mesh;
+    # single-process only (multi-host keeps full host-local state).
+    fsdp: bool = False
     use_remat: bool = True
     log_every: int = 10
     ckpt_dir: Optional[str] = None     # directory for checkpoints + history
@@ -122,7 +126,7 @@ class Trainer:
             self._load_history()
         if self.mesh is not None:
             state = ts.shard_train_state(state, self.mesh,
-                                         t.tp_min_channels)
+                                         t.tp_min_channels, fsdp=t.fsdp)
         self.state = state
         if t.ema_decay > 0:
             jax = self._jax
@@ -202,7 +206,7 @@ class Trainer:
         step_fn = ts.make_train_step(self.cfg, self.optimizer,
                                      mesh=self.mesh,
                                      tp_min_channels=t.tp_min_channels,
-                                     use_remat=t.use_remat)
+                                     use_remat=t.use_remat, fsdp=t.fsdp)
         start_epoch = len(self.history)
         for e in range(start_epoch, start_epoch + epochs):
             t0 = time.perf_counter()
