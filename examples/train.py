@@ -36,6 +36,12 @@ def main() -> int:
     ap.add_argument("--weights", help="initial weights (.npz/.sentis/.onnx)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="data-parallel shards (0 = single device)")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="shard params + optimizer moments over the mesh "
+                         "data axis (ZeRO-3; requires --mesh)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatches per optimizer step (batch must "
+                         "divide evenly)")
     ap.add_argument("--out", default="/tmp/xrseg_run")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-mosaic", action="store_true")
@@ -87,7 +93,8 @@ def main() -> int:
     scales = (tuple((s, s) for s in args.scales) if args.scales else None)
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, lr=args.lr,
                        max_gt=args.max_gt, aug=aug, ckpt_dir=args.out,
-                       scales=scales)
+                       scales=scales, fsdp=args.fsdp,
+                       grad_accum=args.grad_accum)
     tr = Trainer(cfg, tcfg, mesh=mesh, params=params)
     tr.fit(train_ds, val_dataset=val_ds, resume=args.resume)
     print(f"done: {len(tr.history)} epochs, checkpoints in {args.out}")

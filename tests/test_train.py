@@ -402,3 +402,34 @@ def test_fsdp_train_step_matches_dp():
     for a, b in zip(jax.tree.leaves(jax.device_get(fstate.params)),
                     jax.tree.leaves(jax.device_get(dstate.params))):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-4)
+
+
+def test_grad_accum_matches_single_microbatch():
+    """grad_accum=2 over a batch that is the same microbatch TWICE must
+    reproduce the plain step on the single microbatch exactly (each
+    microbatch self-normalizes, so two identical halves average to the
+    one-microbatch gradient)."""
+    cfg = _cfg()
+    rng = np.random.default_rng(4)
+    opt = ts.make_optimizer(lr=2e-3, warmup_steps=1, total_steps=50)
+    mb = _batch(rng, B=2)
+    doubled = jax.tree.map(lambda x: jnp.concatenate([x, x]), mb)
+
+    s1 = ts.init_train_state(jax.random.key(0), cfg, opt)
+    s2 = ts.init_train_state(jax.random.key(0), cfg, opt)
+    step1 = ts.make_train_step(cfg, opt, use_remat=False)
+    step2 = ts.make_train_step(cfg, opt, use_remat=False, grad_accum=2)
+    s1, m1 = step1(s1, mb)
+    s2, m2 = step2(s2, doubled)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m2["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+    # indivisible batch is a loud error at trace time
+    with pytest.raises(ValueError, match="divisible"):
+        step3 = ts.make_train_step(cfg, opt, use_remat=False, grad_accum=3)
+        step3(ts.init_train_state(jax.random.key(0), cfg, opt), doubled)

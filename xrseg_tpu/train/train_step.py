@@ -52,8 +52,15 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                     tp_min_channels: int = 100000,
                     use_remat: bool = True,
                     fsdp: bool = False,
-                    fsdp_min_size: int = 65536):
+                    fsdp_min_size: int = 65536,
+                    grad_accum: int = 1):
     """Build the jitted train step for ANY task.
+
+    grad_accum=A splits each batch into A sequential microbatches inside
+    the one jitted step (lax.scan), averaging their grads before the
+    single optimizer update: the large-effective-batch lever when
+    activations for the full batch don't fit HBM. Composes with remat
+    and fsdp.
 
     fsdp=True (requires mesh): params + optimizer moments shard over the
     data axis (ZeRO-3 / FSDP — parallel/mesh.fsdp_param_shardings). XLA
@@ -98,9 +105,41 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
             return detection_loss(out, tgt, cfg,
                                   input_hw=tuple(batch["images"].shape[1:3]))
 
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def compute_grads(params, batch):
+        if grad_accum <= 1:
+            return vg(params, batch)
+        # split [B, ...] -> [A, B/A, ...] and lax.scan the microbatches:
+        # activation peak drops to one microbatch's worth (the remat
+        # companion lever — together they bound training HBM by
+        # microbatch size + sharded state, independent of global batch).
+        # Each microbatch normalizes its own loss (TAL's target-score
+        # denominator), matching the ultralytics accumulate semantics.
+        B = jax.tree.leaves(batch)[0].shape[0]
+        if B % grad_accum:
+            raise ValueError(f"batch {B} not divisible by "
+                             f"grad_accum {grad_accum}")
+
+        def split(x):
+            return x.reshape((grad_accum, B // grad_accum) + x.shape[1:])
+        mbs = jax.tree.map(split, batch)
+        if mesh is not None:
+            msh = NamedSharding(mesh, P(None, "data"))
+            mbs = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, msh), mbs)
+
+        def body(gsum, mb):
+            (l, a), g = vg(params, mb)
+            return jax.tree.map(jnp.add, gsum, g), (l, a)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        gsum, (ls, auxs) = jax.lax.scan(body, zeros, mbs)
+        grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+        return (ls.mean(), jax.tree.map(lambda x: x.mean(), auxs)), grads
+
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+        (loss, aux), grads = compute_grads(state.params, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -45,6 +45,10 @@ class TrainConfig:
     # axis (train_step.make_train_step fsdp docs). Requires a mesh;
     # single-process only (multi-host keeps full host-local state).
     fsdp: bool = False
+    # split each batch into A sequential microbatches inside the jitted
+    # step (grads averaged before the one optimizer update): large
+    # effective batch without the full batch's activation HBM
+    grad_accum: int = 1
     use_remat: bool = True
     log_every: int = 10
     ckpt_dir: Optional[str] = None     # directory for checkpoints + history
@@ -206,7 +210,8 @@ class Trainer:
         step_fn = ts.make_train_step(self.cfg, self.optimizer,
                                      mesh=self.mesh,
                                      tp_min_channels=t.tp_min_channels,
-                                     use_remat=t.use_remat, fsdp=t.fsdp)
+                                     use_remat=t.use_remat, fsdp=t.fsdp,
+                                     grad_accum=t.grad_accum)
         start_epoch = len(self.history)
         for e in range(start_epoch, start_epoch + epochs):
             t0 = time.perf_counter()
