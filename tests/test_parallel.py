@@ -151,3 +151,46 @@ def test_pipeline_parallel_needs_two_devices():
     params = yolo11.init_params(jax.random.key(0), cfg.model)
     with pytest.raises(ValueError):
         PipelinedRunner(cfg, params, devices=jax.devices()[:1])
+
+
+def test_sharded_pipeline_speaks_task_family():
+    """The sharded serving path shares build_pipeline's decode tail, so
+    obb (rotated NMS) and classify — formerly guarded off — now serve
+    over the mesh with exact DP parity vs the unsharded pipeline."""
+    import jax
+
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.testing import detection_params
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.integers(0, 255, (8, 64, 64, 3)), jnp.uint8)
+
+    # obb: rotated 5-wide boxes, probIoU NMS
+    ocfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="obb"),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=5))
+    oparams = detection_params(jax.random.key(3), ocfg.model)
+    fn, sp = pbatch.build_sharded_pipeline(ocfg, oparams, mesh, batch=8,
+                                           frame_hw=(64, 64))
+    det = jax.block_until_ready(fn(sp, mesh_lib.shard_batch(frames, mesh)))
+    ref = build_pipeline(ocfg, oparams, frame_hw=(64, 64), batch=8)(frames)
+    assert int(np.asarray(det["count"]).min()) > 0
+    np.testing.assert_array_equal(np.asarray(det["count"]),
+                                  np.asarray(ref["count"]))
+    np.testing.assert_allclose(np.asarray(det["boxes_xywhr"]),
+                               np.asarray(ref["boxes_xywhr"]), atol=1e-4)
+
+    # classify: the slate IS the prob row
+    ccfg = ExecutorConfig(model=ModelConfig(
+        scale="n", input_size=(64, 64), dtype="float32",
+        task="classify", num_classes=7))
+    from xrseg_tpu.models import yolo11 as y11
+    cparams = y11.init_params(jax.random.key(0), ccfg.model)
+    cfn, csp = pbatch.build_sharded_pipeline(ccfg, cparams, mesh, batch=8,
+                                             frame_hw=(64, 64))
+    cdet = jax.block_until_ready(cfn(csp, mesh_lib.shard_batch(frames, mesh)))
+    cref = build_pipeline(ccfg, cparams, frame_hw=(64, 64), batch=8)(frames)
+    np.testing.assert_allclose(np.asarray(cdet["probs"]),
+                               np.asarray(cref["probs"]), atol=1e-5)

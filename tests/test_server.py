@@ -384,6 +384,7 @@ def test_mesh_server_serves_masks_and_reload(tmp_path):
         post=PostprocessConfig(score_threshold=1e-6, max_detections=5))
     params = detection_params(jax.random.key(3), cfg.model)
     srv = InferenceServer(cfg, params=params, port=0, serve_masks=True,
+                          mask_res="display",
                           mesh_shape={"data": 2}).start()
     try:
         img = np.random.default_rng(3).integers(
@@ -392,7 +393,9 @@ def test_mesh_server_serves_masks_and_reload(tmp_path):
         np.save(buf, img)
         out = _post(srv, buf.getvalue())
         assert out["count"] > 0
-        assert rle_decode(out["detections"][0]["mask_rle"]).shape == (16, 16)
+        # display-res masks now compose with --mesh (device-side bilinear
+        # upsample inside the sharded program)
+        assert rle_decode(out["detections"][0]["mask_rle"]).shape == (64, 64)
 
         # hot swap on the mesh: params re-shard, inference keeps working
         new = yolo11.init_params(jax.random.key(99), cfg.model)
@@ -493,5 +496,31 @@ def test_server_serves_classify_probs():
         assert len(out["probs"]) == 7
         assert abs(sum(out["probs"]) - 1.0) < 1e-3
         assert out["class_name"] == f"c{out['label']}"
+    finally:
+        srv.close()
+
+
+def test_mesh_server_serves_pose():
+    """--mesh composes with the task family now that the sharded path
+    shares build_pipeline's decode tail: pose keypoints over data=2."""
+    import jax
+
+    from xrseg_tpu.runtime.server import InferenceServer
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="pose", kpt_shape=(5, 3)),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=5))
+    srv = InferenceServer(cfg, port=0,
+                          params=detection_params(jax.random.key(3),
+                                                  cfg.model),
+                          mesh_shape={"data": 2}).start()
+    try:
+        out = _post(srv, _npy(np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8)))
+        assert out["count"] > 0
+        for d in out["detections"]:
+            assert len(d["kpts"]) == 5 and len(d["kpts"][0]) == 3
     finally:
         srv.close()

@@ -134,45 +134,57 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                                    mode=resize_mode,
                                    dtype=jnp.dtype(mcfg.dtype))
             out = yolo11.forward(params, x, mcfg, concat_preds=False)
-            if mcfg.task == "classify":
-                # classification slate IS the prob row (one tiny DMA)
-                return {"logits": out["logits"], "probs": out["probs"],
-                        "slate": out["probs"]}
-            if mcfg.task == "pose":
-                from xrseg_tpu.ops.postprocess import postprocess_pose_batch
-                det = postprocess_pose_batch(
-                    out["boxes_xywh"], out["cls_logits"], out["kpts"],
-                    pcfg, scores_are_logits=True)
-            elif mcfg.task == "obb":
-                from xrseg_tpu.ops.postprocess import postprocess_obb_batch
-                det = postprocess_obb_batch(
-                    out["boxes_xywhr"], out["cls_logits"], pcfg,
-                    scores_are_logits=True)
-            else:
-                protos = out.get("protos")
-                det = postprocess_batch_parts(
-                    out["boxes_xywh"], out["cls_logits"],
-                    out.get("mask_coefs"), protos, pcfg, crop_masks,
-                    mcfg.input_size, mask_dtype=mdt,
-                    scores_are_logits=True,
-                    with_masks=(emit_masks == "all"))
-            if mask_display_hw is not None and "masks" in det:
-                from xrseg_tpu.ops import masks as mask_ops
-                det["masks"] = jax.vmap(
-                    lambda m: mask_ops.upsample_masks(
-                        m, tuple(mask_display_hw)))(det["masks"]
-                                                    ).astype(mdt)
-        # Pack the small per-frame outputs into ONE flat f32 array so the
-        # host readback is a single DMA (boxes | scores | labels | valid |
-        # count), instead of five round-trips. Masks/coefs stay on device;
-        # the executor gathers only the tracked target's mask row.
-        det["slate"] = pack_slate(det, pcfg.max_detections)
-        return det
+            return decode_task_outputs(
+                out, mcfg, pcfg, crop_masks=crop_masks, mask_dtype=mdt,
+                emit_masks=emit_masks, mask_display_hw=mask_display_hw)
 
     donate = (1,) if donate_frames else ()
     fn = jax.jit(_run, donate_argnums=donate)
     return CompiledPipeline(cfg=cfg, params=params, fn=fn,
                             input_shape=in_shape, input_format=input_format)
+
+
+def decode_task_outputs(out, mcfg, pcfg, *, crop_masks: bool = False,
+                        mask_dtype=jnp.float32, emit_masks: str = "all",
+                        mask_display_hw: Optional[Tuple[int, int]] = None):
+    """Raw forward outputs (concat_preds=False) -> the task-shaped
+    detection dict incl. the packed slate. The ONE decode tail shared by
+    build_pipeline and the sharded serving builders (parallel/batch.py),
+    so every surface — single-chip, mesh, multi-stream — speaks the whole
+    task family with identical numerics."""
+    if mcfg.task == "classify":
+        # classification slate IS the prob row (one tiny DMA)
+        return {"logits": out["logits"], "probs": out["probs"],
+                "slate": out["probs"]}
+    if mcfg.task == "pose":
+        from xrseg_tpu.ops.postprocess import postprocess_pose_batch
+        det = postprocess_pose_batch(
+            out["boxes_xywh"], out["cls_logits"], out["kpts"],
+            pcfg, scores_are_logits=True)
+    elif mcfg.task == "obb":
+        from xrseg_tpu.ops.postprocess import postprocess_obb_batch
+        det = postprocess_obb_batch(
+            out["boxes_xywhr"], out["cls_logits"], pcfg,
+            scores_are_logits=True)
+    else:
+        protos = out.get("protos")
+        det = postprocess_batch_parts(
+            out["boxes_xywh"], out["cls_logits"],
+            out.get("mask_coefs"), protos, pcfg, crop_masks,
+            mcfg.input_size, mask_dtype=mask_dtype,
+            scores_are_logits=True,
+            with_masks=(emit_masks == "all"))
+    if mask_display_hw is not None and "masks" in det:
+        from xrseg_tpu.ops import masks as mask_ops
+        det["masks"] = jax.vmap(
+            lambda m: mask_ops.upsample_masks(
+                m, tuple(mask_display_hw)))(det["masks"]).astype(mask_dtype)
+    # Pack the small per-frame outputs into ONE flat f32 array so the
+    # host readback is a single DMA (boxes | scores | labels | valid |
+    # count), instead of five round-trips. Masks/coefs stay on device;
+    # the executor gathers only the tracked target's mask row.
+    det["slate"] = pack_slate(det, pcfg.max_detections)
+    return det
 
 
 def export_compiled(pipe: CompiledPipeline, path: str) -> None:

@@ -17,7 +17,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from xrseg_tpu.config import ExecutorConfig
 from xrseg_tpu.models import yolo11
 from xrseg_tpu.ops import preprocess as pre_ops
-from xrseg_tpu.ops.postprocess import postprocess_single
 from xrseg_tpu.parallel import mesh as mesh_lib
 
 
@@ -25,7 +24,9 @@ def build_sharded_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
                            *, batch: int,
                            frame_hw: Optional[Tuple[int, int]] = None,
                            resize_mode: str = "stretch",
-                           tp_min_channels: int = 100000):
+                           tp_min_channels: int = 100000,
+                           emit_masks: str = "all",
+                           mask_display_hw: Optional[Tuple[int, int]] = None):
     """Compile frames[B,H,W,3]u8 -> detection slate, B sharded over `data`.
 
     Returns (fn, sharded_params). tp_min_channels below a model's widest
@@ -34,13 +35,6 @@ def build_sharded_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
     n/s/m-sized models that fit one chip.
     """
     mcfg, pcfg = cfg.model, cfg.post
-    if mcfg.task in ("obb", "classify"):
-        # obb needs rotated NMS and classify has no detection slate; the
-        # sharded serving path speaks the detect/segment contract only —
-        # fail loudly instead of silently mis-decoding
-        raise ValueError(f"sharded serving does not support task "
-                         f"{mcfg.task!r} (detect/segment/pose only; "
-                         "pose serves boxes, keypoints are single-chip)")
     fh, fw = frame_hw or mcfg.input_size
     if batch % mesh.shape["data"]:
         raise ValueError(f"batch {batch} not divisible by data axis "
@@ -49,20 +43,20 @@ def build_sharded_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
     sharded_params = mesh_lib.shard_params(params, mesh, tp_min_channels)
     frames_sh = NamedSharding(mesh, P("data"))
 
-    from xrseg_tpu.compile import pack_slate
+    from xrseg_tpu.compile import decode_task_outputs
     from xrseg_tpu.precision import precision_scope
 
     def _run(p, frames):
         with precision_scope(mcfg.matmul_precision):
             x = pre_ops.preprocess(frames, mcfg.input_size, mode=resize_mode,
                                    dtype=jnp.dtype(mcfg.dtype))
-            out = yolo11.forward(p, x, mcfg)
-            det = jax.vmap(lambda pr, pro: postprocess_single(
-                pr, pro, pcfg, mcfg.num_classes, False, mcfg.input_size))(
-                    out["preds"], out.get("protos"))
-            # same packed-slate readback contract as compile.build_pipeline
-            det["slate"] = pack_slate(det, pcfg.max_detections)
-            return det
+            out = yolo11.forward(p, x, mcfg, concat_preds=False)
+            # the SAME task-family decode tail as compile.build_pipeline
+            # (detect/segment/pose/obb/classify) — batch-sharded outputs,
+            # same packed-slate readback contract
+            return decode_task_outputs(out, mcfg, pcfg,
+                                       emit_masks=emit_masks,
+                                       mask_display_hw=mask_display_hw)
 
     fn = jax.jit(_run,
                  in_shardings=(mesh_lib.param_shardings(params, mesh,
@@ -106,14 +100,17 @@ def build_serving_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh, *,
                            batch: int,
                            frame_hw: Optional[Tuple[int, int]] = None,
                            resize_mode: str = "stretch",
-                           tp_min_channels: int = 100000
+                           tp_min_channels: int = 100000,
+                           emit_masks: str = "all",
+                           mask_display_hw: Optional[Tuple[int, int]] = None
                            ) -> ShardedPipeline:
     """build_sharded_pipeline wrapped in the CompiledPipeline call shape
     so the HTTP server's dispatch/bucket machinery serves multi-chip
     unchanged (BASELINE configs 2-3 as a product surface)."""
     fn, sparams = build_sharded_pipeline(
         cfg, params, mesh, batch=batch, frame_hw=frame_hw,
-        resize_mode=resize_mode, tp_min_channels=tp_min_channels)
+        resize_mode=resize_mode, tp_min_channels=tp_min_channels,
+        emit_masks=emit_masks, mask_display_hw=mask_display_hw)
     fh, fw = frame_hw or cfg.model.input_size
     return ShardedPipeline(cfg=cfg, params=sparams, fn=fn, mesh=mesh,
                            input_shape=(batch, fh, fw, 3),

@@ -115,11 +115,6 @@ class InferenceServer:
         # serves input(640)-space xywhr), classify (probs + top-1)
         self._task = cfg.model.task
         self._box_dim = 5 if self._task == "obb" else 4
-        if self._task not in ("detect", "segment") and mesh_shape:
-            # sharded pipelines speak the detect/segment contract (obb
-            # needs rotated NMS, classify has no slate, and the sharded
-            # pose path would drop keypoints)
-            raise ValueError(f"--mesh does not support task {self._task!r}")
 
         # -- multi-chip serving (BASELINE configs 2-3 as a product):
         # batch axis sharded over the mesh's data axis; XLA rides ICI.
@@ -154,10 +149,6 @@ class InferenceServer:
         self.mask_res = mask_res
         self._mask_display_hw = (self.frame_hw if serve_masks
                                  and mask_res == "display" else None)
-        if self._mask_display_hw is not None and self.mesh is not None:
-            raise ValueError("mask_res='display' is not supported with "
-                             "--mesh yet (sharded pipeline emits "
-                             "proto-res masks)")
 
         with self.tracer.section("load_model"):
             # params_dtype="bfloat16": weight-storage cast once at build
@@ -176,7 +167,8 @@ class InferenceServer:
                 self.pipeline = build_serving_pipeline(
                     cfg, params, self.mesh, batch=self._data_axis,
                     frame_hw=self.frame_hw,
-                    tp_min_channels=self.tp_min_channels).warmup()
+                    tp_min_channels=self.tp_min_channels,
+                    mask_display_hw=self._mask_display_hw).warmup()
             else:
                 self.pipeline = load_model(
                     cfg, params=params, seed=seed,
@@ -415,7 +407,8 @@ class InferenceServer:
                         self._pipelines[b] = build_serving_pipeline(
                             self.cfg, self.pipeline.params, self.mesh,
                             batch=b, frame_hw=self.frame_hw,
-                            tp_min_channels=self.tp_min_channels).warmup()
+                            tp_min_channels=self.tp_min_channels,
+                            mask_display_hw=self._mask_display_hw).warmup()
                     else:
                         from xrseg_tpu.compile import build_pipeline
                         self._pipelines[b] = build_pipeline(
