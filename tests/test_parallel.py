@@ -194,3 +194,47 @@ def test_sharded_pipeline_speaks_task_family():
     cref = build_pipeline(ccfg, cparams, frame_hw=(64, 64), batch=8)(frames)
     np.testing.assert_allclose(np.asarray(cdet["probs"]),
                                np.asarray(cref["probs"]), atol=1e-5)
+
+
+def test_pp_and_sp_speak_tasks():
+    """PP and SP share the decode tail too: pose keypoints survive the
+    2-stage split and the H-sharded program, matching unsharded."""
+    import jax
+
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.parallel.pipeline import PipelinedRunner
+    from xrseg_tpu.parallel.spatial import build_spatial_pipeline
+    from xrseg_tpu.testing import detection_params
+
+    pcfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="pose", kpt_shape=(5, 3)),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=5))
+    params = detection_params(jax.random.key(3), pcfg.model)
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    ref = build_pipeline(pcfg, params, frame_hw=(64, 64), batch=2)(frames)
+
+    runner = PipelinedRunner(pcfg, params, devices=jax.devices()[:2],
+                             frame_hw=(64, 64), batch=2).warmup()
+    det = jax.block_until_ready(runner(frames))
+    np.testing.assert_array_equal(np.asarray(det["count"]),
+                                  np.asarray(ref["count"]))
+    np.testing.assert_allclose(np.asarray(det["kpts"]),
+                               np.asarray(ref["kpts"]), atol=1e-4)
+
+    mesh = mesh_lib.make_mesh((2, 4))     # 64 rows = 2 shards x 32
+    spfn, spp = build_spatial_pipeline(pcfg, params, mesh, batch=2,
+                                       frame_hw=(64, 64))
+    spdet = jax.block_until_ready(spfn(spp, frames))
+    np.testing.assert_array_equal(np.asarray(spdet["count"]),
+                                  np.asarray(ref["count"]))
+    np.testing.assert_allclose(np.asarray(spdet["scores"]),
+                               np.asarray(ref["scores"]), atol=1e-4)
+
+    # classify through PP is a loud structural error, not a mis-decode
+    ccfg = ExecutorConfig(model=ModelConfig(
+        scale="n", input_size=(64, 64), dtype="float32", task="classify"))
+    with pytest.raises(ValueError, match="classify"):
+        PipelinedRunner(ccfg, detection_params(jax.random.key(0), pcfg.model),
+                        devices=jax.devices()[:2])

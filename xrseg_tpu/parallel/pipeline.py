@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from xrseg_tpu.config import ExecutorConfig
 from xrseg_tpu.models import yolo11
 from xrseg_tpu.ops import preprocess as pre_ops
-from xrseg_tpu.ops.postprocess import postprocess_single
+
 
 
 class PipelinedRunner:
@@ -53,14 +53,22 @@ class PipelinedRunner:
                                    dtype=dt)
             return yolo11.backbone(p, x, mcfg, dt)
 
+        if mcfg.task == "classify":
+            # classify has no neck/heads to split at the backbone|neck
+            # boundary (its head hangs off x10 directly)
+            raise ValueError("pipeline parallelism does not apply to "
+                             "task 'classify' (no neck stage)")
+
+        from xrseg_tpu.compile import decode_task_outputs
+
         def stage_b(p, feats):
             # neck/head params live in the same flat dict namespace
             f3, f4, f5 = yolo11.neck(p, feats, mcfg, dt)
-            out = yolo11.head_outputs(p, (f3, f4, f5), mcfg)
-            det = jax.vmap(lambda pr, po: postprocess_single(
-                pr, po, pcfg, mcfg.num_classes, False, mcfg.input_size))(
-                    out["preds"], out.get("protos"))
-            return det
+            out = yolo11.head_outputs(p, (f3, f4, f5), mcfg,
+                                      concat_preds=False)
+            # shared task-family decode tail (pose/obb included) —
+            # identical numerics to compile.build_pipeline
+            return decode_task_outputs(out, mcfg, pcfg)
 
         self.stage_a = jax.jit(stage_a, device=self.d0)
         self.stage_b = jax.jit(stage_b, device=self.d1)

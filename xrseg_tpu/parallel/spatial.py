@@ -18,7 +18,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from xrseg_tpu.config import ExecutorConfig
 from xrseg_tpu.models import yolo11
 from xrseg_tpu.ops import preprocess as pre_ops
-from xrseg_tpu.ops.postprocess import postprocess_single
 
 
 def build_spatial_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
@@ -41,16 +40,17 @@ def build_spatial_pipeline(cfg: ExecutorConfig, params: Any, mesh: Mesh,
     params_r = jax.tree.map(lambda x: jax.device_put(x, repl), params)
     frames_sh = NamedSharding(mesh, P(None, axis, None, None))   # shard H
 
+    from xrseg_tpu.compile import decode_task_outputs
+
     def _run(p, frames):
         x = pre_ops.preprocess(frames, mcfg.input_size, mode=resize_mode,
                                dtype=jnp.dtype(mcfg.dtype))
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, P(None, axis, None, None)))
-        out = yolo11.forward(p, x, mcfg)
-        det = jax.vmap(lambda pr, po: postprocess_single(
-            pr, po, pcfg, mcfg.num_classes, False, mcfg.input_size))(
-                out["preds"], out.get("protos"))
-        return det
+        out = yolo11.forward(p, x, mcfg, concat_preds=False)
+        # shared task-family decode tail (detect/segment/pose/obb/
+        # classify) — identical numerics to compile.build_pipeline
+        return decode_task_outputs(out, mcfg, pcfg)
 
     fn = jax.jit(_run, in_shardings=(repl, frames_sh), out_shardings=repl)
     return fn, params_r
