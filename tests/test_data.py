@@ -516,3 +516,25 @@ def test_yolo_obb_dataset_collates(tmp_path):
     np.testing.assert_allclose(batch["boxes_xywhr"][0, 0],
                                [32, 32, 12.8, 12.8, 0.0], atol=1e-4)
     assert batch["labels"][0, 0] == 1
+
+
+def test_hsv_native_matches_numpy_oracle():
+    """The C++ single-pass HSV kernel reproduces the numpy round-trip:
+    bit-exact on ~all pixels, never more than one uint8 step apart (fp32
+    rounding at hue-sextant boundaries)."""
+    try:
+        from xrseg_tpu.io.native import hsv_jitter_native, NativeUnavailable
+        from xrseg_tpu.io import native as native_mod
+        native_mod.load_library()
+    except Exception:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (123, 77, 3), dtype=np.uint8)
+    for gains in ([1.0, 1.0, 1.0], [1.013, 0.55, 1.32], [0.99, 1.5, 0.7]):
+        ref = D._hsv_jitter_numpy(img, np.asarray(gains))
+        out = hsv_jitter_native(img, *gains)
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, diff.max()
+        assert (diff == 0).mean() > 0.99, (diff > 0).mean()

