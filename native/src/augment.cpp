@@ -104,3 +104,82 @@ int xrseg_hsv_jitter(const uint8_t* src, uint8_t* dst, int64_t n_pixels,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// 2-tap bilinear resize on uint8 RGB (half-pixel-center convention) — the
+// SAME sampling math as the device preprocess (ops/preprocess._tap_indices)
+// and cv2.INTER_LINEAR, so host-side training/eval resizes match what the
+// deployed program does on chip (PIL's antialiased resize did not).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct TapPlan {
+    std::vector<int32_t> i0, i1;
+    std::vector<float> f;
+    TapPlan(int src, int dst) : i0(dst), i1(dst), f(dst) {
+        const float scale = static_cast<float>(src) / dst;
+        for (int i = 0; i < dst; ++i) {
+            const float s = (i + 0.5f) * scale - 0.5f;
+            const float s0 = std::floor(s);
+            f[i] = s - s0;
+            int a = static_cast<int>(s0);
+            int b = a + 1;
+            i0[i] = a < 0 ? 0 : (a > src - 1 ? src - 1 : a);
+            i1[i] = b < 0 ? 0 : (b > src - 1 ? src - 1 : b);
+        }
+    }
+};
+
+void resize_rows(const uint8_t* src, int sw,
+                 uint8_t* dst, int dw,
+                 const TapPlan& py, const TapPlan& px,
+                 int y_begin, int y_end) {
+    for (int y = y_begin; y < y_end; ++y) {
+        const uint8_t* r0 = src + static_cast<int64_t>(py.i0[y]) * sw * 3;
+        const uint8_t* r1 = src + static_cast<int64_t>(py.i1[y]) * sw * 3;
+        const float fy = py.f[y];
+        uint8_t* out = dst + static_cast<int64_t>(y) * dw * 3;
+        for (int x = 0; x < dw; ++x) {
+            const int x0 = px.i0[x] * 3, x1 = px.i1[x] * 3;
+            const float fx = px.f[x];
+            for (int ch = 0; ch < 3; ++ch) {
+                const float top = r0[x0 + ch] + fx * (r0[x1 + ch] - r0[x0 + ch]);
+                const float bot = r1[x0 + ch] + fx * (r1[x1 + ch] - r1[x0 + ch]);
+                out[x * 3 + ch] =
+                    static_cast<uint8_t>(top + fy * (bot - top) + 0.5f);
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// src [sh,sw,3]u8 -> dst [dh,dw,3]u8 (must not alias).
+int xrseg_resize2tap_u8(const uint8_t* src, int sh, int sw,
+                        uint8_t* dst, int dh, int dw, int n_threads) {
+    if (sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0) return -1;
+    TapPlan py(sh, dh), px(sw, dw);
+    int nt = n_threads > 0
+                 ? n_threads
+                 : static_cast<int>(std::thread::hardware_concurrency());
+    if (nt < 1) nt = 1;
+    if (nt == 1 || static_cast<int64_t>(dh) * dw < (1 << 16)) {
+        resize_rows(src, sw, dst, dw, py, px, 0, dh);
+        return 0;
+    }
+    std::vector<std::thread> ts;
+    const int chunk = (dh + nt - 1) / nt;
+    for (int i = 0; i < nt; ++i) {
+        const int b = i * chunk, e = b + chunk < dh ? b + chunk : dh;
+        if (b >= e) break;
+        ts.emplace_back([&, b, e] { resize_rows(src, sw, dst, dw,
+                                                py, px, b, e); });
+    }
+    for (auto& t : ts) t.join();
+    return 0;
+}
+
+}  // extern "C"

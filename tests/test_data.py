@@ -538,3 +538,33 @@ def test_hsv_native_matches_numpy_oracle():
         diff = np.abs(out.astype(int) - ref.astype(int))
         assert diff.max() <= 1, diff.max()
         assert (diff == 0).mean() > 0.99, (diff > 0).mean()
+
+
+def test_resize2tap_native_matches_oracles():
+    """The C++ 2-tap resize == the numpy 2-tap gather == the DEVICE
+    preprocess resampling (jit'd ops.preprocess on the same image), so
+    host-side training/eval resizes carry zero train/serve skew."""
+    try:
+        from xrseg_tpu.io import native as native_mod
+        native_mod.load_library()
+    except Exception:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    import jax.numpy as jnp
+
+    from xrseg_tpu.io.native import resize2tap_native
+    from xrseg_tpu.ops.preprocess import preprocess
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (97, 143, 3), dtype=np.uint8)
+    for hw in ((64, 64), (200, 100), (97, 143)):
+        out = resize2tap_native(img, hw)
+        ref = D._resize2tap_numpy(img, hw)
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 1 and (diff == 0).mean() > 0.999, hw
+        # device-program parity: preprocess() normalizes to [0,1] f32
+        dev = np.asarray(preprocess(jnp.asarray(img[None]), hw,
+                                    dtype=jnp.float32))[0]
+        dev_u8 = (dev * 255.0 + 0.5).astype(np.uint8)
+        ddiff = np.abs(out.astype(int) - dev_u8.astype(int))
+        assert ddiff.max() <= 1, (hw, ddiff.max())

@@ -18,10 +18,21 @@ def test_trainer_fit_evaluate_resume(tmp_path):
                        ckpt_dir=str(tmp_path), use_remat=False,
                        aug=D.AugmentConfig(mosaic=0.0, hsv=False,
                                            scale=0.0, translate=0.0),
-                       val_max_images=4)
+                       val_max_images=4, tb_dir="auto")
     tr = Trainer(cfg, tcfg)
-    hist = tr.fit(ds, verbose=False)
+    hist = tr.fit(ds, val_dataset=ds, verbose=False)
     assert len(hist) == 1
+
+    # TensorBoard scalars written and readable (train/tb.py round trip)
+    from xrseg_tpu.train import tb as tb_lib
+    tb_files = os.listdir(os.path.join(tmp_path, "tb"))
+    assert len(tb_files) == 1
+    events = list(tb_lib.read_events(
+        os.path.join(tmp_path, "tb", tb_files[0])))
+    epoch_rows = [e for e in events if "epoch/loss" in e["scalars"]]
+    assert len(epoch_rows) == 1
+    assert np.isfinite(epoch_rows[0]["scalars"]["epoch/loss"])
+    assert "epoch/val_box_mAP" in epoch_rows[0]["scalars"]
     row = hist[0]
     assert np.isfinite(row["loss"]) and np.isfinite(row["grad_norm"])
     assert {"box", "cls", "dfl", "seg"} <= set(row)

@@ -77,8 +77,34 @@ def load_library(auto_build: bool = True) -> ctypes.CDLL:
         ctypes.c_int,
     ]
 
+    lib.xrseg_resize2tap_u8.restype = ctypes.c_int
+    lib.xrseg_resize2tap_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+
     _lib = lib
     return lib
+
+
+def resize2tap_native(img: np.ndarray, hw, n_threads: int = 0) -> np.ndarray:
+    """C++ 2-tap bilinear resize on uint8 [H,W,3] — the same half-pixel-
+    center sampling as the device preprocess (ops/preprocess._tap_indices)
+    and cv2.INTER_LINEAR, so host resizes match the deployed program."""
+    lib = load_library()
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"expected [H,W,3] uint8, got {img.shape}")
+    dh, dw = int(hw[0]), int(hw[1])
+    out = np.empty((dh, dw, 3), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.xrseg_resize2tap_u8(
+        img.ctypes.data_as(u8p), img.shape[0], img.shape[1],
+        out.ctypes.data_as(u8p), dh, dw, int(n_threads))
+    if rc != 0:
+        raise RuntimeError(f"xrseg_resize2tap_u8 failed: rc={rc}")
+    return out
 
 
 def hsv_jitter_native(img: np.ndarray, gh: float, gs: float, gv: float,

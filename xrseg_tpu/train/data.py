@@ -170,9 +170,36 @@ class SyntheticShapesDataset:
 # ---------------------------------------------------------------------------
 
 def _resize_uint8(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
-    """Stretch-resize via PIL bilinear (host-side; the on-device preprocess
-    uses the exact 2-tap kernel — augmentation does not need bitwise parity
-    with it, only the same stretch geometry)."""
+    """Host stretch-resize with the SAME 2-tap bilinear sampling as the
+    on-device preprocess (ops/preprocess._tap_indices; half-pixel centers,
+    cv2.INTER_LINEAR semantics) so training/eval images see exactly the
+    deployment resampling — no train/serve skew. C++ kernel
+    (native/src/augment.cpp) with a numpy 2-tap oracle fallback."""
+    if img.shape[:2] == tuple(hw):
+        return img
+    from xrseg_tpu.io import native
+    try:
+        return native.resize2tap_native(img, hw)
+    except native.NativeUnavailable:
+        return _resize2tap_numpy(img, hw)
+
+
+def _resize2tap_numpy(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Numpy 2-tap gather (the native kernel's parity oracle)."""
+    from xrseg_tpu.ops.preprocess import _tap_indices
+    y0, y1, fy = _tap_indices(img.shape[0], hw[0])
+    x0, x1, fx = _tap_indices(img.shape[1], hw[1])
+    a = img.astype(np.float32)
+    top = a[y0][:, x0] + fx[None, :, None] * (a[y0][:, x1] - a[y0][:, x0])
+    bot = a[y1][:, x0] + fx[None, :, None] * (a[y1][:, x1] - a[y1][:, x0])
+    return (top + fy[:, None, None] * (bot - top) + 0.5).astype(np.uint8)
+
+
+def _resize_uint8_pil(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Antialiased PIL bilinear — the pre-r3 loader behavior, kept for
+    comparison/experiments. Antialiasing on downscale is NOT what the
+    deployed device program (or cv2/ultralytics) does, which is why the
+    default moved to the 2-tap kernel above."""
     from PIL import Image
     if img.shape[:2] == tuple(hw):
         return img

@@ -53,6 +53,10 @@ class TrainConfig:
     log_every: int = 10
     ckpt_dir: Optional[str] = None     # directory for checkpoints + history
     ckpt_every_epochs: int = 1
+    # TensorBoard scalars (train/tb.py, dependency-free tfevents writer):
+    # per-step loss at log_every cadence + the full per-epoch history row.
+    # None = off; "auto" = <ckpt_dir>/tb when ckpt_dir is set.
+    tb_dir: Optional[str] = None
     # validation postprocess: low score gate + high cap, the standard mAP
     # evaluation setting (the deployed 0.301 gate would clip the PR curve)
     val_score_threshold: float = 0.05
@@ -212,6 +216,13 @@ class Trainer:
                                      tp_min_channels=t.tp_min_channels,
                                      use_remat=t.use_remat, fsdp=t.fsdp,
                                      grad_accum=t.grad_accum)
+        tb = None
+        tb_dir = t.tb_dir
+        if tb_dir == "auto":
+            tb_dir = os.path.join(t.ckpt_dir, "tb") if t.ckpt_dir else None
+        if tb_dir:
+            from xrseg_tpu.train.tb import TBWriter
+            tb = TBWriter(tb_dir)
         start_epoch = len(self.history)
         for e in range(start_epoch, start_epoch + epochs):
             t0 = time.perf_counter()
@@ -227,9 +238,14 @@ class Trainer:
                 for k, v in m.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
                 n += 1
-                if verbose and t.log_every and n % t.log_every == 0:
-                    print(f"epoch {e} step {n}/{steps_per_epoch} "
-                          f"loss={float(m['loss']):.4f}", flush=True)
+                if t.log_every and n % t.log_every == 0:
+                    if verbose:
+                        print(f"epoch {e} step {n}/{steps_per_epoch} "
+                              f"loss={float(m['loss']):.4f}", flush=True)
+                    if tb is not None:
+                        tb.add_scalars(
+                            {f"train/{k}": v for k, v in m.items()},
+                            step=e * steps_per_epoch + n)
             row = {"epoch": e,
                    **{k: v / max(n, 1) for k, v in sums.items()},
                    "sec": time.perf_counter() - t0}
@@ -238,6 +254,9 @@ class Trainer:
                                          max_images=t.val_max_images))
                 self._maybe_save_best(row)
             self.history.append(row)
+            if tb is not None:
+                tb.add_scalars({f"epoch/{k}": v for k, v in row.items()
+                                if k != "epoch"}, step=e)
             if verbose:
                 extras = "".join(f" {k}={row[k]:.4f}"
                                  for k in ("val_box_mAP", "val_mask_mAP",
@@ -248,6 +267,8 @@ class Trainer:
                       f" ({row['sec']:.1f}s){extras}", flush=True)
             if t.ckpt_dir and (e + 1) % t.ckpt_every_epochs == 0:
                 self.save()
+        if tb is not None:
+            tb.close()
         return self.history
 
     def _best_metric(self, row: Dict) -> Optional[float]:
