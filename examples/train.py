@@ -52,6 +52,8 @@ def main() -> int:
                          "--scales 512 576 640 704; one compile per bucket")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (e.g. for smoke tests)")
+    ap.add_argument("--tb", default=None, metavar="DIR",
+                    help="TensorBoard scalar logdir ('auto' = <out>/tb)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -94,7 +96,7 @@ def main() -> int:
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, lr=args.lr,
                        max_gt=args.max_gt, aug=aug, ckpt_dir=args.out,
                        scales=scales, fsdp=args.fsdp,
-                       grad_accum=args.grad_accum)
+                       grad_accum=args.grad_accum, tb_dir=args.tb)
     tr = Trainer(cfg, tcfg, mesh=mesh, params=params)
     tr.fit(train_ds, val_dataset=val_ds, resume=args.resume)
     print(f"done: {len(tr.history)} epochs, checkpoints in {args.out}")

@@ -81,6 +81,13 @@ def main() -> int:
                     help="pose/obb: write overlay PNGs (skeletons / "
                          "rotated boxes) for a few dataset images")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-3 state sharding over the data axis "
+                         "(with --epochs; uses all visible devices)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatches per optimizer step")
+    ap.add_argument("--tb", default=None, metavar="DIR",
+                    help="TensorBoard scalar logdir ('auto' = <ckpt>/tb)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -147,8 +154,13 @@ def main() -> int:
             epochs=args.epochs, batch=args.batch, lr=args.lr,
             warmup_steps=2, use_remat=False, ckpt_dir=args.ckpt,
             val_max_images=args.eval or 8, kpt_flip_idx=flip_idx,
+            fsdp=args.fsdp, grad_accum=args.grad_accum, tb_dir=args.tb,
             aug=D.AugmentConfig(mosaic=0.0, scale=0.0, translate=0.0))
-        tr = Trainer(cfg, tcfg)
+        mesh = None
+        if args.fsdp:
+            from xrseg_tpu.parallel import mesh as mesh_lib
+            mesh = mesh_lib.make_mesh()
+        tr = Trainer(cfg, tcfg, mesh=mesh)
         t0 = time.perf_counter()
         tr.fit(ds, val_dataset=ds if args.eval else None,
                resume=args.resume)

@@ -121,6 +121,13 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
             raise ValueError(f"batch {B} not divisible by "
                              f"grad_accum {grad_accum}")
 
+        if mesh is not None and (B // grad_accum) % mesh.shape["data"]:
+            raise ValueError(
+                f"microbatch {B // grad_accum} (batch {B} / grad_accum "
+                f"{grad_accum}) must stay divisible by the data axis "
+                f"{mesh.shape['data']} — a smaller microbatch would "
+                "silently replicate (SPMD full-remat) instead of shard")
+
         def split(x):
             return x.reshape((grad_accum, B // grad_accum) + x.shape[1:])
         mbs = jax.tree.map(split, batch)
