@@ -110,3 +110,27 @@ def test_onnx_loader_bad_file(tmp_path):
     open(p, "wb").write(b"\x00\x01\x02")
     with pytest.raises(Exception):
         load_yolo11_onnx(p)
+
+
+def test_task_family_onnx_round_trip(tmp_path):
+    """Every task's export re-imports EXACTLY (ordered_param_slots covers
+    the pose/obb cv4 heads and classify's Conv+Gemm head): the full
+    fine-tune -> ONNX -> reload loop works beyond detect/segment."""
+    import jax
+
+    from xrseg_tpu.config import ModelConfig
+    from xrseg_tpu.io.onnx_export import export_onnx
+    from xrseg_tpu.io.onnx_loader import load_yolo11_onnx
+    from xrseg_tpu.models import yolo11
+
+    for task, kw in (("pose", {"kpt_shape": (5, 3)}), ("obb", {}),
+                     ("classify", {"num_classes": 7})):
+        cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task=task, **kw)
+        params = yolo11.init_params(jax.random.key(1), cfg)
+        path = str(tmp_path / f"rt_{task}.onnx")
+        export_onnx(params, cfg, path)
+        p2, _ = load_yolo11_onnx(path, cfg)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -294,9 +294,9 @@ def export_onnx(params, cfg, path: str) -> str:
       pose     output0 [1, 4+nc+nk, A] (in-graph keypoint decode)
       obb      output0 [1, 4+nc+1, A] (in-graph dist2rbox, angle last)
       classify output0 [1, nc] softmax probabilities
-    (Weight-loading round-trip via io/onnx_loader supports the
-    detect/segment conv ordering; pose/obb/classify exports are for
-    execution/interop.)
+    (Every task round-trips through io/onnx_loader.load_yolo11_onnx:
+    the weighted-op order follows yolo11.ordered_param_slots, classify's
+    linear head rides the Gemm node.)
     """
     from xrseg_tpu.models.yolo11 import Spec, make_anchors
 

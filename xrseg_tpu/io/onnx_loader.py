@@ -137,11 +137,12 @@ def parse_onnx(path: str) -> Dict[str, Any]:
 
 
 def conv_sequence_onnx(parsed: Dict[str, Any]) -> List[Dict[str, Any]]:
-    """Weighted ops (Conv/ConvTranspose) in graph order with their arrays."""
+    """Weighted ops (Conv/ConvTranspose/Gemm) in graph order with their
+    arrays (Gemm carries the classify head's linear layer)."""
     inits = parsed["initializers"]
     seq = []
     for node in parsed["nodes"]:
-        if node["op"] not in ("Conv", "ConvTranspose"):
+        if node["op"] not in ("Conv", "ConvTranspose", "Gemm"):
             continue
         if len(node["inputs"]) < 2 or node["inputs"][1] not in inits:
             continue
@@ -191,6 +192,17 @@ def load_yolo11_onnx(path: str, cfg=None):
 
     for (pathk, kind), op in zip(slots, seq):
         w, b = op["w"], op["b"]
+        if kind == "gemm":
+            # classify linear head: lin_w [hidden, nc] (transB=0 export),
+            # lin_b [nc]
+            node = node_at(pathk + ("lin_w",))
+            if node["lin_w"].shape != w.shape:
+                raise ValueError(f"gemm shape mismatch at {pathk}: model "
+                                 f"{node['lin_w'].shape} vs onnx {w.shape}")
+            node["lin_w"] = jnp.asarray(w)
+            if b is not None:
+                node["lin_b"] = jnp.asarray(b)
+            continue
         if kind == "dfl":
             got = w.reshape(-1)
             if not np.allclose(got, np.arange(cfg.reg_max), atol=0.5):

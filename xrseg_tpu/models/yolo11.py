@@ -524,6 +524,12 @@ def ordered_param_slots(cfg: ModelConfig):
                 bottleneck(name, "m", i)
         conv(name, "cv2")
 
+    def branch3(name):
+        for i in range(3):
+            conv(name, i, "conv0")
+            conv(name, i, "conv1")
+            conv(name, i, "out")
+
     fc3k = s.force_c3k
     conv("b0"); conv("b1")
     c3k2("b2", fc3k or False); conv("b3")
@@ -539,6 +545,13 @@ def ordered_param_slots(cfg: ModelConfig):
         conv("b10", "m", i, "ffn1")
         conv("b10", "m", i, "ffn2")
     conv("b10", "cv2")
+
+    if cfg.task == "classify":
+        # backbone-only topology: Conv(1280) then the pooled linear head
+        # (exported as a Gemm; the Gemm slot carries (lin_w, lin_b))
+        conv("cls_head", "conv")
+        slots.append((("cls_head",), "gemm"))
+        return slots
 
     c3k2("h13", fc3k or False)
     c3k2("h16", fc3k or False)
@@ -563,14 +576,15 @@ def ordered_param_slots(cfg: ModelConfig):
     slots.append(((), "dfl"))
 
     if cfg.task == "segment":
-        for i in range(3):
-            conv("seg_cv4", i, "conv0")
-            conv("seg_cv4", i, "conv1")
-            conv("seg_cv4", i, "out")
+        branch3("seg_cv4")
         conv("proto", "cv1")
         slots.append((("proto",), "convtranspose"))
         conv("proto", "cv2")
         conv("proto", "cv3")
+    elif cfg.task == "pose":
+        branch3("pose_cv4")       # exporter emits kpt heads after the DFL
+    elif cfg.task == "obb":
+        branch3("obb_cv4")        # angle heads after the DFL
     return slots
 
 
