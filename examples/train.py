@@ -33,7 +33,17 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--max-gt", type=int, default=16)
-    ap.add_argument("--weights", help="initial weights (.npz/.sentis/.onnx)")
+    ap.add_argument("--weights", help="initial weights (.npz/.sentis/.onnx); "
+                    "heads that do not match --classes/--task are "
+                    "transfer-grafted (backbone+neck kept, class conv reinit)")
+    ap.add_argument("--donor-task", default="segment",
+                    choices=["segment", "detect", "pose", "obb", "classify"],
+                    help="task the --weights artifact was built for, when "
+                         "it differs from --task (default: segment, the "
+                         "reference's deployed head)")
+    ap.add_argument("--donor-classes", type=int, default=80,
+                    help="class count of the --weights artifact when it "
+                         "differs from --classes (default: 80, COCO)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="data-parallel shards (0 = single device)")
     ap.add_argument("--fsdp", action="store_true",
@@ -82,8 +92,25 @@ def main() -> int:
 
     params = None
     if args.weights:
-        from xrseg_tpu.io.weights import load_params_auto
-        params, cfg = load_params_auto(args.weights, cfg)
+        from xrseg_tpu.io.weights import (load_params_auto,
+                                          params_match_config,
+                                          transfer_params)
+        try:
+            params, cfg = load_params_auto(args.weights, cfg)
+        except ValueError:
+            # head mismatch (different class count / task than the file):
+            # load the donor in its native head shape, then graft
+            donor_cfg = ModelConfig(scale=args.scale,
+                                    task=args.donor_task,
+                                    input_size=cfg.input_size,
+                                    num_classes=args.donor_classes,
+                                    dtype="float32")
+            params, _ = load_params_auto(args.weights, donor_cfg)
+        if not params_match_config(params, cfg):
+            params, rep = transfer_params(params, cfg)
+            print(f"transfer: {rep['copied']} leaves from {args.weights}; "
+                  f"reinitialized {len(rep['reinit'])} "
+                  f"({', '.join(sorted({k.split('/')[0] for k in rep['reinit']}))})")
 
     mesh = None
     if args.mesh:

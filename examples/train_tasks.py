@@ -43,6 +43,27 @@ def _infer_classes(ds, floor: int = 1) -> int:
     return hi + 1
 
 
+def _donor_params(args, cfg):
+    """--weights: load a donor checkpoint and graft it onto the task
+    model (backbone/neck/box branches kept, task head fresh)."""
+    if not args.weights:
+        return None
+    from xrseg_tpu.config import ModelConfig
+    from xrseg_tpu.io.weights import (load_params_auto, params_match_config,
+                                      transfer_params)
+    try:
+        params, _ = load_params_auto(args.weights, cfg)
+    except ValueError:
+        donor_cfg = ModelConfig(scale=cfg.scale, input_size=cfg.input_size,
+                                dtype="float32")   # 80-class segmenter
+        params, _ = load_params_auto(args.weights, donor_cfg)
+    if not params_match_config(params, cfg):
+        params, rep = transfer_params(params, cfg)
+        print(f"transfer: {rep['copied']} leaves from {args.weights}; "
+              f"{len(rep['reinit'])} reinitialized")
+    return params
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--task", required=True,
@@ -73,6 +94,11 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true",
                     help="Trainer mode: resume from --ckpt")
     ap.add_argument("--out", default=None, help="save final params (.npz)")
+    ap.add_argument("--weights", default=None,
+                    help="donor checkpoint (.npz/.sentis/.onnx) to "
+                         "transfer from — e.g. the reference's deployed "
+                         "80-class segmenter; the backbone/neck/box "
+                         "branches are grafted, the task head is fresh")
     ap.add_argument("--eval", type=int, default=0, metavar="N",
                     help="after training, score N dataset images through "
                          "the compiled pipeline (OKS AP / rotated AP / "
@@ -160,7 +186,8 @@ def main() -> int:
         if args.fsdp:
             from xrseg_tpu.parallel import mesh as mesh_lib
             mesh = mesh_lib.make_mesh()
-        tr = Trainer(cfg, tcfg, mesh=mesh)
+        tr = Trainer(cfg, tcfg, mesh=mesh,
+                     params=_donor_params(args, cfg))
         t0 = time.perf_counter()
         tr.fit(ds, val_dataset=ds if args.eval else None,
                resume=args.resume)
@@ -187,6 +214,10 @@ def main() -> int:
         opt = ts.make_optimizer(args.lr, warmup_steps=2,
                                 total_steps=args.steps)
         state = ts.init_train_state(jax.random.key(0), cfg, opt)
+        donor = _donor_params(args, cfg)
+        if donor is not None:
+            state = ts.TrainState(params=donor, opt_state=opt.init(donor),
+                                  step=state.step)
         step = (ts.make_classify_train_step(cfg, opt)
                 if args.task == "classify"
                 else ts.make_train_step(cfg, opt, use_remat=False))

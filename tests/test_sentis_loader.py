@@ -196,3 +196,44 @@ def test_sentis_writer_roundtrip(real_params, tmp_path):
         a, b = np.asarray(a), np.asarray(b)
         step = (float(a.max()) - float(a.min())) / 255.0
         assert np.abs(a - b).max() <= step * 0.51 + 1e-7
+
+
+def test_transfer_from_deployed_weights(real_params):
+    """Head surgery on the reference's real deployed 80-class artifact:
+    graft to a 3-class head, keep the pretrained stack bit-exact, and take
+    one optimizer step — the user path for "retrain the deployed model on
+    my classes" (the reference retrains via ultralytics + the Unity editor
+    converter, IEModelEditorConverter.cs:34)."""
+    import jax
+
+    from xrseg_tpu.config import ModelConfig
+    from xrseg_tpu.io import weights as W
+    from xrseg_tpu.train import train_step as ts
+
+    donor, _ = real_params
+    cfg3 = ModelConfig(scale="n", input_size=(64, 64), num_classes=3,
+                       dtype="float32")
+    params, rep = W.transfer_params(donor, cfg3)
+    # every reinitialized leaf is a final class conv; all else transferred
+    assert all(k.startswith("det/cv3") and "/out/" in k
+               for k in rep["reinit"]), rep["reinit"][:4]
+    np.testing.assert_array_equal(np.asarray(donor["b0"]["w"]),
+                                  np.asarray(params["b0"]["w"]))
+
+    opt = ts.make_optimizer()
+    state = ts.init_train_state(jax.random.key(0), cfg3, opt)
+    # the rescued cls stack keeps the donor's hidden width, so the opt
+    # state must be built FROM the grafted tree, not the fresh-init one
+    state = ts.TrainState(params=params, opt_state=opt.init(params),
+                          step=state.step)
+    step = ts.make_train_step(cfg3, opt)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": np.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), np.float32),
+        "boxes_xywh": np.asarray(rng.uniform(8, 56, (2, 4, 4)), np.float32),
+        "labels": np.asarray(rng.integers(0, 3, (2, 4)), np.int32),
+        "masks": np.asarray(rng.uniform(0, 1, (2, 4, 16, 16)) > 0.5,
+                            np.float32),
+    }
+    _, metrics = step(state, batch)
+    assert np.isfinite(jax.device_get(metrics["loss"]))

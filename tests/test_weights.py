@@ -92,3 +92,76 @@ def test_orbax_overwrite_same_path(tmp_path, small_params):
     a, b = W.flatten_params(bumped), W.flatten_params(loaded)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+# ---------------------------------------------------------------------------
+# transfer learning (head surgery): the "fine-tune the reference's deployed
+# 80-class model on MY classes/task" path
+# ---------------------------------------------------------------------------
+
+def test_transfer_class_surgery_keeps_pretrained_stack(small_params):
+    cfg80, donor = small_params
+    cfg3 = ModelConfig(scale="n", input_size=(64, 64), num_classes=3,
+                       dtype="float32")
+    params, rep = W.transfer_params(donor, cfg3, key=jax.random.key(7))
+
+    # backbone + neck + box branch: bit-identical to the donor
+    for grp in ("b0", "b9", "h22"):
+        fa = W.flatten_params(donor[grp])
+        fb = W.flatten_params(params[grp])
+        for k in fa:
+            np.testing.assert_array_equal(fa[k], fb[k])
+    np.testing.assert_array_equal(donor["det"]["cv2"][1]["conv0"]["w"],
+                                  params["det"]["cv2"][1]["conv0"]["w"])
+    # nc changes c3 (80 -> 64 at scale n): the donor's hidden cls stack is
+    # RESCUED (kept at donor width), only the final 1x1 class conv is fresh
+    np.testing.assert_array_equal(donor["det"]["cv3"][0]["pw1"]["w"],
+                                  params["det"]["cv3"][0]["pw1"]["w"])
+    c3d = donor["det"]["cv3"][0]["pw1"]["w"].shape[-1]
+    assert params["det"]["cv3"][0]["out"]["w"].shape == (1, 1, c3d, 3)
+    # class-prior bias (log(5/nc/anchors^2)), not donor bias
+    assert np.allclose(np.asarray(params["det"]["cv3"][0]["out"]["b"]),
+                       np.log(5 / 3 / (640 / 8) ** 2))
+    assert all(k.startswith("det/cv3") and "/out/" in k
+               for k in rep["reinit"]), rep["reinit"]
+
+    # the grafted model runs end to end at the new class count
+    from xrseg_tpu.models.yolo11 import forward
+    out = forward(params, np.zeros((1, 64, 64, 3), np.float32), cfg3)
+    n_anchors = out["preds"].shape[1]
+    assert out["preds"].shape == (1, n_anchors, 4 + 3 + cfg3.num_masks)
+
+
+def test_transfer_task_switch_segment_to_pose(small_params):
+    _, donor = small_params          # segment donor
+    pose_cfg = ModelConfig(scale="n", input_size=(64, 64), task="pose",
+                           num_classes=1, dtype="float32")
+    params, rep = W.transfer_params(donor, pose_cfg)
+    assert "pose_cv4" in params and "proto" not in params
+    # donor-only branches are reported dropped, new branch reported reinit
+    assert any(k.startswith("proto/") for k in rep["dropped"])
+    assert any(k.startswith("seg_cv4/") for k in rep["dropped"])
+    assert any(k.startswith("pose_cv4/") for k in rep["reinit"])
+    np.testing.assert_array_equal(donor["b4"]["cv1"]["w"],
+                                  params["b4"]["cv1"]["w"])
+
+
+def test_params_match_config(small_params):
+    cfg80, donor = small_params
+    assert W.params_match_config(donor, cfg80)
+    assert not W.params_match_config(
+        donor, ModelConfig(scale="n", input_size=(64, 64), num_classes=3,
+                           dtype="float32"))
+    assert not W.params_match_config(
+        donor, ModelConfig(scale="n", input_size=(64, 64), task="pose",
+                           num_classes=80, dtype="float32"))
+    # detect target: a segment donor has extra branches -> needs surgery
+    det_cfg = ModelConfig(scale="n", input_size=(64, 64), task="detect",
+                          dtype="float32")
+    assert not W.params_match_config(donor, det_cfg)
+    det_params, rep = W.transfer_params(donor, det_cfg)
+    assert W.params_match_config(det_params, det_cfg)
+    # same-class detect graft: the WHOLE det head transfers bit-exact
+    assert rep["reinit"] == []
+    np.testing.assert_array_equal(donor["det"]["cv3"][2]["out"]["w"],
+                                  det_params["det"]["cv3"][2]["out"]["w"])

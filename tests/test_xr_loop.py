@@ -95,20 +95,24 @@ def test_trigger_down_selects_and_held_extracts(executor):
 def test_b_button_edge_resets_tracking(executor):
     loop = XRLoop(executor)
     r = _run_to_result(loop, _frame(5))
-    if not executor.is_tracking:
-        pytest.skip("nothing tracked at this seed")
+    assert r.count > 0                       # fixture weights always fire
+    # select deterministically (no dependence on prior-test state)
+    b = r.boxes[0]
+    executor.current_frame_boxes = r.boxes
+    executor.select_target_from_screen_pos(
+        (b.center_x + executor.screen_wh[0] / 2,
+         b.center_y + executor.screen_wh[1] / 2))
+    assert executor.is_tracking
     ctl = ControllerState(button_b=True)
     loop.tick(_frame(5, t=0.1), ctl)
     assert not executor.is_tracking          # B down edge -> reset (:80-84)
     # holding B does not spam resets: select again while B stays down
-    if r.count:
-        b = r.boxes[0]
-        executor.current_frame_boxes = r.boxes
-        executor.select_target_from_screen_pos(
-            (b.center_x + executor.screen_wh[0] / 2,
-             b.center_y + executor.screen_wh[1] / 2))
-        loop.tick(_frame(5, t=0.2), ControllerState(button_b=True))
-        assert executor.is_tracking          # level, not edge: no reset
+    executor.current_frame_boxes = r.boxes
+    executor.select_target_from_screen_pos(
+        (b.center_x + executor.screen_wh[0] / 2,
+         b.center_y + executor.screen_wh[1] / 2))
+    loop.tick(_frame(5, t=0.2), ControllerState(button_b=True))
+    assert executor.is_tracking              # level, not edge: no reset
 
 
 def test_controller_handled_without_camera(executor):

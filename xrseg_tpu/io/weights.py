@@ -184,3 +184,135 @@ def load_params_auto(path: str, cfg=None):
     if path.endswith(".npz"):
         return load_npz(path), cfg
     return load_orbax(path), cfg
+
+
+# ---------------------------------------------------------------------------
+# transfer learning (head surgery)
+# ---------------------------------------------------------------------------
+
+def _flatten_lazy(params: Params, prefix: str = "") -> Dict[str, Any]:
+    """flatten_params without the np.asarray: leaves pass through as-is,
+    so device-resident trees are never pulled to host (only .shape is
+    read by callers)."""
+    out: Dict[str, Any] = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, f"{path}{_SEP}{k}" if path else str(k))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(v, f"{path}{_SEP}{i}" if path else str(i))
+        else:
+            out[path] = node
+
+    rec(params, prefix)
+    return out
+
+
+def donor_num_classes(params: Params):
+    """Class count a param pytree was built for (None if it has no head)."""
+    if "det" in params:
+        return int(params["det"]["cv3"][0]["out"]["b"].shape[0])
+    if "cls_head" in params:
+        return int(params["cls_head"]["lin_b"].shape[0])
+    return None
+
+
+def params_match_config(params: Params, cfg) -> bool:
+    """True iff `params` already has the head `cfg` asks for (class count
+    and task-specific branches) — i.e. no transfer surgery is needed."""
+    nc = donor_num_classes(params)
+    if nc != cfg.num_classes:
+        return False
+    task_keys = {"segment": ("proto", "seg_cv4"), "pose": ("pose_cv4",),
+                 "obb": ("obb_cv4",), "classify": ("cls_head",),
+                 "detect": ()}
+    need = task_keys[cfg.task]
+    if any(k not in params for k in need):
+        return False
+    if cfg.task == "detect" and "det" not in params:
+        return False
+    # extra donor branches (e.g. seg donor -> detect target) are harmless:
+    # the forward only reads what the task needs, but they would bloat the
+    # train state; require an exact task match for a clean state
+    extras = {"proto", "seg_cv4", "pose_cv4", "obb_cv4", "cls_head"}
+    return not (set(params) & (extras - set(need)))
+
+
+def transfer_params(donor: Params, new_cfg, key=None):
+    """Head-surgery transfer: start a fresh `new_cfg` model and graft in
+    every shape-compatible donor leaf (backbone, FPN/PAN neck, box branch,
+    task branches), reinitializing only what the new class count / task
+    actually changes.
+
+    This is the "fine-tune the deployed model on MY classes" path a user
+    of the reference app needs: its .sentis artifact is an 80-class COCO
+    segmenter (Assets/Resources/Model/yolo11n-seg-sentis.sentis); custom
+    deployments retrain the head. When the class branch's hidden width
+    diverges (c3 = max(P3_ch, min(nc, 100)) depends on nc), the donor's
+    pretrained hidden stack is kept and only the final 1x1 class conv is
+    reinitialized (with the standard YOLO prior bias log(5/nc/anchors)).
+
+    Returns (params, report) where report = {"copied": n, "reinit": [...],
+    "dropped": [...]} in flat "a/b/0/w" key notation.
+    """
+    import math
+
+    from xrseg_tpu.models import layers as L
+    from xrseg_tpu.models import yolo11
+
+    if key is None:
+        key = jax.random.key(0)
+    k_init, k_out = jax.random.split(key)
+    pd = jnp.dtype(new_cfg.param_dtype)
+    fresh = yolo11.init_params(k_init, new_cfg)
+
+    # NOTE: donor leaves may live on a remote device — everything below
+    # uses only .shape metadata and lazy jnp casts (NO host materialization;
+    # a per-leaf D2H pull over a tunneled PJRT costs minutes per tree)
+    dflat = _flatten_lazy(donor)
+    nflat = _flatten_lazy(fresh)
+    out: Dict[str, Any] = {}
+    copied: list = []
+    reinit: list = []
+    for k, v in nflat.items():
+        dv = dflat.get(k)
+        if dv is not None and tuple(dv.shape) == tuple(v.shape):
+            out[k] = jnp.asarray(dv, v.dtype)
+            copied.append(k)
+        else:
+            out[k] = v
+            reinit.append(k)
+    dropped = [k for k in dflat if k not in nflat]
+    params = unflatten_params(out)
+
+    # cls-branch hidden-stack rescue: when nc changes the c3 width, the
+    # generic pass above reinits the whole cv3 branch; keep the donor's
+    # pretrained dw/pw stack and reinit ONLY the final class conv.
+    if "det" in donor and "det" in params \
+            and donor_num_classes(donor) != new_cfg.num_classes:
+        s = yolo11.Spec(new_cfg)
+        kg = L.KeyGen(k_out)
+        nc = new_cfg.num_classes
+        for i, dcv in enumerate(donor["det"]["cv3"]):
+            if dcv["pw0"]["w"].shape[2] != s.head_ch[i]:
+                continue        # donor scale differs at this level: keep fresh
+            c3d = int(dcv["pw1"]["w"].shape[-1])
+            new_out = L.head_conv_init(kg, c3d, nc, 1, pd)
+            new_out["b"] = jnp.full(
+                (nc,), math.log(5 / nc / (640 / s.strides[i]) ** 2), pd)
+            params["det"]["cv3"][i] = {
+                kk: jax.tree.map(lambda x: jnp.asarray(x, pd), dcv[kk])
+                for kk in ("dw0", "pw0", "dw1", "pw1")
+            }
+            params["det"]["cv3"][i]["out"] = new_out
+            pre = f"det/cv3/{i}/"
+            rescued = [k for k in reinit
+                       if k.startswith(pre) and not k.startswith(pre + "out")]
+            copied.extend(rescued)
+            reinit = [k for k in reinit if k not in rescued]
+
+    report = {"copied": len(copied), "reinit": sorted(reinit),
+              "dropped": sorted(dropped)}
+    return params, report

@@ -125,8 +125,13 @@ class Trainer:
         state = ts.init_train_state(jax.random.key(t.seed), self.cfg,
                                     self.optimizer)
         if self._init_params is not None:
+            # transfer-grafted trees can differ in hidden widths (e.g. the
+            # rescued cls stack keeps the donor's c3), so the optimizer
+            # state must be built FROM the injected params, not the fresh
+            # init tree
             state = ts.TrainState(params=self._init_params,
-                                  opt_state=state.opt_state,
+                                  opt_state=self.optimizer.init(
+                                      self._init_params),
                                   step=state.step)
         path = self._ckpt_path()
         if resume and path and os.path.exists(path):
