@@ -74,16 +74,20 @@ def test_obb_training_learns_rotated_box():
         return out["boxes_xywhr"][0, i]
 
     iou0 = probiou_numpy(best_box(state.params), gt)
-    losses = []
+    losses, box_losses = [], []
     for _ in range(60):
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
+        box_losses.append(float(m["box"]))
     assert np.isfinite(losses).all(), losses
     iou1 = probiou_numpy(best_box(state.params), gt)
-    # measured trajectory (dbg, r3): 0.02 -> ~0.8 by step 60 once DFL
-    # bootstraps extents and probIoU pulls the angle
+    # measured trajectory (r3, ROTATED assigner): probIoU 0.02 -> ~0.97 by
+    # step 60 (0.999 by 120) once DFL bootstraps extents and probIoU pulls
+    # the angle; total loss peaks ~step 20 (rotated candidacy admits TAL
+    # positives, soft cls targets inflate the denominator) then falls
     assert iou1 > max(0.5, iou0 + 0.2), (iou0, iou1)
-    assert losses[-1] < losses[9], losses
+    assert losses[-1] < max(losses) * 0.85, losses
+    assert box_losses[-1] < max(box_losses) * 0.3, box_losses
 
     # end-to-end: the trained model through the REAL compiled pipeline +
     # rotated-AP scorer (the task-family `val`). 60 steps localize well

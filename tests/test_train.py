@@ -433,3 +433,140 @@ def test_grad_accum_matches_single_microbatch():
     with pytest.raises(ValueError, match="divisible"):
         step3 = ts.make_train_step(cfg, opt, use_remat=False, grad_accum=3)
         step3(ts.init_train_state(jax.random.key(0), cfg, opt), doubled)
+
+
+def test_bf16_training_grads_flow_and_match_f32():
+    """dtype='bfloat16' training end to end. The stock lax conv with
+    preferred_element_type=f32 is NOT reverse-differentiable when operands
+    are bf16 (the transpose rule meets an f32 cotangent against bf16
+    weights); conv2d_f32acc/convT2x_f32acc's custom VJPs fix that. Pin:
+    (a) grads exist, are finite and nonzero through every head, and
+    (b) the bf16 gradient points the same way as the f32 gradient
+    (cosine similarity — the mixed-precision contract)."""
+    rng = np.random.default_rng(7)
+    batch = _batch(rng)
+
+    def loss_for(dtype):
+        cfg = ModelConfig(scale="n", input_size=(64, 64), dtype=dtype)
+        params = yolo11.init_params(jax.random.key(0), cfg)
+
+        def f(p):
+            out = yolo11.forward_train(p, batch["images"], cfg)
+            loss, _ = L.detection_loss(
+                out, {k: batch[k] for k in ("boxes_xywh", "labels", "masks")},
+                cfg)
+            return loss
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    loss_bf, g_bf = loss_for("bfloat16")
+    loss_f32, g_f32 = loss_for("float32")
+    assert np.isfinite(float(loss_bf))
+    # losses agree to bf16 tolerance
+    assert float(loss_bf) == pytest.approx(float(loss_f32), rel=0.05)
+    for key in ("b0", "det", "proto", "seg_cv4"):
+        sub = jax.tree.leaves(g_bf[key])
+        assert all(np.isfinite(np.asarray(g)).all() for g in sub), key
+        assert any(float(jnp.abs(g).max()) > 0 for g in sub), key
+    va = np.concatenate([np.asarray(x, np.float64).ravel()
+                         for x in jax.tree.leaves(g_bf)])
+    vb = np.concatenate([np.asarray(x, np.float64).ravel()
+                         for x in jax.tree.leaves(g_f32)])
+    cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    assert cos > 0.98, cos
+
+
+def test_rotated_tal_matches_numpy_reference():
+    """The ROTATED assigner (OBB: anchor-in-rotated-rect candidacy +
+    probIoU alignment metric — RotatedTaskAlignedAssigner semantics) vs
+    an independent loop-based numpy reimplementation using the scalar
+    probiou_numpy oracle."""
+    import jax.numpy as jnp
+
+    from xrseg_tpu.models.yolo11 import make_anchors
+    from xrseg_tpu.ops.nms import probiou_numpy
+
+    cfg = _cfg().model if hasattr(_cfg(), "model") else _cfg()
+    rng = np.random.default_rng(1)
+    anchors, strides = make_anchors(cfg.input_size)
+    centers = np.asarray(anchors) * np.asarray(strides)
+    A, nc = centers.shape[0], cfg.num_classes
+    G = 5
+    gt_rb = np.stack([rng.uniform(16, 48, G), rng.uniform(16, 48, G),
+                      rng.uniform(10, 40, G), rng.uniform(6, 20, G),
+                      rng.uniform(-np.pi / 2, np.pi / 2, G)],
+                     -1).astype(np.float32)
+    gt_labels = rng.integers(0, nc, G).astype(np.int32)
+    gt_labels[-1] = -1
+    pred_rb = (gt_rb[rng.integers(0, G, A)]
+               + rng.normal(0, 2, (A, 5))).astype(np.float32)
+    pred_rb[:, 2:4] = np.abs(pred_rb[:, 2:4]) + 2
+    cls_logits = rng.normal(0, 1, (A, nc)).astype(np.float32)
+    # AABB carrier (shape only — the rotated path must not read values)
+    gt_ab = np.zeros((G, 4), np.float32)
+
+    out = L.assign_targets_tal(
+        jnp.asarray(pred_rb[:, :4]), jnp.asarray(cls_logits),
+        jnp.asarray(gt_ab), jnp.asarray(gt_labels), cfg, topk=10,
+        gt_rboxes=jnp.asarray(gt_rb), pred_rboxes=jnp.asarray(pred_rb))
+
+    # ---- independent numpy reference (loops) ----
+    iou = np.zeros((A, G), np.float32)
+    for g in range(G):
+        for a in range(A):
+            iou[a, g] = max(probiou_numpy(pred_rb[a], gt_rb[g]), 0.0)
+    probs = 1.0 / (1.0 + np.exp(-cls_logits))
+    alpha, beta, topk, eps = 0.5, 6.0, 10, 1e-9
+    metric = np.zeros((A, G), np.float32)
+    for g in range(G):
+        if gt_labels[g] < 0:
+            continue
+        c, s = np.cos(gt_rb[g, 4]), np.sin(gt_rb[g, 4])
+        d = centers - gt_rb[g, :2]
+        du = d[:, 0] * c + d[:, 1] * s
+        dv = -d[:, 0] * s + d[:, 1] * c
+        inside = ((np.abs(du) < gt_rb[g, 2] / 2)
+                  & (np.abs(dv) < gt_rb[g, 3] / 2))
+        metric[:, g] = np.where(
+            inside, probs[:, gt_labels[g]] ** alpha * iou[:, g] ** beta, 0)
+    cand = np.zeros((A, G), bool)
+    for g in range(G):
+        kth = np.sort(metric[:, g])[-topk]
+        cand[:, g] = (metric[:, g] >= kth) & (metric[:, g] > 0)
+    fg_ref = cand.any(1)
+    gt_idx_ref = np.zeros(A, np.int64)
+    for a in range(A):
+        if fg_ref[a]:
+            gt_idx_ref[a] = int(np.argmax(np.where(cand[a], iou[a], -1.0)))
+    ts_ref = np.zeros((A, nc), np.float32)
+    assigned = np.zeros((A, G), bool)
+    for a in range(A):
+        if fg_ref[a]:
+            assigned[a, gt_idx_ref[a]] = cand[a, gt_idx_ref[a]]
+    for g in range(G):
+        pos = assigned[:, g]
+        if not pos.any():
+            continue
+        mmax, omax = metric[pos, g].max(), iou[pos, g].max()
+        for a in np.where(pos)[0]:
+            ts_ref[a, gt_labels[g]] = metric[a, g] * omax / (mmax + eps)
+
+    np.testing.assert_array_equal(np.asarray(out["fg"]), fg_ref)
+    np.testing.assert_array_equal(np.asarray(out["gt_idx"])[fg_ref],
+                                  gt_idx_ref[fg_ref])
+    np.testing.assert_allclose(np.asarray(out["target_scores"]), ts_ref,
+                               atol=2e-5)
+    assert fg_ref.sum() > 0
+    # a strongly rotated thin GT must recruit anchors its AABB would not:
+    # at least one positive anchor center lies OUTSIDE the rotated rect's
+    # axis-aligned circumscription test for some other GT — weaker sanity:
+    # candidacy actually used rotation (inside counts differ from AABB)
+    g0 = int(np.argmax(np.abs(np.sin(2 * gt_rb[:G - 1, 4]))
+                       * (gt_rb[:G - 1, 2] / gt_rb[:G - 1, 3])))
+    c, s = np.cos(gt_rb[g0, 4]), np.sin(gt_rb[g0, 4])
+    d = centers - gt_rb[g0, :2]
+    du, dv = d[:, 0] * c + d[:, 1] * s, -d[:, 0] * s + d[:, 1] * c
+    rot_in = (np.abs(du) < gt_rb[g0, 2] / 2) & (np.abs(dv) < gt_rb[g0, 3] / 2)
+    w_ab = gt_rb[g0, 2] * abs(c) + gt_rb[g0, 3] * abs(s)
+    h_ab = gt_rb[g0, 2] * abs(s) + gt_rb[g0, 3] * abs(c)
+    ab_in = ((np.abs(d[:, 0]) < w_ab / 2) & (np.abs(d[:, 1]) < h_ab / 2))
+    assert rot_in.sum() < ab_in.sum()      # rotation tightens candidacy

@@ -16,6 +16,7 @@ Param trees are plain nested dicts so they shard/serialize trivially.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Tuple
 
@@ -57,19 +58,54 @@ def conv_init(kg: KeyGen, c1: int, c2: int, k: int = 1, groups: int = 1,
     return {"w": w, "b": b}
 
 
+def _conv2d_f32acc_primal(x, w, strides, padding, groups):
+    return lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv2d_f32acc(x, w, strides, padding, groups):
+    """Low-precision conv with f32 accumulation (preferred_element_type),
+    made reverse-differentiable.
+
+    JAX cannot transpose a conv whose output dtype differs from its
+    operands (the f32 cotangent meets bf16 weights in the transposed
+    conv), so bf16 TRAINING through the stock call dies with a dtype
+    error. The custom VJP keeps the exact f32-accumulating forward (same
+    HLO — inference is untouched) and routes gradients through the
+    same-dtype conv with the cotangent cast to the operand dtype: the
+    standard mixed-precision recipe (bf16 grads, f32 master weights
+    upstream in the optimizer)."""
+    return _conv2d_f32acc_primal(x, w, strides, padding, groups)
+
+
+def _conv2d_f32acc_fwd(x, w, strides, padding, groups):
+    return _conv2d_f32acc_primal(x, w, strides, padding, groups), (x, w)
+
+
+def _conv2d_f32acc_bwd(strides, padding, groups, res, g):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda a, b: lax.conv_general_dilated(
+            a, b, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups), x, w)
+    return vjp(g.astype(x.dtype))
+
+
+conv2d_f32acc.defvjp(_conv2d_f32acc_fwd, _conv2d_f32acc_bwd)
+
+
 def conv_apply(p: Params, x: jax.Array, *, stride: int = 1, groups: int = 1,
                act: bool = True, dtype=jnp.bfloat16) -> jax.Array:
     """Conv2d + (folded-BN) bias + SiLU. x: [B,H,W,C]. w: [k,k,Cin/g,Cout]."""
     k = p["w"].shape[0]
     pad = autopad(k)
-    y = lax.conv_general_dilated(
-        x.astype(dtype), p["w"].astype(dtype),
-        window_strides=(stride, stride),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    )
+    y = conv2d_f32acc(x.astype(dtype), p["w"].astype(dtype),
+                      (stride, stride), ((pad, pad), (pad, pad)), groups)
     y = y + p["b"].astype(jnp.float32)
     if act:
         y = jax.nn.silu(y)
@@ -113,11 +149,8 @@ def conv0_s2d_apply(p: Params, x: jax.Array, *, act: bool = True,
                     if 0 <= ky < 3 and 0 <= kx < 3:
                         wp = wp.at[KY, KX, py, px].set(w[ky, kx])
     wp = wp.reshape(2, 2, 4 * C, O)
-    y = lax.conv_general_dilated(
-        xs.astype(dtype), wp.astype(dtype), window_strides=(1, 1),
-        padding=((1, 0), (1, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+    y = conv2d_f32acc(xs.astype(dtype), wp.astype(dtype),
+                      (1, 1), ((1, 0), (1, 0)), 1)
     y = y + p["b"].astype(jnp.float32)
     if act:
         y = jax.nn.silu(y)
@@ -229,9 +262,12 @@ def sppf_init(kg: KeyGen, c1: int, c2: int, param_dtype=jnp.float32) -> Params:
 
 def _maxpool_same(x: jax.Array, k: int) -> jax.Array:
     pad = k // 2
+    # init must be -inf (representable in bf16 too): a finite min keeps
+    # the window max from matching JAX's differentiable-maxpool rule, and
+    # bf16 TRAINING then dies in linearization (fallback rule can't
+    # reverse-differentiate reduce_window)
     return lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        lax.max, (1, k, k, 1), (1, 1, 1, 1),
+        x, -jnp.inf, lax.max, (1, k, k, 1), (1, 1, 1, 1),
         ((0, 0), (pad, pad), (pad, pad), (0, 0)))
 
 
@@ -346,16 +382,44 @@ def proto_init(kg: KeyGen, c1: int, c_: int = 256, nm: int = 32,
     return p
 
 
+def _convT2x_primal(y, wt):
+    return lax.conv_transpose(
+        y, wt, strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def convT2x_f32acc(y, wt):
+    """k=2 s=2 transposed conv with f32 accumulation, differentiable in
+    low precision (same cotangent-cast VJP as conv2d_f32acc)."""
+    return _convT2x_primal(y, wt)
+
+
+def _convT2x_fwd(y, wt):
+    return _convT2x_primal(y, wt), (y, wt)
+
+
+def _convT2x_bwd(res, g):
+    y, wt = res
+    _, vjp = jax.vjp(
+        lambda a, b: lax.conv_transpose(
+            a, b, strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True), y, wt)
+    return vjp(g.astype(y.dtype))
+
+
+convT2x_f32acc.defvjp(_convT2x_fwd, _convT2x_bwd)
+
+
 def proto_apply(p: Params, x: jax.Array, *, dtype=jnp.bfloat16) -> jax.Array:
     y = conv_apply(p["cv1"], x, dtype=dtype)
     # Transposed conv k=2 s=2 (exact x2 upsample, each pixel -> learned 2x2).
     # up_w is [kH,kW,I,O]; transpose_kernel=True + [kH,kW,O,I] gives exact
     # torch ConvTranspose2d semantics (gradient-of-conv: flipped + IO-swapped).
-    y = lax.conv_transpose(
-        y.astype(dtype), jnp.swapaxes(p["up_w"], 2, 3).astype(dtype),
-        strides=(2, 2), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
-        preferred_element_type=jnp.float32)
+    y = convT2x_f32acc(y.astype(dtype),
+                       jnp.swapaxes(p["up_w"], 2, 3).astype(dtype))
     y = (y + p["up_b"].astype(jnp.float32)).astype(dtype)
     y = conv_apply(p["cv2"], y, dtype=dtype)
     return conv_apply(p["cv3"], y, dtype=dtype)

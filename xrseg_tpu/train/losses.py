@@ -91,7 +91,9 @@ def assign_targets_tal(pred_boxes: jax.Array, cls_logits: jax.Array,
                        cfg: ModelConfig, topk: int = 10,
                        alpha: float = 0.5, beta: float = 6.0,
                        eps: float = 1e-9,
-                       input_hw: Optional[Tuple[int, int]] = None
+                       input_hw: Optional[Tuple[int, int]] = None,
+                       gt_rboxes: Optional[jax.Array] = None,
+                       pred_rboxes: Optional[jax.Array] = None
                        ) -> Dict[str, jax.Array]:
     """Task-aligned assignment for one image (the assigner the YOLO11
     family trains with; semantics of ultralytics' TaskAlignedAssigner):
@@ -111,23 +113,48 @@ def assign_targets_tal(pred_boxes: jax.Array, cls_logits: jax.Array,
     assigner's inputs): the alignment metric's s^0.5 / iou^6 / max-ratio
     chains have exploding gradients near zero metric — training on real
     hardware NaN'd within ~30 steps before this stop_gradient.
+
+    gt_rboxes [G,5] + pred_rboxes [A,5] (OBB): the ROTATED assigner
+    (ultralytics RotatedTaskAlignedAssigner): candidacy tests the anchor
+    center against the rotated rectangle (projection onto the box axes)
+    and the alignment metric uses probIoU of the rotated boxes — the
+    axis-aligned `gt_boxes` are then unused except as the [G,4] shape
+    carrier.
     """
     pred_boxes = jax.lax.stop_gradient(pred_boxes)
     cls_logits = jax.lax.stop_gradient(cls_logits)
     anchors, strides = make_anchors(input_hw or cfg.input_size)
     centers = jnp.asarray(anchors) * jnp.asarray(strides)        # [A,2]
     valid_gt = gt_labels >= 0                                    # [G]
-    gx, gy, gw, gh = (gt_boxes[:, i] for i in range(4))
-    x1, x2 = gx - gw / 2, gx + gw / 2
-    y1, y2 = gy - gh / 2, gy + gh / 2
-    inside = ((centers[:, 0:1] > x1[None]) & (centers[:, 0:1] < x2[None]) &
-              (centers[:, 1:2] > y1[None]) & (centers[:, 1:2] < y2[None]) &
-              valid_gt[None])                                    # [A,G]
+    if gt_rboxes is not None:
+        # rotated containment: |(p-c)·u| < w/2, |(p-c)·v| < h/2 with
+        # u/v the box axes
+        gt_rboxes = jax.lax.stop_gradient(gt_rboxes)
+        pred_rboxes = jax.lax.stop_gradient(pred_rboxes)
+        d = centers[:, None, :] - gt_rboxes[None, :, :2]         # [A,G,2]
+        ca, sa = jnp.cos(gt_rboxes[:, 4]), jnp.sin(gt_rboxes[:, 4])
+        du = d[..., 0] * ca[None] + d[..., 1] * sa[None]         # [A,G]
+        dv = -d[..., 0] * sa[None] + d[..., 1] * ca[None]
+        inside = ((jnp.abs(du) < gt_rboxes[None, :, 2] / 2) &
+                  (jnp.abs(dv) < gt_rboxes[None, :, 3] / 2) &
+                  valid_gt[None])                                # [A,G]
+    else:
+        gx, gy, gw, gh = (gt_boxes[:, i] for i in range(4))
+        x1, x2 = gx - gw / 2, gx + gw / 2
+        y1, y2 = gy - gh / 2, gy + gh / 2
+        inside = ((centers[:, 0:1] > x1[None]) & (centers[:, 0:1] < x2[None]) &
+                  (centers[:, 1:2] > y1[None]) & (centers[:, 1:2] < y2[None]) &
+                  valid_gt[None])                                # [A,G]
 
     probs = jax.nn.sigmoid(cls_logits.astype(jnp.float32))       # [A,nc]
     s = probs[:, jnp.clip(gt_labels, 0)]                         # [A,G]
-    iou = jax.vmap(lambda g: jnp.maximum(ciou(pred_boxes, g[None]), 0.0),
-                   out_axes=1)(gt_boxes)                         # [A,G]
+    if gt_rboxes is not None:
+        from xrseg_tpu.ops.nms import probiou
+        iou = jnp.maximum(
+            probiou(pred_rboxes[:, None, :], gt_rboxes[None, :, :]), 0.0)
+    else:
+        iou = jax.vmap(lambda g: jnp.maximum(ciou(pred_boxes, g[None]), 0.0),
+                       out_axes=1)(gt_boxes)                     # [A,G]
     metric = jnp.where(inside, (s ** alpha) * (iou ** beta), 0.0)
 
     # top-k candidates per GT (over anchors). Gate on metric > 0 rather
@@ -203,10 +230,11 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
     strides_j = jnp.asarray(strides)
 
     def single(out_b, tgt_b):
-        # OBB targets arrive as rotated boxes [G,5]; assignment and the
-        # cls branch run on the circumscribed axis-aligned rectangles
-        # (documented approximation of ultralytics' rotated assigner),
-        # regression runs on the rotated boxes via probIoU below.
+        # OBB targets arrive as rotated boxes [G,5]; the TAL assigner runs
+        # ROTATED (anchor-in-rotated-rect candidacy + probIoU metric, the
+        # RotatedTaskAlignedAssigner semantics); the circumscribed
+        # axis-aligned rectangles remain only for the legacy center
+        # assigner and as the [G,4] shape carrier.
         is_obb = "boxes_xywhr" in tgt_b
         if is_obb:
             rbx = tgt_b["boxes_xywhr"]
@@ -219,7 +247,11 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
         if assigner == "tal":
             a = assign_targets_tal(out_b["boxes_xywh"], out_b["cls_logits"],
                                    tgt_b["boxes_xywh"], tgt_b["labels"], cfg,
-                                   input_hw=input_hw)
+                                   input_hw=input_hw,
+                                   gt_rboxes=(tgt_b["boxes_xywhr"]
+                                              if is_obb else None),
+                                   pred_rboxes=(out_b["boxes_xywhr"]
+                                                if is_obb else None))
             cls_tgt = a["target_scores"]                         # [A,nc] soft
             w = cls_tgt.sum(-1)                                  # aligned wt
             denom = jnp.maximum(cls_tgt.sum(), 1.0)
