@@ -64,6 +64,10 @@ def main() -> int:
                     help="force the CPU backend (e.g. for smoke tests)")
     ap.add_argument("--tb", default=None, metavar="DIR",
                     help="TensorBoard scalar logdir ('auto' = <out>/tb)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype (params stay f32 master weights; "
+                         "bfloat16 halves conv HBM traffic on TPU)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -76,7 +80,7 @@ def main() -> int:
 
     cfg = ModelConfig(scale=args.scale, task=args.task,
                       input_size=(args.size, args.size),
-                      num_classes=args.classes, dtype="float32")
+                      num_classes=args.classes, dtype=args.dtype)
 
     if args.synthetic:
         train_ds = D.SyntheticShapesDataset(n=256, hw=(args.size, args.size),

@@ -114,6 +114,10 @@ def main() -> int:
                     help="microbatches per optimizer step")
     ap.add_argument("--tb", default=None, metavar="DIR",
                     help="TensorBoard scalar logdir ('auto' = <ckpt>/tb)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype (params stay f32 master weights; "
+                         "bfloat16 halves conv HBM traffic on TPU)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -140,7 +144,7 @@ def main() -> int:
                                         max_objects=1)
             ncls = args.classes or 2
         # model stores (K, 3); D=2 label files synthesize vis=1 on load
-        cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
+        cfg = ModelConfig(scale="n", input_size=hw, dtype=args.dtype,
                           task="pose", kpt_shape=(kpt[0], 3),
                           num_classes=ncls)
         collate = lambda samples: D.collate_pose(samples, hw)
@@ -152,7 +156,7 @@ def main() -> int:
             ds = D.SyntheticOBBDataset(n=args.n_samples, hw=hw,
                                        max_objects=1)
             ncls = args.classes or 2
-        cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
+        cfg = ModelConfig(scale="n", input_size=hw, dtype=args.dtype,
                           task="obb", num_classes=ncls)
         collate = lambda samples: D.collate_obb(samples, hw)
     else:
@@ -162,7 +166,7 @@ def main() -> int:
         else:
             ds = D.SyntheticClassifyDataset(n=args.n_samples, hw=hw)
             ncls = args.classes or 3
-        cfg = ModelConfig(scale="n", input_size=hw, dtype="float32",
+        cfg = ModelConfig(scale="n", input_size=hw, dtype=args.dtype,
                           task="classify", num_classes=ncls)
         collate = lambda samples: D.collate_classify(samples, hw)
 
