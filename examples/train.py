@@ -20,8 +20,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", help="train dataset dir (YOLO format)")
+    ap.add_argument("--data", help="train dataset dir (YOLO format; or "
+                    "COCO images dir with --ann)")
+    ap.add_argument("--ann", default=None, metavar="JSON",
+                    help="COCO instances annotations for --data (and "
+                         "--val-ann for --val)")
     ap.add_argument("--val", help="validation dataset dir")
+    ap.add_argument("--val-ann", default=None, metavar="JSON")
     ap.add_argument("--synthetic", action="store_true",
                     help="use the procedural shapes dataset")
     ap.add_argument("--scale", default="n", choices=list("nsmlx"))
@@ -91,8 +96,11 @@ def main() -> int:
     else:
         if not args.data:
             ap.error("--data or --synthetic required")
-        train_ds = D.YoloDataset(args.data)
-        val_ds = D.YoloDataset(args.val) if args.val else None
+        train_ds = (D.CocoDataset(args.ann, args.data) if args.ann
+                    else D.YoloDataset(args.data))
+        val_ds = (None if not args.val
+                  else D.CocoDataset(args.val_ann, args.val)
+                  if args.val_ann else D.YoloDataset(args.val))
 
     params = None
     if args.weights:

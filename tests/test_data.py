@@ -57,6 +57,70 @@ def test_yolo_dataset_layout(tmp_path):
     assert s["labels"].tolist() == [5]
 
 
+def test_coco_dataset(tmp_path):
+    """CocoDataset speaks the Sample contract from real COCO instances
+    JSON: sorted-category-id remap (the coco91->80 convention), bbox
+    xywh->normalized cxcywh, largest polygon ring kept, iscrowd and
+    degenerate boxes excluded, Loader/trainer interop."""
+    import json
+
+    from PIL import Image
+    Image.fromarray(np.zeros((48, 64, 3), np.uint8)).save(tmp_path / "a.png")
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(tmp_path / "b.png")
+    big = [8, 8, 40, 8, 40, 28, 8, 28]            # 32x20 rect ring
+    tiny = [0, 0, 2, 0, 2, 2]                     # area 2 ring
+    coco = {
+        "images": [{"id": 10, "file_name": "a.png", "width": 64,
+                    "height": 48},
+                   {"id": 11, "file_name": "b.png", "width": 32,
+                    "height": 32}],
+        # non-contiguous ids, unsorted on purpose -> 1:0, 3:1, 17:2
+        "categories": [{"id": 17, "name": "dog"}, {"id": 1, "name": "cat"},
+                       {"id": 3, "name": "cow"}],
+        "annotations": [
+            {"image_id": 10, "category_id": 3, "bbox": [8, 8, 32, 20],
+             "segmentation": [tiny, big], "iscrowd": 0},
+            {"image_id": 10, "category_id": 17, "bbox": [0, 0, 16, 16],
+             "segmentation": [], "iscrowd": 0},
+            {"image_id": 10, "category_id": 1, "bbox": [0, 0, 0, 16],
+             "iscrowd": 0},                        # degenerate: dropped
+            {"image_id": 10, "category_id": 1,
+             "bbox": [0, 0, 10, 10], "iscrowd": 1,
+             "segmentation": {"counts": [0, 100], "size": [48, 64]}},
+        ],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(coco))
+
+    ds = D.CocoDataset(str(tmp_path / "ann.json"), str(tmp_path))
+    assert len(ds) == 2
+    assert ds.class_names == ["cat", "cow", "dog"]
+
+    s = ds[0]
+    assert s["image"].shape == (48, 64, 3)
+    assert s["labels"].tolist() == [1, 2]          # cow, dog (crowd+degen out)
+    np.testing.assert_allclose(
+        s["boxes"][0], [24 / 64, 18 / 48, 32 / 64, 20 / 48], atol=1e-6)
+    # largest ring kept, normalized
+    np.testing.assert_allclose(s["polys"][0][:, 0].max(), 40 / 64, atol=1e-6)
+    assert s["polys"][1] is None                   # bbox-only instance
+    # rasterized mask matches the polygon extent at proto res
+    m = D.rasterize_mask(s["polys"][0], s["boxes"][0], (48, 64))
+    assert m[18, 24] == 1.0 and m[2, 2] == 0.0
+
+    s1 = ds[1]                                     # image with no annots
+    assert s1["boxes"].shape == (0, 4) and len(s1["polys"]) == 0
+
+    # interop: the training Loader consumes it directly
+    cfg = ModelConfig(scale="n", input_size=(32, 32), dtype="float32",
+                      num_classes=3)
+    loader = D.Loader(ds, cfg, batch=2, max_gt=4, seed=0,
+                      aug=D.AugmentConfig(mosaic=0.0, scale=0.0,
+                                          translate=0.0, hsv=False))
+    b = next(iter(loader.epoch(0)))
+    assert b["images"].shape == (2, 32, 32, 3)
+    assert b["labels"].shape == (2, 4)
+
+
 # ---------------------------------------------------------------------------
 # augmentation geometry
 # ---------------------------------------------------------------------------

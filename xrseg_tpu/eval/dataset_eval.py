@@ -91,7 +91,12 @@ def _main() -> int:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", required=True,
-                    help="YOLO-format dataset dir (or 'synthetic')")
+                    help="dataset images dir (YOLO-format without --ann; "
+                         "with --ann, the COCO images dir) or 'synthetic'")
+    ap.add_argument("--ann", default=None, metavar="JSON",
+                    help="COCO instances annotation file "
+                         "(e.g. instances_val2017.json); --data is then "
+                         "the images directory")
     ap.add_argument("--weights", help=".sentis/.onnx/.npz/orbax weights")
     ap.add_argument("--scale", default="n", choices=list("nsmlx"))
     ap.add_argument("--task", default="segment",
@@ -124,6 +129,8 @@ def _main() -> int:
     if args.data == "synthetic":
         ds = D.SyntheticShapesDataset(n=32, hw=(args.size, args.size),
                                       n_classes=min(3, args.classes))
+    elif args.ann:
+        ds = D.CocoDataset(args.ann, args.data)
     else:
         ds = D.YoloDataset(args.data)
 

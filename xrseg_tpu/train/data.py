@@ -124,6 +124,97 @@ class YoloDataset:
                 "polys": polys}
 
 
+class CocoDataset:
+    """COCO instances-JSON dataset (the val2017 annotation format), stdlib
+    json only — the missing piece between this framework's eval/train
+    harness and real COCO ground truth (docs/ROADMAP.md "Parity/quality").
+
+    Speaks the same Sample contract as YoloDataset: {image uint8 [H,W,3],
+    boxes [N,4] cxcywh normalized, labels [N] contiguous class indices,
+    polys list of [P,2] normalized | None}, so it plugs into
+    `evaluate_dataset`, `Trainer.fit`, and the eval CLI unchanged:
+
+        python -m xrseg_tpu.eval --data val2017/ \\
+            --ann annotations/instances_val2017.json --weights w.sentis
+
+    Category ids map to contiguous indices by SORTED category id —
+    ultralytics' coco91-to-80 convention (COCO ids 1..90 with gaps ->
+    0..79), so a model trained on ultralytics COCO labels scores
+    directly. Per instance the bbox is authoritative ([x,y,w,h] absolute
+    -> cxcywh normalized); segmentation polygons ride along for mask GT
+    (multi-part instances use the largest-area part — rasterize_mask
+    takes one polygon; the bbox is unaffected). iscrowd=1 annotations
+    (RLE regions) are excluded, the standard training treatment; COCO
+    eval would treat them as ignore regions, which `eval.metrics` does
+    not model — scores on crowd-heavy scenes read slightly low.
+    """
+
+    def __init__(self, ann_json: str, images_dir: str):
+        import json
+
+        with open(ann_json) as f:
+            coco = json.load(f)
+        self.cat_index: Dict[int, int] = {
+            c["id"]: i
+            for i, c in enumerate(sorted(coco.get("categories", []),
+                                         key=lambda c: c["id"]))}
+        self.class_names: List[str] = [
+            c["name"] for c in sorted(coco.get("categories", []),
+                                      key=lambda c: c["id"])]
+        self._images: List[Dict] = sorted(coco["images"],
+                                          key=lambda im: im["id"])
+        self._dir = images_dir
+        self._anns: Dict[int, List[Dict]] = {}
+        for a in coco.get("annotations", []):
+            if a.get("iscrowd", 0):
+                continue
+            self._anns.setdefault(a["image_id"], []).append(a)
+        if not self._images:
+            raise FileNotFoundError(f"no images listed in {ann_json!r}")
+
+    def __len__(self) -> int:
+        return len(self._images)
+
+    def __getitem__(self, i: int) -> Sample:
+        from PIL import Image
+        info = self._images[i % len(self._images)]
+        path = os.path.join(self._dir, info["file_name"])
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        H, W = img.shape[:2]
+        boxes, labels, polys = [], [], []
+        for a in self._anns.get(info["id"], []):
+            x, y, w, h = a["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
+            labels.append(self.cat_index[a["category_id"]])
+            seg = a.get("segmentation")
+            poly = None
+            if isinstance(seg, list) and seg:
+                # polygon format: list of flat [x1,y1,...] rings; keep the
+                # largest-area ring (shoelace) for the single-poly contract
+                best, best_area = None, -1.0
+                for ring in seg:
+                    p = np.asarray(ring, np.float32).reshape(-1, 2)
+                    if len(p) < 3:
+                        continue
+                    q = np.roll(p, -1, 0)      # shoelace
+                    area = abs(float(
+                        (p[:, 0] * q[:, 1] - q[:, 0] * p[:, 1]).sum())) / 2
+                    if area > best_area:
+                        best, best_area = p, area
+                if best is not None:
+                    poly = best / (W, H)
+            polys.append(poly)
+        if not boxes:
+            return {"image": img,
+                    "boxes": np.zeros((0, 4), np.float32),
+                    "labels": np.zeros((0,), np.int32), "polys": []}
+        return {"image": img,
+                "boxes": np.asarray(boxes, np.float32),
+                "labels": np.asarray(labels, np.int32), "polys": polys}
+
+
 class SyntheticShapesDataset:
     """Procedural stand-in with exact GT (circles/rectangles on noise) —
     the dataset analogue of SyntheticCameraSource: lets the full training
