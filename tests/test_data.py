@@ -107,8 +107,16 @@ def test_coco_dataset(tmp_path):
     m = D.rasterize_mask(s["polys"][0], s["boxes"][0], (48, 64))
     assert m[18, 24] == 1.0 and m[2, 2] == 0.0
 
+    # crowd region rides along as an ignore entry (COCO eval semantics),
+    # never in the trainable arrays; its RLE decodes at native res
+    assert s["ignore_boxes"].shape == (1, 4)
+    assert s["ignore_labels"].tolist() == [0]      # cat
+    assert s["ignore_masks"][0].shape == (48, 64)
+    assert s["ignore_masks"][0].sum() == 100       # counts [0,100]
+
     s1 = ds[1]                                     # image with no annots
     assert s1["boxes"].shape == (0, 4) and len(s1["polys"]) == 0
+    assert "ignore_boxes" not in s1
 
     # interop: the training Loader consumes it directly
     cfg = ModelConfig(scale="n", input_size=(32, 32), dtype="float32",

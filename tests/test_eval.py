@@ -145,3 +145,99 @@ def test_rotated_box_ap():
                                box_xywhr=bad)], gts))
     r2 = evaluate(rot, similarity="rbox")
     assert r2["AP50"] == 0.0
+
+
+def test_crowd_ignore_regions():
+    """COCO iscrowd semantics: a detection whose only overlap is an
+    ignore GT is dropped from scoring (neither TP nor FP); crowd overlap
+    is intersection-over-DETECTION-area; crowds are never consumed and
+    never count as GT."""
+    gt_real = GroundTruth(np.asarray([10.0, 10, 4, 4], np.float32), 0)
+    crowd = GroundTruth(np.asarray([25.0, 25, 10, 10], np.float32), 0,
+                        ignore=True)
+    d_tp = Detection(np.asarray([10.0, 10, 4, 4], np.float32), 0, 0.90)
+    # fully inside the crowd (inter/det_area = 1.0), HIGHEST score: would
+    # cap AP at 0.5 if counted as FP
+    d_crowd = Detection(np.asarray([24.0, 24, 3, 3], np.float32), 0, 0.95)
+    d_crowd2 = Detection(np.asarray([27.0, 27, 3, 3], np.float32), 0, 0.93)
+
+    r = evaluate([([d_crowd, d_crowd2, d_tp], [gt_real, crowd])])
+    assert r["AP50"] == pytest.approx(1.0)     # both crowd dets ignored
+
+    # same dets with the crowd ABSENT: the two extras become FPs
+    r2 = evaluate([([d_crowd, d_crowd2, d_tp], [gt_real])])
+    assert r2["AP50"] == pytest.approx(1.0 / 3.0, abs=0.01)
+
+    # crowd of a DIFFERENT class does not shield the detection
+    crowd_other = GroundTruth(crowd.box_xywh, 1, ignore=True)
+    r3 = evaluate([([d_crowd, d_tp], [gt_real, crowd_other])])
+    assert r3["AP50"] < 1.0
+
+    # a det overlapping crowd by under the threshold stays an FP:
+    # inter/det_area = (2*4)/(6*6) ≈ 0.22 < 0.5
+    d_edge = Detection(np.asarray([19.0, 24, 6, 6], np.float32), 0, 0.94)
+    r4 = evaluate([([d_edge, d_tp], [gt_real, crowd])])
+    assert r4["AP50"] < 1.0
+
+    # mask-form crowd: ignore region as pixels, det mask area rules
+    h = w = 40
+    cm = np.zeros((h, w), bool)
+    cm[20:30, 20:30] = True
+    dm = np.zeros((h, w), bool)
+    dm[22:25, 22:25] = True
+    gm_real = np.zeros((h, w), bool)
+    gm_real[8:12, 8:12] = True
+    crowd_m = GroundTruth(crowd.box_xywh, 0, mask=cm, ignore=True)
+    gt_m = GroundTruth(gt_real.box_xywh, 0, mask=gm_real)
+    d_m_tp = Detection(gt_real.box_xywh, 0, 0.9, mask=gm_real)
+    d_m_crowd = Detection(np.asarray([23.0, 23, 3, 3], np.float32), 0,
+                          0.95, mask=dm)
+    rm = evaluate([([d_m_crowd, d_m_tp], [gt_m, crowd_m])],
+                  similarity="mask")
+    assert rm["AP50"] == pytest.approx(1.0)
+
+
+def test_decode_coco_rle():
+    """Uncompressed counts list and mask-API compressed string both
+    decode; column-major order; round-trip against a reference encoder."""
+    from xrseg_tpu.train.data import decode_coco_rle
+
+    # hand case: 3x3, column-major runs [1,2,3,3] -> F-order flat
+    m = decode_coco_rle({"size": [3, 3], "counts": [1, 2, 3, 3]})
+    flat = m.T.reshape(-1)             # back to column-major
+    np.testing.assert_array_equal(
+        flat, [0, 1, 1, 0, 0, 0, 1, 1, 1])
+
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(size=(17, 23)) > 0.6
+
+    def encode_counts(mask):
+        f = mask.T.reshape(-1).astype(np.int8)
+        edges = np.flatnonzero(np.diff(f)) + 1
+        runs = np.diff(np.concatenate([[0], edges, [len(f)]]))
+        if f[0] == 1:                  # must start with a zero-run
+            runs = np.concatenate([[0], runs])
+        return runs.tolist()
+
+    counts = encode_counts(ref)
+    np.testing.assert_array_equal(
+        decode_coco_rle({"size": list(ref.shape), "counts": counts}), ref)
+
+    def compress(counts):              # pycocotools rleToString
+        s = []
+        for i, x in enumerate(counts):
+            if i > 2:
+                x -= counts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = (x != -1) if (c & 0x10) else (x != 0)
+                if more:
+                    c |= 0x20
+                s.append(chr(c + 48))
+        return "".join(s)
+
+    comp = compress(counts)
+    np.testing.assert_array_equal(
+        decode_coco_rle({"size": list(ref.shape), "counts": comp}), ref)

@@ -75,6 +75,21 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
                 gts.append(GroundTruth(bx.astype(np.float32),
                                        int(s["labels"][g]), m))
             n_gt += len(gts)
+            # COCO iscrowd regions (CocoDataset): ignore-matched, never
+            # counted as GT
+            for g in range(len(s.get("ignore_boxes", ()))):
+                bx = s["ignore_boxes"][g] * (W, H, W, H)
+                im = s["ignore_masks"][g]
+                if im is not None:      # nearest-resample to proto res
+                    ih, iw = im.shape
+                    yy = np.minimum((np.arange(mh) + 0.5) * ih // mh,
+                                    ih - 1).astype(int)
+                    xx = np.minimum((np.arange(mw) + 0.5) * iw // mw,
+                                    iw - 1).astype(int)
+                    im = im[yy][:, xx]
+                gts.append(GroundTruth(bx.astype(np.float32),
+                                       int(s["ignore_labels"][g]), im,
+                                       ignore=True))
             per_image.append((dets, gts))
     box = evaluate(per_image, use_mask=False)
     out = {"box_mAP": box["mAP"], "box_AP50": box["AP50"],

@@ -31,6 +31,9 @@ class GroundTruth:
     mask: Optional[np.ndarray] = None
     kpts: Optional[np.ndarray] = None
     box_xywhr: Optional[np.ndarray] = None
+    # COCO iscrowd/ignore region: detections matching it are dropped from
+    # scoring (neither TP nor FP); never counts toward n_gt
+    ignore: bool = False
 
 
 def box_iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
@@ -81,19 +84,44 @@ def _similarity(d: Detection, g: GroundTruth, sim: str) -> float:
     return box_iou_xywh(d.box_xywh, g.box_xywh)
 
 
+def _crowd_similarity(d: Detection, g: GroundTruth, sim: str) -> float:
+    """COCO crowd overlap: intersection over DETECTION area (the crowd
+    region is not consumed and its own area does not dilute the ratio).
+    Mask form when both masks exist, else the box form."""
+    if sim == "mask" and d.mask is not None and g.mask is not None:
+        dm = np.asarray(d.mask, bool)
+        gm = np.asarray(g.mask, bool)
+        da = dm.sum()
+        return float(np.logical_and(dm, gm).sum()) / da if da else 0.0
+    a, b = d.box_xywh, g.box_xywh
+    iw = max(0.0, min(a[0] + a[2] / 2, b[0] + b[2] / 2)
+             - max(a[0] - a[2] / 2, b[0] - b[2] / 2))
+    ih = max(0.0, min(a[1] + a[3] / 2, b[1] + b[3] / 2)
+             - max(a[1] - a[3] / 2, b[1] - b[3] / 2))
+    da = a[2] * a[3]
+    return iw * ih / da if da > 0 else 0.0
+
+
 def _match_image(dets: Sequence[Detection], gts: Sequence[GroundTruth],
-                 iou_thr: float, sim: str) -> Tuple[np.ndarray, int]:
+                 iou_thr: float, sim: str
+                 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Greedy matching (COCO protocol): detections by descending score, each
     takes the highest-similarity unmatched same-class GT. sim: "box" |
     "mask" | "oks" (pose, OKS thresholds in place of IoU) | "rbox" (obb,
-    probIoU). Returns (tp flags aligned with score-sorted dets, n_gt)."""
+    probIoU). GTs with ignore=True (COCO iscrowd) are matched LAST, by
+    intersection-over-detection-area, are never consumed, and matching one
+    removes the detection from scoring. Returns (tp flags, keep flags —
+    both aligned with score-sorted dets — and n_gt over non-ignore GT)."""
     order = np.argsort([-d.score for d in dets], kind="stable")
-    matched = [False] * len(gts)
+    real = [g for g in gts if not g.ignore]
+    crowds = [g for g in gts if g.ignore]
+    matched = [False] * len(real)
     tp = np.zeros(len(dets), bool)
+    keep = np.ones(len(dets), bool)
     for oi, di in enumerate(order):
         d = dets[di]
         best, best_iou = -1, iou_thr
-        for gi, g in enumerate(gts):
+        for gi, g in enumerate(real):
             if matched[gi] or g.label != d.label:
                 continue
             iou = _similarity(d, g, sim)
@@ -102,7 +130,13 @@ def _match_image(dets: Sequence[Detection], gts: Sequence[GroundTruth],
         if best >= 0:
             matched[best] = True
             tp[oi] = True
-    return tp, len(gts)
+            continue
+        for g in crowds:
+            if g.label == d.label and \
+                    _crowd_similarity(d, g, sim) >= iou_thr:
+                keep[oi] = False      # ignored: neither TP nor FP
+                break
+    return tp, keep, len(real)
 
 
 def average_precision(scores: np.ndarray, tps: np.ndarray, n_gt: int) -> float:
@@ -138,7 +172,8 @@ def evaluate(per_image: Sequence[Tuple[Sequence[Detection], Sequence[GroundTruth
     Returns {"mAP": mean over IoU thresholds and classes, "AP50", "AP75"}.
     """
     sim = similarity or ("mask" if use_mask else "box")
-    classes = sorted({g.label for _, gts in per_image for g in gts})
+    classes = sorted({g.label for _, gts in per_image for g in gts
+                      if not g.ignore})
     ap_per_thr: Dict[float, List[float]] = {t: [] for t in iou_thresholds}
     for cls in classes:
         for thr in iou_thresholds:
@@ -146,10 +181,11 @@ def evaluate(per_image: Sequence[Tuple[Sequence[Detection], Sequence[GroundTruth
             for dets, gts in per_image:
                 cd = [d for d in dets if d.label == cls]
                 cg = [g for g in gts if g.label == cls]
-                tp, ng = _match_image(cd, cg, thr, sim)
+                tp, kept, ng = _match_image(cd, cg, thr, sim)
                 order = np.argsort([-d.score for d in cd], kind="stable")
-                scores += [cd[i].score for i in order]
-                tps += list(tp)
+                scores += [cd[i].score for oi, i in enumerate(order)
+                           if kept[oi]]
+                tps += [t for t, k in zip(tp, kept) if k]
                 n_gt += ng
             if n_gt:
                 ap_per_thr[thr].append(average_precision(

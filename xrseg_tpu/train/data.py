@@ -124,6 +124,40 @@ class YoloDataset:
                 "polys": polys}
 
 
+def decode_coco_rle(rle: Dict) -> np.ndarray:
+    """COCO RLE {counts, size:[h,w]} -> bool [h,w]. Column-major runs
+    starting with zeros. counts may be the uncompressed int list (how the
+    official annotation files store iscrowd regions) or the mask-API
+    compressed string (6-bit chunks offset by 48, bit 5 continuation,
+    bit 4 sign, values delta-coded from the 3rd on)."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        s = counts.decode() if isinstance(counts, bytes) else counts
+        vals, pos = [], 0
+        while pos < len(s):
+            x, k, more = 0, 0, True
+            while more:
+                c = ord(s[pos]) - 48
+                x |= (c & 0x1F) << (5 * k)
+                more = bool(c & 0x20)
+                pos += 1
+                k += 1
+                if not more and (c & 0x10):
+                    x |= -1 << (5 * k)
+            if len(vals) > 2:
+                x += vals[-2]
+            vals.append(x)
+        counts = vals
+    flat = np.zeros(h * w, bool)
+    i, val = 0, False
+    for c in counts:
+        flat[i:i + c] = val
+        i += c
+        val = not val
+    return flat.reshape(w, h).T        # column-major
+
+
 class CocoDataset:
     """COCO instances-JSON dataset (the val2017 annotation format), stdlib
     json only — the missing piece between this framework's eval/train
@@ -165,10 +199,10 @@ class CocoDataset:
                                           key=lambda im: im["id"])
         self._dir = images_dir
         self._anns: Dict[int, List[Dict]] = {}
+        self._crowds: Dict[int, List[Dict]] = {}
         for a in coco.get("annotations", []):
-            if a.get("iscrowd", 0):
-                continue
-            self._anns.setdefault(a["image_id"], []).append(a)
+            dst = self._crowds if a.get("iscrowd", 0) else self._anns
+            dst.setdefault(a["image_id"], []).append(a)
         if not self._images:
             raise FileNotFoundError(f"no images listed in {ann_json!r}")
 
@@ -206,13 +240,29 @@ class CocoDataset:
                 if best is not None:
                     poly = best / (W, H)
             polys.append(poly)
-        if not boxes:
-            return {"image": img,
-                    "boxes": np.zeros((0, 4), np.float32),
-                    "labels": np.zeros((0,), np.int32), "polys": []}
-        return {"image": img,
-                "boxes": np.asarray(boxes, np.float32),
-                "labels": np.asarray(labels, np.int32), "polys": polys}
+        # COCO iscrowd regions: ignore-matched by the evaluator (never
+        # trained on — the augment pipeline only reads boxes/labels/polys)
+        ig_boxes, ig_labels, ig_masks = [], [], []
+        for a in self._crowds.get(info["id"], []):
+            x, y, w, h = a["bbox"]
+            ig_boxes.append([(x + w / 2) / W, (y + h / 2) / H,
+                             max(w, 1e-6) / W, max(h, 1e-6) / H])
+            ig_labels.append(self.cat_index[a["category_id"]])
+            seg = a.get("segmentation")
+            ig_masks.append(decode_coco_rle(seg)
+                            if isinstance(seg, dict) and "counts" in seg
+                            else None)
+        out: Sample = {"image": img,
+                       "boxes": (np.asarray(boxes, np.float32) if boxes
+                                 else np.zeros((0, 4), np.float32)),
+                       "labels": (np.asarray(labels, np.int32) if boxes
+                                  else np.zeros((0,), np.int32)),
+                       "polys": polys}
+        if ig_boxes:
+            out["ignore_boxes"] = np.asarray(ig_boxes, np.float32)
+            out["ignore_labels"] = np.asarray(ig_labels, np.int32)
+            out["ignore_masks"] = ig_masks
+        return out
 
 
 class SyntheticShapesDataset:
