@@ -77,6 +77,9 @@ def main() -> int:
                     help="ultralytics-format dataset dir (pose/obb: "
                          "images+labels; classify: folder-per-class). "
                          "Default: synthetic exact-GT data")
+    ap.add_argument("--ann", default=None, metavar="JSON",
+                    help="pose: COCO person_keypoints annotations; "
+                         "--data is then the images directory")
     ap.add_argument("--classes", type=int, default=None,
                     help="num classes (default: synthetic preset, or "
                          "inferred from --data labels)")
@@ -136,7 +139,11 @@ def main() -> int:
     hw = (args.size, args.size)
     if args.task == "pose":
         kpt = tuple(args.kpt_shape or ((17, 3) if args.data else (5, 3)))
-        if args.data:
+        if args.data and args.ann:
+            ds = D.CocoPoseDataset(args.ann, args.data)
+            kpt = ds.kpt_shape
+            ncls = args.classes or len(ds.class_names) or 1
+        elif args.data:
             ds = D.YoloPoseDataset(args.data, kpt_shape=kpt)
             ncls = args.classes or _infer_classes(ds, 1)
         else:

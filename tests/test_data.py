@@ -129,6 +129,83 @@ def test_coco_dataset(tmp_path):
     assert b["labels"].shape == (2, 4)
 
 
+def _write_coco_fixture(tmp_path, with_kpts=False):
+    import json
+
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+                    ).save(tmp_path / "a.png")
+    cat = {"id": 1, "name": "person"}
+    ann = {"image_id": 10, "category_id": 1, "bbox": [8, 8, 32, 20],
+           "segmentation": [[8, 8, 40, 8, 40, 28, 8, 28]], "iscrowd": 0}
+    if with_kpts:
+        cat["keypoints"] = ["a", "b", "c"]
+        cat["skeleton"] = [[1, 2], [2, 3]]
+        ann["keypoints"] = [10, 10, 2, 20, 18, 1, 0, 0, 0]
+        ann["num_keypoints"] = 2
+    coco = {"images": [{"id": 10, "file_name": "a.png", "width": 64,
+                        "height": 48}],
+            "categories": [cat], "annotations": [ann]}
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps(coco))
+    return str(p), str(tmp_path)
+
+
+def test_coco_pose_dataset(tmp_path):
+    ann, root = _write_coco_fixture(tmp_path, with_kpts=True)
+    ds = D.CocoPoseDataset(ann, root)
+    assert ds.kpt_shape == (3, 3)
+    s = ds[0]
+    assert s["kpts"].shape == (1, 3, 3)
+    np.testing.assert_allclose(s["kpts"][0, 0],
+                               [10 / 64, 10 / 48, 2], atol=1e-6)
+    np.testing.assert_allclose(s["kpts"][0, 2], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(
+        s["boxes"][0], [24 / 64, 18 / 48, 32 / 64, 20 / 48], atol=1e-6)
+
+
+def test_encode_coco_rle_round_trip():
+    rng = np.random.default_rng(3)
+    for m in (rng.uniform(size=(13, 9)) > 0.5, np.zeros((5, 7), bool),
+              np.ones((4, 4), bool)):
+        rle = D.encode_coco_rle(m)
+        assert isinstance(rle["counts"], str)
+        np.testing.assert_array_equal(D.decode_coco_rle(rle), m)
+
+
+def test_coco_results_dump(tmp_path):
+    """evaluate_dataset --dump: standard COCO results JSON in original-
+    image pixels with compressed-RLE masks, scoreable by external
+    pycocotools (category/image ids from the dataset's COCO mapping)."""
+    import json
+
+    import jax
+
+    from xrseg_tpu.eval.dataset_eval import evaluate_dataset
+    from xrseg_tpu.config import ModelConfig
+    from xrseg_tpu.testing import detection_params
+
+    ann, root = _write_coco_fixture(tmp_path)
+    ds = D.CocoDataset(ann, root)
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                      num_classes=1)
+    params = detection_params(jax.random.key(0), cfg)
+    out = evaluate_dataset(cfg, params, ds, batch=1,
+                           score_threshold=0.3,
+                           coco_dump=str(tmp_path / "res.json"))
+    rows = json.load(open(tmp_path / "res.json"))
+    assert out["dumped"] == len(rows) > 0
+    for r in rows:
+        assert r["image_id"] == 10
+        assert r["category_id"] == 1               # COCO id, not index 0
+        x, y, w, h = r["bbox"]                     # original 64x48 pixels
+        assert 0 <= x <= 64 and 0 <= y <= 48 and w > 0 and h > 0
+        assert 0 < r["score"] <= 1
+        m = D.decode_coco_rle(r["segmentation"])
+        assert m.shape == (48, 64)                 # original image res
+
+
 # ---------------------------------------------------------------------------
 # augmentation geometry
 # ---------------------------------------------------------------------------

@@ -27,13 +27,20 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
                      max_detections: int = 50,
                      max_images: Optional[int] = None,
                      batch: int = 8,
-                     pipe=None) -> Dict[str, float]:
+                     pipe=None,
+                     coco_dump: Optional[str] = None) -> Dict[str, float]:
     """mAP of `params` through the deployed pipeline on `dataset`'s GT.
 
     Returns {box_mAP, box_AP50, box_AP75, mask_mAP?, n_images, n_gt}.
     The mAP-standard low score gate (0.05) keeps the PR curve intact; pass
     the deployed gate (0.301) to measure what the XR scene would show.
     A prebuilt `pipe` (CompiledPipeline) skips compilation.
+
+    coco_dump: path to ALSO write the detections as a standard COCO
+    results JSON (boxes in original-image [x,y,w,h] pixels, masks as
+    compressed RLE) — directly scoreable by external pycocotools against
+    the source annotations. Category/image ids come from the dataset's
+    cat_ids/image_id (CocoDataset) when present, else label/index.
     """
     import jax
 
@@ -56,6 +63,7 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
     n = len(dataset) if max_images is None else min(len(dataset),
                                                     max_images)
     per_image = []
+    dump_rows = [] if coco_dump else None
     n_gt = 0
     for b0 in range(0, n, batch):
         idx = range(b0, min(b0 + batch, n))
@@ -66,6 +74,9 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
         det = jax.device_get(pipe(frames))
         for j, s in enumerate(raw):
             dets = detections_from_slate(det, j, input_size=(H, W))
+            if dump_rows is not None:
+                dump_rows += _coco_rows(dets, dataset, b0 + j,
+                                        s["image"].shape[:2], (H, W))
             gts = []
             for g in range(len(s["labels"])):
                 bx = s["boxes"][g] * (W, H, W, H)
@@ -97,7 +108,44 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
     if any(d.mask is not None for dets, _ in per_image for d in dets):
         mask = evaluate(per_image, use_mask=True)
         out.update({"mask_mAP": mask["mAP"], "mask_AP50": mask["AP50"]})
+    if dump_rows is not None:
+        import json
+        with open(coco_dump, "w") as f:
+            json.dump(dump_rows, f)
+        out["dumped"] = len(dump_rows)
     return out
+
+
+def _coco_rows(dets, dataset, index: int, orig_hw, input_hw) -> list:
+    """Detections (input-pixel space) -> COCO results rows in
+    original-image pixels, masks as compressed RLE at original res."""
+    from xrseg_tpu.train.data import encode_coco_rle
+    oh, ow = int(orig_hw[0]), int(orig_hw[1])
+    H, W = input_hw
+    sx, sy = ow / W, oh / H
+    img_id = (dataset.image_id(index)
+              if hasattr(dataset, "image_id") else index)
+    cat_ids = getattr(dataset, "cat_ids", None)
+    rows = []
+    for d in dets:
+        cx, cy, w, h = (float(v) for v in d.box_xywh)
+        # clip to the image (ultralytics convention for results files)
+        x1 = min(max((cx - w / 2) * sx, 0.0), ow)
+        y1 = min(max((cy - h / 2) * sy, 0.0), oh)
+        x2 = min(max((cx + w / 2) * sx, 0.0), ow)
+        y2 = min(max((cy + h / 2) * sy, 0.0), oh)
+        row = {"image_id": img_id,
+               "category_id": (cat_ids[d.label] if cat_ids else d.label),
+               "bbox": [round(x1, 2), round(y1, 2),
+                        round(x2 - x1, 2), round(y2 - y1, 2)],
+               "score": round(float(d.score), 5)}
+        if d.mask is not None:
+            mh, mw = d.mask.shape
+            yy = np.minimum((np.arange(oh) * mh) // oh, mh - 1)
+            xx = np.minimum((np.arange(ow) * mw) // ow, mw - 1)
+            row["segmentation"] = encode_coco_rle(d.mask[yy][:, xx])
+        rows.append(row)
+    return rows
 
 
 def _main() -> int:
@@ -122,6 +170,9 @@ def _main() -> int:
     ap.add_argument("--score", type=float, default=0.05)
     ap.add_argument("--iou", type=float, default=0.6)
     ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--dump", default=None, metavar="JSON",
+                    help="also write detections as a COCO results JSON "
+                         "(scoreable by external pycocotools)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -151,7 +202,8 @@ def _main() -> int:
 
     out = evaluate_dataset(cfg, params, ds, score_threshold=args.score,
                            iou_threshold=args.iou,
-                           max_images=args.max_images, batch=args.batch)
+                           max_images=args.max_images, batch=args.batch,
+                           coco_dump=args.dump)
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in out.items()}))
     return 0

@@ -158,6 +158,32 @@ def decode_coco_rle(rle: Dict) -> np.ndarray:
     return flat.reshape(w, h).T        # column-major
 
 
+def encode_coco_rle(mask: np.ndarray) -> Dict:
+    """bool [h,w] -> COCO RLE {size, counts: compressed string} (the
+    mask-API rleToString form pycocotools loads directly) — inverse of
+    decode_coco_rle; round-trip pinned in tests."""
+    mask = np.asarray(mask, bool)
+    h, w = mask.shape
+    f = mask.T.reshape(-1).astype(np.int8)         # column-major
+    edges = np.flatnonzero(np.diff(f)) + 1
+    runs = np.diff(np.concatenate([[0], edges, [len(f)]])).tolist()
+    if len(f) and f[0] == 1:
+        runs = [0] + runs
+    s = []
+    for i, x in enumerate(runs):
+        if i > 2:
+            x -= runs[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            s.append(chr(c + 48))
+    return {"size": [h, w], "counts": "".join(s)}
+
+
 class CocoDataset:
     """COCO instances-JSON dataset (the val2017 annotation format), stdlib
     json only — the missing piece between this framework's eval/train
@@ -195,6 +221,7 @@ class CocoDataset:
         self.class_names: List[str] = [
             c["name"] for c in sorted(coco.get("categories", []),
                                       key=lambda c: c["id"])]
+        self.cat_ids: List[int] = sorted(self.cat_index)   # index -> COCO id
         self._images: List[Dict] = sorted(coco["images"],
                                           key=lambda im: im["id"])
         self._dir = images_dir
@@ -208,6 +235,10 @@ class CocoDataset:
 
     def __len__(self) -> int:
         return len(self._images)
+
+    def image_id(self, i: int) -> int:
+        """COCO image id of sample i (for results-JSON export)."""
+        return int(self._images[i % len(self._images)]["id"])
 
     def __getitem__(self, i: int) -> Sample:
         from PIL import Image
@@ -263,6 +294,65 @@ class CocoDataset:
             out["ignore_labels"] = np.asarray(ig_labels, np.int32)
             out["ignore_masks"] = ig_masks
         return out
+
+
+class CocoPoseDataset:
+    """COCO person_keypoints-JSON dataset (val2017 keypoint format) for
+    the pose task: same JSON machinery as CocoDataset, samples speak the
+    SyntheticPoseDataset/YoloPoseDataset contract ({image, boxes, labels,
+    kpts [N,K,3]}, all normalized; visibility kept as COCO's 0/1/2 — the
+    loss and OKS eval treat v>0 as labeled). kpt count K comes from the
+    category's `keypoints` list (COCO person: 17). iscrowd excluded."""
+
+    def __init__(self, ann_json: str, images_dir: str):
+        self._base = CocoDataset(ann_json, images_dir)
+        import json
+
+        with open(ann_json) as f:
+            cats = json.load(f).get("categories", [])
+        ks = [len(c.get("keypoints", [])) for c in cats
+              if c.get("keypoints")]
+        self.kpt_shape: Tuple[int, int] = ((ks[0], 3) if ks else (17, 3))
+        self.cat_index = self._base.cat_index
+        self.class_names = self._base.class_names
+        self.cat_ids = self._base.cat_ids
+
+    def __len__(self) -> int:
+        return len(self._base)
+
+    def image_id(self, i: int) -> int:
+        return self._base.image_id(i)
+
+    def __getitem__(self, i: int) -> Sample:
+        from PIL import Image
+        info = self._base._images[i % len(self._base._images)]
+        path = os.path.join(self._base._dir, info["file_name"])
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        H, W = img.shape[:2]
+        K = self.kpt_shape[0]
+        boxes, labels, kpts = [], [], []
+        for a in self._base._anns.get(info["id"], []):
+            x, y, w, h = a["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            k = np.asarray(a.get("keypoints", [0.0] * (K * 3)),
+                           np.float32).reshape(-1, 3)[:K]
+            if len(k) < K:
+                k = np.concatenate(
+                    [k, np.zeros((K - len(k), 3), np.float32)])
+            k[:, 0] /= W
+            k[:, 1] /= H
+            boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
+            labels.append(self._base.cat_index[a["category_id"]])
+            kpts.append(k)
+        if not boxes:
+            return {"image": img,
+                    "boxes": np.zeros((0, 4), np.float32),
+                    "labels": np.zeros((0,), np.int32),
+                    "kpts": np.zeros((0, K, 3), np.float32)}
+        return {"image": img, "boxes": np.asarray(boxes, np.float32),
+                "labels": np.asarray(labels, np.int32),
+                "kpts": np.stack(kpts)}
 
 
 class SyntheticShapesDataset:
