@@ -80,6 +80,10 @@ def main() -> int:
     ap.add_argument("--ann", default=None, metavar="JSON",
                     help="pose: COCO person_keypoints annotations; "
                          "--data is then the images directory")
+    ap.add_argument("--dump", default=None, metavar="JSON",
+                    help="pose with --eval: also write detections as a "
+                         "COCO keypoint-results JSON (for external "
+                         "pycocotools OKS scoring)")
     ap.add_argument("--classes", type=int, default=None,
                     help="num classes (default: synthetic preset, or "
                          "inferred from --data labels)")
@@ -252,7 +256,9 @@ def main() -> int:
         r = evaluate_task_dataset(cfg, params, ds,
                                   max_images=args.eval,
                                   batch=min(4, args.eval),
-                                  score_threshold=0.005)
+                                  score_threshold=0.005,
+                                  coco_dump=(args.dump if args.task ==
+                                             "pose" else None))
         print("eval:", {k: (round(v, 4) if isinstance(v, float) else v)
                         for k, v in r.items()})
 

@@ -219,12 +219,18 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
                           max_detections: int = 50,
                           max_images: Optional[int] = None,
                           batch: int = 4,
-                          pipe=None) -> Dict[str, float]:
+                          pipe=None,
+                          coco_dump: Optional[str] = None
+                          ) -> Dict[str, float]:
     """Task-family `val`: pose (OKS keypoint AP), obb (probIoU rotated
     AP), classify (top-1 accuracy) of `params` through the REAL compiled
     pipeline on a dataset speaking the task's Sample contract
     (SyntheticPoseDataset / SyntheticOBBDataset / SyntheticClassifyDataset
-    or equivalents)."""
+    or equivalents).
+
+    coco_dump (pose only): ALSO write a standard COCO keypoint-results
+    JSON ({image_id, category_id, keypoints: [x,y,v...], score} in
+    original-image pixels) for external pycocotools OKS scoring."""
     import jax
 
     from xrseg_tpu.compile import build_pipeline
@@ -259,6 +265,7 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
         return {"top1_acc": correct / max(n, 1), "n_images": n}
 
     per_image = []
+    dump_rows = [] if coco_dump else None
     n_gt = 0
     for b0 in range(0, n, batch):
         idx = range(b0, min(b0 + batch, n))
@@ -277,6 +284,10 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
                         int(det["labels"][j][i]),
                         float(det["scores"][j][i]),
                         kpts=np.asarray(det["kpts"][j][i], np.float32)))
+                if dump_rows is not None:
+                    dump_rows += _coco_kpt_rows(
+                        dets, dataset, b0 + j, s["image"].shape[:2],
+                        (H, W))
                 for g in range(len(s["labels"])):
                     bx = (s["boxes"][g] * (W, H, W, H)).astype(np.float32)
                     k = np.asarray(s["kpts"][g], np.float32).copy()
@@ -303,5 +314,32 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
     sim = "oks" if cfg.task == "pose" else "rbox"
     r = evaluate(per_image, similarity=sim)
     key = "oks" if cfg.task == "pose" else "rbox"
-    return {f"{key}_mAP": r["mAP"], f"{key}_AP50": r["AP50"],
-            "n_images": n, "n_gt": n_gt}
+    out = {f"{key}_mAP": r["mAP"], f"{key}_AP50": r["AP50"],
+           "n_images": n, "n_gt": n_gt}
+    if dump_rows is not None:
+        import json
+        with open(coco_dump, "w") as f:
+            json.dump(dump_rows, f)
+        out["dumped"] = len(dump_rows)
+    return out
+
+
+def _coco_kpt_rows(dets, dataset, index: int, orig_hw, input_hw) -> list:
+    """Pose detections -> COCO keypoint-results rows (original pixels)."""
+    oh, ow = int(orig_hw[0]), int(orig_hw[1])
+    H, W = input_hw
+    sx, sy = ow / W, oh / H
+    img_id = (dataset.image_id(index)
+              if hasattr(dataset, "image_id") else index)
+    cat_ids = getattr(dataset, "cat_ids", None)
+    rows = []
+    for d in dets:
+        k = np.asarray(d.kpts, np.float64).copy()
+        k[:, 0] *= sx
+        k[:, 1] *= sy
+        rows.append({
+            "image_id": img_id,
+            "category_id": (cat_ids[d.label] if cat_ids else d.label),
+            "keypoints": [round(float(v), 2) for v in k.reshape(-1)],
+            "score": round(float(d.score), 5)})
+    return rows
