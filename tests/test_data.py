@@ -153,16 +153,31 @@ def _write_coco_fixture(tmp_path, with_kpts=False):
 
 
 def test_coco_pose_dataset(tmp_path):
+    import json
+
     ann, root = _write_coco_fixture(tmp_path, with_kpts=True)
+    # add a num_keypoints==0 person: pycocotools marks these IGNORE
+    # (about half of val2017's person boxes) — counting them as GT would
+    # permanently cap OKS recall
+    coco = json.loads(open(ann).read())
+    coco["annotations"].append(
+        {"image_id": 10, "category_id": 1, "bbox": [2, 2, 10, 10],
+         "keypoints": [0] * 9, "num_keypoints": 0, "iscrowd": 0})
+    open(ann, "w").write(json.dumps(coco))
+
     ds = D.CocoPoseDataset(ann, root)
     assert ds.kpt_shape == (3, 3)
     s = ds[0]
-    assert s["kpts"].shape == (1, 3, 3)
+    assert s["kpts"].shape == (1, 3, 3)            # labeled person only
     np.testing.assert_allclose(s["kpts"][0, 0],
                                [10 / 64, 10 / 48, 2], atol=1e-6)
     np.testing.assert_allclose(s["kpts"][0, 2], [0, 0, 0], atol=1e-6)
     np.testing.assert_allclose(
         s["boxes"][0], [24 / 64, 18 / 48, 32 / 64, 20 / 48], atol=1e-6)
+    assert s["ignore_boxes"].shape == (1, 4)       # the kpt-less person
+    np.testing.assert_allclose(
+        s["ignore_boxes"][0], [7 / 64, 7 / 48, 10 / 64, 10 / 48],
+        atol=1e-6)
 
 
 def test_encode_coco_rle_round_trip():

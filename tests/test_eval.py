@@ -174,7 +174,7 @@ def test_crowd_ignore_regions():
     assert r3["AP50"] < 1.0
 
     # a det overlapping crowd by under the threshold stays an FP:
-    # inter/det_area = (2*4)/(6*6) ≈ 0.22 < 0.5
+    # inter/det_area = (2*6)/(6*6) ≈ 0.33 < 0.5
     d_edge = Detection(np.asarray([19.0, 24, 6, 6], np.float32), 0, 0.94)
     r4 = evaluate([([d_edge, d_tp], [gt_real, crowd])])
     assert r4["AP50"] < 1.0

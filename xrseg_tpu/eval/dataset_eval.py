@@ -128,6 +128,10 @@ def _coco_rows(dets, dataset, index: int, orig_hw, input_hw) -> list:
     cat_ids = getattr(dataset, "cat_ids", None)
     rows = []
     for d in dets:
+        if cat_ids is not None and d.label >= len(cat_ids):
+            continue    # class absent from the annotation file: such a
+            # row would fail pycocotools loadRes (result cat ids must be
+            # a subset of the GT's), and it can only ever score as FP
         cx, cy, w, h = (float(v) for v in d.box_xywh)
         # clip to the image (ultralytics convention for results files)
         x1 = min(max((cx - w / 2) * sx, 0.0), ow)
@@ -295,6 +299,13 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
                     k[:, 1] *= H
                     gts.append(GroundTruth(bx, int(s["labels"][g]),
                                            kpts=k))
+                # iscrowd / num_keypoints==0 ignore regions
+                # (CocoPoseDataset): box-overlap shielded, never GT
+                for g in range(len(s.get("ignore_boxes", ()))):
+                    bx = s["ignore_boxes"][g] * (W, H, W, H)
+                    gts.append(GroundTruth(bx.astype(np.float32),
+                                           int(s["ignore_labels"][g]),
+                                           ignore=True))
             else:                                      # obb
                 for i in range(cnt):
                     rb = np.asarray(det["boxes_xywhr"][j][i], np.float32)
@@ -309,7 +320,7 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
                     rb[3] *= H
                     gts.append(GroundTruth(rb[:4], int(s["labels"][g]),
                                            box_xywhr=rb))
-            n_gt += len(gts)
+            n_gt += sum(not g.ignore for g in gts)
             per_image.append((dets, gts))
     sim = "oks" if cfg.task == "pose" else "rbox"
     r = evaluate(per_image, similarity=sim)
@@ -334,6 +345,8 @@ def _coco_kpt_rows(dets, dataset, index: int, orig_hw, input_hw) -> list:
     cat_ids = getattr(dataset, "cat_ids", None)
     rows = []
     for d in dets:
+        if cat_ids is not None and d.label >= len(cat_ids):
+            continue    # unmapped class: unloadable by pycocotools
         k = np.asarray(d.kpts, np.float64).copy()
         k[:, 0] *= sx
         k[:, 1] *= sy

@@ -204,9 +204,9 @@ class CocoDataset:
     -> cxcywh normalized); segmentation polygons ride along for mask GT
     (multi-part instances use the largest-area part — rasterize_mask
     takes one polygon; the bbox is unaffected). iscrowd=1 annotations
-    (RLE regions) are excluded, the standard training treatment; COCO
-    eval would treat them as ignore regions, which `eval.metrics` does
-    not model — scores on crowd-heavy scenes read slightly low.
+    ride along as ignore_boxes/ignore_labels/ignore_masks (RLE decoded):
+    never trained on, and `evaluate_dataset` feeds them to the matcher
+    as COCO ignore regions per the official protocol.
     """
 
     def __init__(self, ann_json: str, images_dir: str):
@@ -214,13 +214,12 @@ class CocoDataset:
 
         with open(ann_json) as f:
             coco = json.load(f)
+        self._categories: List[Dict] = sorted(coco.get("categories", []),
+                                              key=lambda c: c["id"])
         self.cat_index: Dict[int, int] = {
-            c["id"]: i
-            for i, c in enumerate(sorted(coco.get("categories", []),
-                                         key=lambda c: c["id"]))}
-        self.class_names: List[str] = [
-            c["name"] for c in sorted(coco.get("categories", []),
-                                      key=lambda c: c["id"])]
+            c["id"]: i for i, c in enumerate(self._categories)}
+        self.class_names: List[str] = [c["name"]
+                                       for c in self._categories]
         self.cat_ids: List[int] = sorted(self.cat_index)   # index -> COCO id
         self._images: List[Dict] = sorted(coco["images"],
                                           key=lambda im: im["id"])
@@ -240,19 +239,45 @@ class CocoDataset:
         """COCO image id of sample i (for results-JSON export)."""
         return int(self._images[i % len(self._images)]["id"])
 
-    def __getitem__(self, i: int) -> Sample:
+    def _load_image(self, i: int):
         from PIL import Image
         info = self._images[i % len(self._images)]
         path = os.path.join(self._dir, info["file_name"])
-        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
-        H, W = img.shape[:2]
-        boxes, labels, polys = [], [], []
+        return info, np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+    def _instances(self, info: Dict, W: int, H: int):
+        """Yield (ann, box cxcywh-normalized, label) for each non-crowd,
+        non-degenerate annotation of `info` — the shared walk for the
+        instance and keypoint variants."""
         for a in self._anns.get(info["id"], []):
             x, y, w, h = a["bbox"]
             if w <= 0 or h <= 0:
                 continue
-            boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
-            labels.append(self.cat_index[a["category_id"]])
+            yield (a, [(x + w / 2) / W, (y + h / 2) / H, w / W, h / H],
+                   self.cat_index[a["category_id"]])
+
+    def _ignore_entries(self, info: Dict, W: int, H: int,
+                        with_masks: bool = True):
+        """(boxes, labels, masks) for the image's iscrowd regions."""
+        ig_boxes, ig_labels, ig_masks = [], [], []
+        for a in self._crowds.get(info["id"], []):
+            x, y, w, h = a["bbox"]
+            ig_boxes.append([(x + w / 2) / W, (y + h / 2) / H,
+                             max(w, 1e-6) / W, max(h, 1e-6) / H])
+            ig_labels.append(self.cat_index[a["category_id"]])
+            seg = a.get("segmentation")
+            ig_masks.append(decode_coco_rle(seg)
+                            if with_masks and isinstance(seg, dict)
+                            and "counts" in seg else None)
+        return ig_boxes, ig_labels, ig_masks
+
+    def __getitem__(self, i: int) -> Sample:
+        info, img = self._load_image(i)
+        H, W = img.shape[:2]
+        boxes, labels, polys = [], [], []
+        for a, box, label in self._instances(info, W, H):
+            boxes.append(box)
+            labels.append(label)
             seg = a.get("segmentation")
             poly = None
             if isinstance(seg, list) and seg:
@@ -273,16 +298,7 @@ class CocoDataset:
             polys.append(poly)
         # COCO iscrowd regions: ignore-matched by the evaluator (never
         # trained on — the augment pipeline only reads boxes/labels/polys)
-        ig_boxes, ig_labels, ig_masks = [], [], []
-        for a in self._crowds.get(info["id"], []):
-            x, y, w, h = a["bbox"]
-            ig_boxes.append([(x + w / 2) / W, (y + h / 2) / H,
-                             max(w, 1e-6) / W, max(h, 1e-6) / H])
-            ig_labels.append(self.cat_index[a["category_id"]])
-            seg = a.get("segmentation")
-            ig_masks.append(decode_coco_rle(seg)
-                            if isinstance(seg, dict) and "counts" in seg
-                            else None)
+        ig_boxes, ig_labels, ig_masks = self._ignore_entries(info, W, H)
         out: Sample = {"image": img,
                        "boxes": (np.asarray(boxes, np.float32) if boxes
                                  else np.zeros((0, 4), np.float32)),
@@ -302,16 +318,17 @@ class CocoPoseDataset:
     SyntheticPoseDataset/YoloPoseDataset contract ({image, boxes, labels,
     kpts [N,K,3]}, all normalized; visibility kept as COCO's 0/1/2 — the
     loss and OKS eval treat v>0 as labeled). kpt count K comes from the
-    category's `keypoints` list (COCO person: 17). iscrowd excluded."""
+    category's `keypoints` list (COCO person: 17).
+
+    pycocotools' keypoint eval marks BOTH iscrowd=1 and num_keypoints==0
+    annotations as ignore (an unlabeled person can never be OKS-matched
+    but would cap recall if counted as GT — about half of val2017's
+    person boxes). Both land in ignore_boxes/ignore_labels here."""
 
     def __init__(self, ann_json: str, images_dir: str):
         self._base = CocoDataset(ann_json, images_dir)
-        import json
-
-        with open(ann_json) as f:
-            cats = json.load(f).get("categories", [])
-        ks = [len(c.get("keypoints", [])) for c in cats
-              if c.get("keypoints")]
+        ks = [len(c.get("keypoints", []))
+              for c in self._base._categories if c.get("keypoints")]
         self.kpt_shape: Tuple[int, int] = ((ks[0], 3) if ks else (17, 3))
         self.cat_index = self._base.cat_index
         self.class_names = self._base.class_names
@@ -324,35 +341,40 @@ class CocoPoseDataset:
         return self._base.image_id(i)
 
     def __getitem__(self, i: int) -> Sample:
-        from PIL import Image
-        info = self._base._images[i % len(self._base._images)]
-        path = os.path.join(self._base._dir, info["file_name"])
-        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        info, img = self._base._load_image(i)
         H, W = img.shape[:2]
         K = self.kpt_shape[0]
         boxes, labels, kpts = [], [], []
-        for a in self._base._anns.get(info["id"], []):
-            x, y, w, h = a["bbox"]
-            if w <= 0 or h <= 0:
-                continue
+        ig_boxes, ig_labels, _ = self._base._ignore_entries(
+            info, W, H, with_masks=False)
+        for a, box, label in self._base._instances(info, W, H):
             k = np.asarray(a.get("keypoints", [0.0] * (K * 3)),
                            np.float32).reshape(-1, 3)[:K]
             if len(k) < K:
                 k = np.concatenate(
                     [k, np.zeros((K - len(k), 3), np.float32)])
+            if not (k[:, 2] > 0).any():        # num_keypoints == 0
+                ig_boxes.append(box)
+                ig_labels.append(label)
+                continue
             k[:, 0] /= W
             k[:, 1] /= H
-            boxes.append([(x + w / 2) / W, (y + h / 2) / H, w / W, h / H])
-            labels.append(self._base.cat_index[a["category_id"]])
+            boxes.append(box)
+            labels.append(label)
             kpts.append(k)
-        if not boxes:
-            return {"image": img,
-                    "boxes": np.zeros((0, 4), np.float32),
-                    "labels": np.zeros((0,), np.int32),
-                    "kpts": np.zeros((0, K, 3), np.float32)}
-        return {"image": img, "boxes": np.asarray(boxes, np.float32),
-                "labels": np.asarray(labels, np.int32),
-                "kpts": np.stack(kpts)}
+        out: Sample = {
+            "image": img,
+            "boxes": (np.asarray(boxes, np.float32) if boxes
+                      else np.zeros((0, 4), np.float32)),
+            "labels": (np.asarray(labels, np.int32) if boxes
+                       else np.zeros((0,), np.int32)),
+            "kpts": (np.stack(kpts) if kpts
+                     else np.zeros((0, K, 3), np.float32))}
+        if ig_boxes:
+            out["ignore_boxes"] = np.asarray(ig_boxes, np.float32)
+            out["ignore_labels"] = np.asarray(ig_labels, np.int32)
+            out["ignore_masks"] = [None] * len(ig_boxes)
+        return out
 
 
 class SyntheticShapesDataset:
