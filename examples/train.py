@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/xrseg_run")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-mosaic", action="store_true")
+    ap.add_argument("--mixup", type=float, default=0.0,
+                    help="2-image mixup probability (blend + GT union)")
+    ap.add_argument("--close-mosaic", type=int, default=0, metavar="N",
+                    help="disable mosaic/mixup for the last N epochs")
     ap.add_argument("--copy-paste", type=float, default=0.0,
                     help="per-instance segment copy-paste probability")
     ap.add_argument("--scales", type=int, nargs="+", default=None,
@@ -130,12 +134,13 @@ def main() -> int:
         mesh = mesh_lib.make_mesh((args.mesh, 1))
 
     aug = D.AugmentConfig(mosaic=0.0 if args.no_mosaic else 1.0,
-                          copy_paste=args.copy_paste)
+                          mixup=args.mixup, copy_paste=args.copy_paste)
     scales = (tuple((s, s) for s in args.scales) if args.scales else None)
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, lr=args.lr,
                        max_gt=args.max_gt, aug=aug, ckpt_dir=args.out,
                        scales=scales, fsdp=args.fsdp,
-                       grad_accum=args.grad_accum, tb_dir=args.tb)
+                       grad_accum=args.grad_accum, tb_dir=args.tb,
+                       close_mosaic=args.close_mosaic)
     tr = Trainer(cfg, tcfg, mesh=mesh, params=params)
     tr.fit(train_ds, val_dataset=val_ds, resume=args.resume)
     print(f"done: {len(tr.history)} epochs, checkpoints in {args.out}")

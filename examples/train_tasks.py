@@ -125,6 +125,8 @@ def main() -> int:
                     choices=["float32", "bfloat16"],
                     help="compute dtype (params stay f32 master weights; "
                          "bfloat16 halves conv HBM traffic on TPU)")
+    ap.add_argument("--label-smoothing", type=float, default=0.0,
+                    help="classify: CE target smoothing eps")
     args = ap.parse_args()
 
     if args.cpu:
@@ -196,6 +198,7 @@ def main() -> int:
             warmup_steps=2, use_remat=False, ckpt_dir=args.ckpt,
             val_max_images=args.eval or 8, kpt_flip_idx=flip_idx,
             fsdp=args.fsdp, grad_accum=args.grad_accum, tb_dir=args.tb,
+            label_smoothing=args.label_smoothing,
             aug=D.AugmentConfig(mosaic=0.0, scale=0.0, translate=0.0))
         mesh = None
         if args.fsdp:
@@ -233,9 +236,8 @@ def main() -> int:
         if donor is not None:
             state = ts.TrainState(params=donor, opt_state=opt.init(donor),
                                   step=state.step)
-        step = (ts.make_classify_train_step(cfg, opt)
-                if args.task == "classify"
-                else ts.make_train_step(cfg, opt, use_remat=False))
+        step = ts.make_train_step(cfg, opt, use_remat=False,
+                                  label_smoothing=args.label_smoothing)
 
         t0 = time.perf_counter()
         batch = batch_at(0)

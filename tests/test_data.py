@@ -221,6 +221,50 @@ def test_coco_results_dump(tmp_path):
         assert m.shape == (48, 64)                 # original image res
 
 
+def test_mixup_blends_pixels_and_unions_gt():
+    a = _sample(n=2, seed=0)
+    b = _sample(n=1, seed=1)
+    rng = np.random.default_rng(0)
+    m = D.mixup2(a, b, rng)
+    assert m["boxes"].shape == (3, 4)          # GT union, unweighted
+    assert m["labels"].shape == (3,)
+    assert len(m["polys"]) == 3
+    np.testing.assert_array_equal(m["boxes"][:2], a["boxes"])
+    np.testing.assert_array_equal(m["boxes"][2:], b["boxes"][:1])
+    # pixel blend sits strictly between the sources (Beta(32,32) ~ 0.5)
+    lo = np.minimum(a["image"].astype(int), b["image"].astype(int))
+    hi = np.maximum(a["image"].astype(int), b["image"].astype(int))
+    assert (m["image"].astype(int) >= lo - 1).all()
+    assert (m["image"].astype(int) <= hi + 1).all()
+    assert not np.array_equal(m["image"], a["image"])
+
+    # augment_sample path: mixup=1, mosaic=0 -> two samples' GT
+    aug = D.AugmentConfig(mosaic=0.0, mixup=1.0, hflip=0.0, hsv=False,
+                          scale=0.0, translate=0.0)
+    samples = [_sample(n=1, seed=s) for s in range(4)]
+    out = D.augment_sample(lambda j: samples[j], 0,
+                           np.random.default_rng(5), (64, 48), aug, 4)
+    assert len(out["boxes"]) == 2
+
+
+def test_label_smoothing_mixes_targets():
+    import jax.numpy as jnp
+
+    from xrseg_tpu.train.losses import classification_loss
+    logits = jnp.asarray([[8.0, -8.0, -8.0]])
+    labels = jnp.asarray([0])
+    ce0, _ = classification_loss(logits, labels)
+    ce_s, aux = classification_loss(logits, labels, label_smoothing=0.1)
+    # smoothing charges confident-correct predictions for the mass moved
+    # to the wrong classes
+    assert float(ce_s) > float(ce0)
+    assert float(aux["acc"]) == 1.0
+    # exact value: -( (0.9+0.1/3)*logp[0] + 0.1/3*(logp[1]+logp[2]) )
+    logp = np.log(np.exp([8.0, -8, -8]) / np.exp([8.0, -8, -8]).sum())
+    want = -((0.9 + 0.1 / 3) * logp[0] + 0.1 / 3 * (logp[1] + logp[2]))
+    assert float(ce_s) == pytest.approx(want, rel=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # augmentation geometry
 # ---------------------------------------------------------------------------

@@ -127,3 +127,40 @@ def test_resume_schedule_horizon_extends(tmp_path, monkeypatch):
     # horizon = (1 prior + 1 new) epochs * 2 steps, NOT just 2
     assert captured[-1] == 4
     assert len(tr2.history) == 2
+
+
+def test_close_mosaic_final_epochs(tmp_path, monkeypatch):
+    """close_mosaic=N: the last N epochs train through the un-collaged
+    loader — observable as zero mosaic4 invocations in the final epoch
+    (mosaic probability 1.0 otherwise collages every sample)."""
+    calls_by_epoch = {}
+    current_epoch = [0]
+    real_mosaic4 = D.mosaic4
+
+    def counting_mosaic4(*a, **k):
+        e = current_epoch[0]
+        calls_by_epoch[e] = calls_by_epoch.get(e, 0) + 1
+        return real_mosaic4(*a, **k)
+
+    monkeypatch.setattr(D, "mosaic4", counting_mosaic4)
+
+    class EpochMarkingLoader(D.Loader):
+        def epoch(self, epoch=0):
+            current_epoch[0] = epoch
+            return super().epoch(epoch)
+
+    monkeypatch.setattr(D, "Loader", EpochMarkingLoader)
+
+    cfg = ModelConfig(scale="n", input_size=(64, 64), dtype="float32")
+    ds = D.SyntheticShapesDataset(n=4, hw=(64, 64))
+    tcfg = TrainConfig(epochs=2, batch=2, max_gt=4, lr=1e-3,
+                       warmup_steps=1, log_every=0, use_remat=False,
+                       ema_decay=0.0, close_mosaic=1,
+                       aug=D.AugmentConfig(mosaic=1.0, hsv=False,
+                                           scale=0.0, translate=0.0,
+                                           hflip=0.0))
+    tr = Trainer(cfg, tcfg)
+    hist = tr.fit(ds, verbose=False)
+    assert len(hist) == 2
+    assert calls_by_epoch.get(0, 0) > 0        # epoch 0: mosaic active
+    assert calls_by_epoch.get(1, 0) == 0       # final epoch: closed

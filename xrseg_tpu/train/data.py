@@ -672,6 +672,7 @@ def rasterize_mask(poly: Optional[np.ndarray], box: np.ndarray,
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
     mosaic: float = 1.0          # probability of 4-image mosaic
+    mixup: float = 0.0           # probability of 2-image mixup blend
     hflip: float = 0.5
     hsv: bool = True
     scale: float = 0.4
@@ -680,16 +681,47 @@ class AugmentConfig:
     min_box_px: float = 2.0      # drop GT smaller than this after augment
 
 
+def mixup2(a: Sample, b: Sample, rng: np.random.Generator) -> Sample:
+    """YOLO-style mixup: pixel blend with lambda ~ Beta(32,32) (so ~0.5),
+    GT sets CONCATENATED unweighted (ultralytics semantics — the loss
+    sees both images' objects at full strength). Inputs must share HxW.
+    kpts merge too when both sides carry them (pose)."""
+    lam = float(rng.beta(32.0, 32.0))
+    img = np.clip(lam * a["image"].astype(np.float32)
+                  + (1.0 - lam) * b["image"].astype(np.float32),
+                  0, 255).astype(np.uint8)
+    out: Sample = {
+        "image": img,
+        "boxes": np.concatenate([a["boxes"], b["boxes"]], 0),
+        "labels": np.concatenate([a["labels"], b["labels"]], 0),
+    }
+    if "polys" in a and "polys" in b:
+        out["polys"] = list(a["polys"]) + list(b["polys"])
+    if "kpts" in a and "kpts" in b:
+        out["kpts"] = np.concatenate([a["kpts"], b["kpts"]], 0)
+    return out
+
+
+def _base_sample(get, i: int, rng: np.random.Generator,
+                 input_hw: Tuple[int, int], aug: AugmentConfig,
+                 n_total: int) -> Sample:
+    """mosaic-or-plain base image at input_hw (shared by main + mixup)."""
+    if aug.mosaic > 0 and rng.uniform() < aug.mosaic:
+        idx = [i] + list(rng.integers(0, n_total, 3))
+        return mosaic4([get(j) for j in idx], rng, input_hw)
+    s = get(i)
+    return dict(s, image=_resize_uint8(s["image"], input_hw))
+
+
 def augment_sample(get, i: int, rng: np.random.Generator,
                    input_hw: Tuple[int, int], aug: AugmentConfig,
                    n_total: int) -> Sample:
     """Assemble one augmented sample. `get(j)` fetches raw sample j."""
-    if aug.mosaic > 0 and rng.uniform() < aug.mosaic:
-        idx = [i] + list(rng.integers(0, n_total, 3))
-        s = mosaic4([get(j) for j in idx], rng, input_hw)
-    else:
-        s = get(i)
-        s = dict(s, image=_resize_uint8(s["image"], input_hw))
+    s = _base_sample(get, i, rng, input_hw, aug, n_total)
+    if aug.mixup > 0 and rng.uniform() < aug.mixup:
+        other = _base_sample(get, int(rng.integers(0, n_total)), rng,
+                             input_hw, aug, n_total)
+        s = mixup2(s, other, rng)
     if aug.copy_paste > 0:
         donor = get(int(rng.integers(0, n_total)))
         s = copy_paste(s, donor, rng, aug.copy_paste)

@@ -196,16 +196,22 @@ def _kpt_sigmas(k: int):
     return np.full((k,), 1.0 / k, np.float32)
 
 
-def classification_loss(logits: jax.Array, labels: jax.Array
+def classification_loss(logits: jax.Array, labels: jax.Array,
+                        label_smoothing: float = 0.0
                         ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Classify task: softmax cross-entropy + top-1 accuracy.
     logits [B,nc], labels [B] int; labels < 0 mark padding rows
-    (Loader drop_last=False) and are excluded from both CE and acc."""
+    (Loader drop_last=False) and are excluded from both CE and acc.
+    label_smoothing eps mixes the one-hot target with uniform 1/nc
+    (ultralytics applies its label_smoothing arg to the classify CE)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nc = logits.shape[-1]
     valid = (labels >= 0).astype(logp.dtype)
     n = jnp.maximum(valid.sum(), 1.0)
-    ce = (-(jax.nn.one_hot(labels, nc) * logp).sum(-1) * valid).sum() / n
+    tgt = jax.nn.one_hot(labels, nc)
+    if label_smoothing > 0.0:
+        tgt = tgt * (1.0 - label_smoothing) + label_smoothing / nc
+    ce = (-(tgt * logp).sum(-1) * valid).sum() / n
     acc = ((jnp.argmax(logits, -1) == labels) * valid).sum() / n
     return ce, {"acc": acc}
 

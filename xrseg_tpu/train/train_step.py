@@ -53,8 +53,12 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
                     use_remat: bool = True,
                     fsdp: bool = False,
                     fsdp_min_size: int = 65536,
-                    grad_accum: int = 1):
+                    grad_accum: int = 1,
+                    label_smoothing: float = 0.0):
     """Build the jitted train step for ANY task.
+
+    label_smoothing: classify-task CE target smoothing (ultralytics
+    scope for its arg of the same name); no effect on detection tasks.
 
     grad_accum=A splits each batch into A sequential microbatches inside
     the one jitted step (lax.scan), averaging their grads before the
@@ -84,7 +88,8 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
 
         def loss_fn(params, batch):
             out = cfwd(params, batch["images"], cfg)
-            return classification_loss(out["logits"], batch["labels"])
+            return classification_loss(out["logits"], batch["labels"],
+                                       label_smoothing=label_smoothing)
     else:
         fwd = yolo11.forward_train
         if use_remat:

@@ -76,6 +76,13 @@ class TrainConfig:
     # pose: keypoint left/right permutation applied on hflip augmentation
     # (COCO-style skeletons swap left/right joints under a mirror)
     kpt_flip_idx: Optional[tuple] = None
+    # disable mosaic/mixup for the LAST N epochs (ultralytics
+    # close_mosaic: the model re-adapts to un-collaged deployment
+    # statistics before the run ends). 0 = off.
+    close_mosaic: int = 0
+    # classify-task CE label smoothing (ultralytics' label_smoothing arg
+    # applies to classification; detection tasks unaffected)
+    label_smoothing: float = 0.0
 
 
 class Trainer:
@@ -206,6 +213,17 @@ class Trainer:
                                  max_gt=t.max_gt, aug=t.aug, seed=t.seed,
                                  mesh=self.mesh, scales=t.scales,
                                  kpt_flip_idx=t.kpt_flip_idx)
+        closed_loader = None
+        if t.close_mosaic > 0 and (t.aug.mosaic > 0 or t.aug.mixup > 0):
+            # ultralytics' close_mosaic: the final N epochs train on
+            # un-collaged images so the model re-adapts to deployment
+            # statistics. Same seed => identical shuffle order; only the
+            # augmentation recipe differs.
+            closed_aug = dataclasses.replace(t.aug, mosaic=0.0, mixup=0.0)
+            closed_loader = data_lib.Loader(
+                dataset, self.cfg, t.batch, max_gt=t.max_gt,
+                aug=closed_aug, seed=t.seed, mesh=self.mesh,
+                scales=t.scales, kpt_flip_idx=t.kpt_flip_idx)
         steps_per_epoch = loader.steps_per_epoch()
         if self.state is None:
             # On resume the restored state.step continues from the prior
@@ -220,7 +238,8 @@ class Trainer:
                                      mesh=self.mesh,
                                      tp_min_channels=t.tp_min_channels,
                                      use_remat=t.use_remat, fsdp=t.fsdp,
-                                     grad_accum=t.grad_accum)
+                                     grad_accum=t.grad_accum,
+                                     label_smoothing=t.label_smoothing)
         tb = None
         tb_dir = t.tb_dir
         if tb_dir == "auto":
@@ -229,11 +248,14 @@ class Trainer:
             from xrseg_tpu.train.tb import TBWriter
             tb = TBWriter(tb_dir)
         start_epoch = len(self.history)
-        for e in range(start_epoch, start_epoch + epochs):
+        end_epoch = start_epoch + epochs
+        for e in range(start_epoch, end_epoch):
             t0 = time.perf_counter()
             sums: Dict[str, float] = {}
             n = 0
-            for batch in loader.epoch(e):
+            use_loader = (closed_loader if closed_loader is not None
+                          and e >= end_epoch - t.close_mosaic else loader)
+            for batch in use_loader.epoch(e):
                 self.state, metrics = step_fn(self.state, batch)
                 if self._ema_update is not None:
                     self.ema_params = self._ema_update(
