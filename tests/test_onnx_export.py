@@ -126,3 +126,37 @@ def test_export_classify_matches_jax_forward(tmp_path):
             x[b:b + 1], (0, 3, 1, 2))})
         np.testing.assert_allclose(out["output0"][0], ref["probs"][b],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_export_metadata_names_roundtrip(tmp_path):
+    """metadata_props carries the ultralytics vocabulary (names/task/
+    imgsz/kpt_shape); read_class_names parses the names dict back."""
+    from xrseg_tpu.io.onnx_loader import parse_onnx, read_class_names
+
+    cfg = ModelConfig(scale="n", task="segment", input_size=(64, 64),
+                      dtype="float32", num_classes=80)
+    params = yolo11.init_params(jax.random.key(0), cfg)
+    path = str(tmp_path / "m.onnx")
+    export_onnx(jax.device_get(params), cfg, path)
+    meta = parse_onnx(path)["metadata"]
+    assert meta["task"] == "segment"
+    assert meta["imgsz"] == "[64, 64]"
+    names = read_class_names(path)
+    assert len(names) == 80 and names[0] == "person" and names[5] == "bus"
+
+    # custom names + pose kpt_shape
+    cfg2 = ModelConfig(scale="n", task="pose", input_size=(64, 64),
+                       dtype="float32", num_classes=2, kpt_shape=(5, 3))
+    p2 = yolo11.init_params(jax.random.key(1), cfg2)
+    path2 = str(tmp_path / "m2.onnx")
+    export_onnx(jax.device_get(p2), cfg2, path2, class_names=["cat", "dog"])
+    parsed = parse_onnx(path2)
+    assert read_class_names(parsed) == ["cat", "dog"]
+    assert parsed["metadata"]["kpt_shape"] == "[5, 3]"
+    # the default for a non-COCO class count is placeholder names
+    cfg3 = ModelConfig(scale="n", task="detect", input_size=(64, 64),
+                       dtype="float32", num_classes=3)
+    p3 = yolo11.init_params(jax.random.key(2), cfg3)
+    path3 = str(tmp_path / "m3.onnx")
+    export_onnx(jax.device_get(p3), cfg3, path3)
+    assert read_class_names(path3) == ["class_0", "class_1", "class_2"]

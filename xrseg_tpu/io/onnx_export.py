@@ -283,8 +283,14 @@ def _proto(g: _G, p, x: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def export_onnx(params, cfg, path: str) -> str:
+def export_onnx(params, cfg, path: str,
+                class_names: Optional[Sequence[str]] = None) -> str:
     """Write an ultralytics-contract ONNX file for `params`/`cfg`.
+
+    class_names: embedded as the ultralytics `names` metadata_props
+    entry (str of an {index: name} dict — what third-party tooling and
+    the Unity-side label asset expect to find). Defaults to the COCO-80
+    list when num_classes == 80, else "class_<i>".
 
     Input: images [1,3,H,W] float32 in [0,1]. Outputs by task:
       detect   output0 [1, 4+nc, A]
@@ -334,7 +340,8 @@ def export_onnx(params, cfg, path: str) -> str:
         g.n("Softmax", [gm], axis=1, out_names=["output0"])
         return _write_model(g, cfg, path,
                             [_value_info("output0",
-                                         (1, cfg.num_classes))])
+                                         (1, cfg.num_classes))],
+                            class_names)
 
     # --- neck + heads, interleaved per reference graph order ---
     u = _upsample2x(g, x10)
@@ -494,10 +501,11 @@ def export_onnx(params, cfg, path: str) -> str:
         g.n("Concat", [boxes, scores], axis=1, out_names=["output0"])
         outputs = [_value_info("output0", (1, 4 + nc, A))]
 
-    return _write_model(g, cfg, path, outputs)
+    return _write_model(g, cfg, path, outputs, class_names)
 
 
-def _write_model(g: _G, cfg, path: str, outputs: List[bytes]) -> str:
+def _write_model(g: _G, cfg, path: str, outputs: List[bytes],
+                 class_names: Optional[Sequence[str]] = None) -> str:
     H, W = cfg.input_size
     graph = b"".join(_fb(1, n) for n in g.nodes)
     graph += _fs(2, f"xrseg_yolo11{cfg.scale}_{cfg.task}")
@@ -509,6 +517,23 @@ def _write_model(g: _G, cfg, path: str, outputs: List[bytes]) -> str:
     model += _fs(2, "xrseg_tpu")             # producer
     model += _fb(8, _fs(1, "") + _fv(2, 13))  # opset 13
     model += _fb(7, graph)
+    # metadata_props (field 14, StringStringEntryProto): the ultralytics
+    # metadata vocabulary — third-party loaders read `names` for labels
+    if class_names is None:
+        if cfg.num_classes == 80:
+            from xrseg_tpu.viz.labels import COCO_LABELS
+            class_names = COCO_LABELS
+        else:
+            class_names = [f"class_{i}" for i in range(cfg.num_classes)]
+    meta = {"task": cfg.task,
+            "stride": "32",
+            "batch": "1",
+            "imgsz": str([H, W]),
+            "names": str(dict(enumerate(class_names)))}
+    if cfg.task == "pose":
+        meta["kpt_shape"] = str(list(cfg.kpt_shape))
+    for k, v in meta.items():
+        model += _fb(14, _fs(1, k) + _fs(2, v))
     with open(path, "wb") as f:
         f.write(model)
     return path

@@ -125,7 +125,9 @@ def _parse_node(buf: bytes) -> Dict[str, Any]:
 
 def parse_onnx(path: str) -> Dict[str, Any]:
     """Returns {"nodes": [NodeDict...] (graph order),
-    "initializers": {name: array}}."""
+    "initializers": {name: array},
+    "metadata": {key: value} (ModelProto.metadata_props — ultralytics
+    stores `names`/`task`/`imgsz`/`kpt_shape` there)}."""
     data = open(path, "rb").read()
     model = _collect(data)
     if 7 not in model:
@@ -133,7 +135,28 @@ def parse_onnx(path: str) -> Dict[str, Any]:
     graph = _collect(model[7][0])
     nodes = [_parse_node(b) for b in graph.get(1, [])]
     inits = dict(_parse_tensor(b) for b in graph.get(5, []))
-    return {"nodes": nodes, "initializers": inits}
+    meta: Dict[str, str] = {}
+    for entry in model.get(14, []):
+        kv = _collect(entry)
+        if 1 in kv and 2 in kv:
+            meta[kv[1][0].decode("utf8")] = kv[2][0].decode("utf8")
+    return {"nodes": nodes, "initializers": inits, "metadata": meta}
+
+
+def read_class_names(path_or_parsed) -> Optional[List[str]]:
+    """The `names` metadata entry as an index-ordered list (ultralytics
+    str({0: 'person', ...}) form), or None when absent/unparseable."""
+    import ast
+    parsed = (path_or_parsed if isinstance(path_or_parsed, dict)
+              else parse_onnx(path_or_parsed))
+    raw = parsed.get("metadata", {}).get("names")
+    if not raw:
+        return None
+    try:
+        d = ast.literal_eval(raw)
+        return [str(d[i]) for i in sorted(d)]
+    except (ValueError, SyntaxError, KeyError, TypeError):
+        return None
 
 
 def conv_sequence_onnx(parsed: Dict[str, Any]) -> List[Dict[str, Any]]:
