@@ -210,3 +210,77 @@ def test_matmul_precision_highest_close_to_default_cpu():
         cfg.model, matmul_precision="bogus"))
     with pytest.raises(ValueError):
         build_pipeline(cfg_bad, params)(frames)   # validated at trace time
+
+
+def test_tta_flip_symmetry_and_masks():
+    """2-view TTA (build_pipeline(tta=True)): by construction the output
+    must be FLIP-SYMMETRIC — TTA(flip(I)) equals TTA(I) with geometry
+    mirrored (same score multiset, mirrored boxes, mirrored masks) —
+    a property the plain pipeline does NOT have (the net is not
+    flip-equivariant). Also: candidates from BOTH views reach the slate
+    (indices span past A), and the no-detection path stays sane."""
+    from xrseg_tpu.testing import detection_params
+
+    cfg = _cfg()
+    params = detection_params(jax.random.key(0), cfg.model)
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    flipped = frame[:, :, ::-1]
+
+    # crop_masks=False for the mirror assertion: the reference's crop
+    # window is inclusive on the integer mask grid, which is not
+    # flip-equivariant by half a pixel (boundary rows differ) — the
+    # uncropped sigmoid masks must mirror EXACTLY
+    pipe = build_pipeline(cfg, params, tta=True, crop_masks=False)
+    d1 = jax.device_get(pipe(jnp.asarray(frame)))
+    d2 = jax.device_get(pipe(jnp.asarray(np.ascontiguousarray(flipped))))
+
+    n = int(d1["count"][0])
+    assert n > 0
+    assert int(d2["count"][0]) == n
+    # both views contribute candidates across the batch of detections
+    A = d1["indices"].max() + 1  # not exactly A, so use a weaker check:
+    # some selected index falls in the flipped view's range [A, 2A)
+    # (detect head at 64x64 has A=84 anchors per view)
+    assert int(np.asarray(d1["indices"]).max()) >= 84 \
+        or int(np.asarray(d2["indices"]).max()) >= 84
+
+    s1 = np.sort(np.asarray(d1["scores"][0][:n]))
+    s2 = np.sort(np.asarray(d2["scores"][0][:n]))
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    # match by score, then boxes must be mirrors: cx2 = 64 - cx1
+    o1 = np.argsort(-np.asarray(d1["scores"][0][:n]), kind="stable")
+    o2 = np.argsort(-np.asarray(d2["scores"][0][:n]), kind="stable")
+    b1 = np.asarray(d1["boxes_xywh"][0])[o1]
+    b2 = np.asarray(d2["boxes_xywh"][0])[o2]
+    np.testing.assert_allclose(b2[:, 0], 64.0 - b1[:, 0], atol=1e-3)
+    np.testing.assert_allclose(b2[:, 1:], b1[:, 1:], atol=1e-3)
+    # masks mirror too (exact per-view proto pairing)
+    m1 = np.asarray(d1["masks"][0])[o1]
+    m2 = np.asarray(d2["masks"][0])[o2]
+    np.testing.assert_allclose(m2, m1[:, :, ::-1], atol=1e-4)
+
+    # unsupported compositions are loud
+    pose_cfg = ExecutorConfig(model=ModelConfig(
+        scale="n", input_size=(64, 64), dtype="float32", task="pose"))
+    with pytest.raises(ValueError, match="tta"):
+        build_pipeline(pose_cfg, params, tta=True)
+    with pytest.raises(ValueError, match="tta segment"):
+        build_pipeline(cfg, params, tta=True, emit_masks="none")
+
+
+def test_tta_obb_runs():
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="obb", num_classes=2),
+        post=PostprocessConfig(max_detections=10, score_threshold=0.01))
+    params = detection_params(jax.random.key(0), cfg.model)
+    pipe = build_pipeline(cfg, params, tta=True)
+    frame = np.random.default_rng(0).integers(
+        0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    det = jax.device_get(pipe(jnp.asarray(frame)))
+    assert det["boxes_xywhr"].shape == (1, 10, 5)
+    assert np.isfinite(det["slate"]).all()

@@ -68,7 +68,8 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                    donate_frames: bool = False,
                    params_dtype: Optional[str] = None,
                    emit_masks: str = "all",
-                   mask_display_hw: Optional[Tuple[int, int]] = None
+                   mask_display_hw: Optional[Tuple[int, int]] = None,
+                   tta: bool = False
                    ) -> CompiledPipeline:
     """Compile the full pipeline for a fixed frame geometry.
 
@@ -98,11 +99,32 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     frame/display-resolution masks with no host-side resampling (the
     reference upsamples on the GPU at render time via a bilinear-filtered
     texture, IEMasker.cs:316-323).
+
+    tta=True: 2-view test-time augmentation (identity + horizontal flip,
+    the accuracy-mode analogue of ultralytics `augment=True`, which is
+    detect-only upstream — here segment and obb work too). Both views run
+    as ONE [2B,...] forward (MXU-efficient: a doubled batch, not a second
+    program), flipped-view boxes are mirrored back (obb: angle negated)
+    and candidates merged pre-NMS (A -> 2A). Segment masks stay EXACT:
+    each survivor's coefficients multiply the protos of its own view
+    (flipped-view protos are flipped back — sigmoid(c @ flip(P)) ==
+    flip(sigmoid(c @ P))). ~2x device cost; for offline eval/serving
+    accuracy, not the interactive executor.
     """
     if emit_masks not in ("all", "none"):
         raise ValueError(f"emit_masks {emit_masks!r}: expected 'all'|'none'")
     if mask_display_hw is not None and emit_masks != "all":
         raise ValueError("mask_display_hw requires emit_masks='all'")
+    if tta:
+        if cfg.model.task in ("pose", "classify"):
+            raise ValueError(f"tta unsupported for task {cfg.model.task!r}"
+                             " (pose needs a model-specific keypoint"
+                             " left/right permutation; classify gains"
+                             " nothing from box merging)")
+        if cfg.model.task == "segment" and emit_masks != "all":
+            raise ValueError("tta segment requires emit_masks='all' (the"
+                             " coefs-only contract has one protos tensor;"
+                             " TTA candidates pair with per-view protos)")
     mcfg = cfg.model
     pcfg = cfg.post
     if params_dtype is not None:
@@ -133,6 +155,10 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
             x = pre_ops.preprocess(_to_rgb(frames), mcfg.input_size,
                                    mode=resize_mode,
                                    dtype=jnp.dtype(mcfg.dtype))
+            if tta:
+                return _decode_tta(params, x, mcfg, pcfg,
+                                   crop_masks=crop_masks, mask_dtype=mdt,
+                                   mask_display_hw=mask_display_hw)
             out = yolo11.forward(params, x, mcfg, concat_preds=False)
             return decode_task_outputs(
                 out, mcfg, pcfg, crop_masks=crop_masks, mask_dtype=mdt,
@@ -142,6 +168,79 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     fn = jax.jit(_run, donate_argnums=donate)
     return CompiledPipeline(cfg=cfg, params=params, fn=fn,
                             input_shape=in_shape, input_format=input_format)
+
+
+def _decode_tta(params, x, mcfg, pcfg, *, crop_masks: bool,
+                mask_dtype, mask_display_hw):
+    """2-view hflip TTA forward + merge + decode (see build_pipeline).
+
+    x: preprocessed [B,S,S,3]. Identity and mirrored views run as one
+    [2B,...] forward; flipped-view candidates are mapped back to
+    original geometry and concatenated along the anchor axis (A -> 2A)
+    before the standard NMS. Segment survivors synthesize masks against
+    the protos of their OWN view (view-1 protos spatially flipped back,
+    exact by linearity of the coef x proto matmul)."""
+    from xrseg_tpu.models import yolo11
+    from xrseg_tpu.ops import masks as mask_ops
+    from xrseg_tpu.ops.postprocess import (postprocess_batch_parts,
+                                           postprocess_obb_batch)
+
+    W = mcfg.input_size[1]
+    B = x.shape[0]
+    out = yolo11.forward(params, jnp.concatenate([x, jnp.flip(x, 2)], 0),
+                         mcfg, concat_preds=False)
+
+    def split(v):
+        return v[:B], v[B:]
+
+    c0, c1 = split(out["cls_logits"])
+    cls_logits = jnp.concatenate([c0, c1], axis=1)         # [B,2A,nc]
+    if mcfg.task == "obb":
+        b0, b1 = split(out["boxes_xywhr"])
+        b1 = jnp.concatenate([W - b1[..., 0:1], b1[..., 1:4],
+                              -b1[..., 4:5]], -1)
+        det = postprocess_obb_batch(jnp.concatenate([b0, b1], axis=1),
+                                    cls_logits, pcfg,
+                                    scores_are_logits=True)
+        det["slate"] = pack_slate(det, pcfg.max_detections)
+        return det
+
+    b0, b1 = split(out["boxes_xywh"])
+    b1 = jnp.concatenate([W - b1[..., 0:1], b1[..., 1:]], -1)
+    boxes = jnp.concatenate([b0, b1], axis=1)               # [B,2A,4]
+    coefs_all = protos_pair = None
+    if mcfg.task == "segment":
+        k0, k1 = split(out["mask_coefs"])
+        coefs_all = jnp.concatenate([k0, k1], axis=1)       # [B,2A,nm]
+        p0, p1 = split(out["protos"])
+        protos_pair = (p0, jnp.flip(p1, 2))                 # view-1 unflipped
+    A = c0.shape[1]
+    det = postprocess_batch_parts(
+        boxes, cls_logits, coefs_all,
+        protos_pair[0] if protos_pair else None, pcfg,
+        False, mcfg.input_size, mask_dtype=mask_dtype,
+        scores_are_logits=True, with_masks=False)
+    if protos_pair is not None:
+        p0, p1f = protos_pair
+        det.pop("protos", None)
+        coefs = det["coefs"].astype(mask_dtype)
+
+        def synth(c, p):
+            return mask_ops.synthesize_masks(c, p.astype(mask_dtype))
+
+        m0 = jax.vmap(synth)(coefs, p0)
+        m1 = jax.vmap(synth)(coefs, p1f)
+        view = (det["indices"] >= A)[..., None, None]
+        m = jnp.where(view, m1, m0)
+        if crop_masks:
+            m = jax.vmap(lambda mm, b: mask_ops.crop_masks(
+                mm, b, mcfg.input_size))(m, det["boxes_xywh"])
+        if mask_display_hw is not None:
+            m = jax.vmap(lambda mm: mask_ops.upsample_masks(
+                mm, tuple(mask_display_hw)))(m)
+        det["masks"] = m.astype(mask_dtype)
+    det["slate"] = pack_slate(det, pcfg.max_detections)
+    return det
 
 
 def decode_task_outputs(out, mcfg, pcfg, *, crop_masks: bool = False,

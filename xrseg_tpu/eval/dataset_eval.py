@@ -28,7 +28,8 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
                      max_images: Optional[int] = None,
                      batch: int = 8,
                      pipe=None,
-                     coco_dump: Optional[str] = None) -> Dict[str, float]:
+                     coco_dump: Optional[str] = None,
+                     tta: bool = False) -> Dict[str, float]:
     """mAP of `params` through the deployed pipeline on `dataset`'s GT.
 
     Returns {box_mAP, box_AP50, box_AP75, mask_mAP?, n_images, n_gt}.
@@ -57,7 +58,8 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
                                    max_detections=max_detections))
         pipe = build_pipeline(ex_cfg, jax.device_get(params),
                               crop_masks=True,
-                              frame_hw=cfg.input_size, batch=batch)
+                              frame_hw=cfg.input_size, batch=batch,
+                              tta=tta)
     H, W = cfg.input_size
     mh, mw = cfg.mask_size
     n = len(dataset) if max_images is None else min(len(dataset),
@@ -177,6 +179,9 @@ def _main() -> int:
     ap.add_argument("--dump", default=None, metavar="JSON",
                     help="also write detections as a COCO results JSON "
                          "(scoreable by external pycocotools)")
+    ap.add_argument("--tta", action="store_true",
+                    help="2-view test-time augmentation (identity + "
+                         "hflip, merged pre-NMS; ~2x device cost)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -207,7 +212,7 @@ def _main() -> int:
     out = evaluate_dataset(cfg, params, ds, score_threshold=args.score,
                            iou_threshold=args.iou,
                            max_images=args.max_images, batch=args.batch,
-                           coco_dump=args.dump)
+                           coco_dump=args.dump, tta=args.tta)
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in out.items()}))
     return 0
