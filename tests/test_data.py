@@ -247,6 +247,42 @@ def test_mixup_blends_pixels_and_unions_gt():
     assert len(out["boxes"]) == 2
 
 
+def test_mixup_task_family():
+    """mixup is wired into the task path too: pose merges kpts, obb
+    merges rotated boxes; classify rejects it loudly (hard int labels)."""
+    rng = np.random.default_rng(0)
+
+    def pose_sample(seed):
+        r = np.random.default_rng(seed)
+        return {"image": r.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+                "boxes": np.asarray([[0.5, 0.5, 0.4, 0.4]], np.float32),
+                "labels": np.asarray([0], np.int32),
+                "kpts": r.uniform(0, 1, (1, 3, 3)).astype(np.float32)}
+
+    ds = [pose_sample(s) for s in range(3)]
+    aug = D.AugmentConfig(mosaic=0.0, mixup=1.0, hflip=0.0, hsv=False)
+    out = D.augment_task_sample(lambda j: ds[j], 0, rng, (32, 32), aug,
+                                "pose", n_total=3)
+    assert out["kpts"].shape == (2, 3, 3)
+    assert out["boxes"].shape == (2, 4)
+
+    def obb_sample(seed):
+        r = np.random.default_rng(seed)
+        return {"image": r.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+                "boxes_xywhr": np.asarray(
+                    [[0.5, 0.5, 0.3, 0.2, 0.4]], np.float32),
+                "labels": np.asarray([1], np.int32)}
+
+    ds2 = [obb_sample(s) for s in range(3)]
+    out2 = D.augment_task_sample(lambda j: ds2[j], 0, rng, (32, 32), aug,
+                                 "obb", n_total=3)
+    assert out2["boxes_xywhr"].shape == (2, 5)
+
+    with pytest.raises(ValueError, match="classify"):
+        D.augment_task_sample(lambda j: ds2[j], 0, rng, (32, 32), aug,
+                              "classify", n_total=3)
+
+
 def test_label_smoothing_mixes_targets():
     import jax.numpy as jnp
 

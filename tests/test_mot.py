@@ -115,3 +115,55 @@ def test_motion_model_no_worse_on_crossing_paths():
 def test_frame_count_mismatch_raises():
     with pytest.raises(ValueError, match="frames"):
         evaluate_mot([[]], [[], []])
+
+
+def test_shared_hypothesis_memory_cannot_double_match():
+    """Two GTs that both remember the same hyp id (after an occlusion)
+    must not BOTH carry it over — FP/FN stay non-negative and correct."""
+    gt = [
+        [(1, _box(10, 10))],                       # f0: gt1 <- hyp5
+        [(2, _box(50, 50))],                       # f1: gt2 <- hyp5 (!)
+        [(1, _box(10, 10)), (2, _box(14, 10))],    # f2: both near hyp5
+    ]
+    pred = [
+        [(5, _box(10, 10))],
+        [(5, _box(50, 50))],
+        [(5, _box(12, 10, 14, 14))],               # overlaps both GTs
+    ]
+    r = evaluate_mot(gt, pred, iou_threshold=0.3)
+    assert r["fp"] >= 0 and r["fn"] >= 0
+    # frame 2: one GT matched, one FN; never negative-FP accounting
+    assert r["fn"] == 1 and r["fp"] == 0
+    assert r["MOTA"] <= 1.0
+
+
+def test_idf1_association_is_independent_of_clear_matching():
+    """Ristani IDF1: a hypothesis overlapping a GT in EVERY frame is
+    credited globally even where CLEAR's continuity rule matched a
+    different hypothesis."""
+    gt, pred = [], []
+    for t in range(6):
+        gt.append([(1, _box(10, 10))])
+        hyps = [(6, _box(10, 10))]                 # hyp6: all 6 frames
+        if t < 3:
+            hyps.insert(0, (5, _box(10, 10)))      # hyp5: frames 0-2
+        pred.append(hyps)
+    r = evaluate_mot(gt, pred)
+    # CLEAR matches hyp5 first (greedy/continuity) for frames 0-2, but
+    # the global ID assignment credits hyp6 with all 6 frames:
+    # IDF1 = 2*6 / (6 gt + 9 pred) = 0.8
+    assert r["IDF1"] == pytest.approx(2 * 6 / (6 + 9))
+
+
+def test_hungarian_fallback_matches_scipy():
+    from scipy.optimize import linear_sum_assignment
+
+    from xrseg_tpu.eval.mot import _lsa_maximize
+    rng = np.random.default_rng(0)
+    for shape in [(3, 3), (5, 2), (2, 5), (7, 7), (1, 4), (6, 1)]:
+        m = rng.uniform(0, 10, shape)
+        ri, ci = linear_sum_assignment(-m)
+        want = m[ri, ci].sum()
+        fr, fc = _lsa_maximize(m)
+        assert len(set(fr)) == len(fr) and len(set(fc)) == len(fc)
+        np.testing.assert_allclose(m[fr, fc].sum(), want, rtol=1e-12)

@@ -50,6 +50,10 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
                                         evaluate)
     from xrseg_tpu.train import data as data_lib
 
+    if pipe is not None and tta:
+        raise ValueError("tta=True has no effect on a caller-supplied"
+                         " pipe — build it with build_pipeline(tta=True)"
+                         " and drop the flag here")
     if pipe is None:
         ex_cfg = ExecutorConfig(
             model=cfg,

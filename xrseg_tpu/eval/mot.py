@@ -13,9 +13,11 @@ Protocol (the standard one, py-motmetrics semantics):
   assignment on IoU. A GT whose carried match changes hypothesis id
   counts one ID SWITCH.
 - MOTA = 1 - (FN + FP + IDSW) / n_gt  (can be negative).
-- IDF1: a GLOBAL bipartite assignment between GT ids and hypothesis ids
-  maximizing per-frame co-matched counts (IDTP); IDF1 = 2*IDTP /
-  (n_gt + n_pred).
+- IDF1 (Ristani): a GLOBAL bipartite assignment between GT ids and
+  hypothesis ids over per-frame GATED OVERLAPS — independent of the
+  CLEAR correspondence, so a consistent-identity hypothesis is credited
+  even where CLEAR's continuity rule matched a different one — giving
+  IDTP; IDF1 = 2*IDTP / (n_gt + n_pred).
 
 Inputs are per-frame lists of (id, box cxcywh) in any consistent pixel
 space — run the tracker however you like and hand its confirmed tracks
@@ -34,13 +36,70 @@ Frame = Sequence[Tuple[int, np.ndarray]]   # [(id, box cxcywh [4])]
 
 def _hungarian_max(score: np.ndarray, gate: float
                    ) -> List[Tuple[int, int]]:
-    """Maximum-score assignment of score[i,j] pairs with score >= gate."""
+    """Maximum-score assignment of score[i,j] pairs with score >= gate.
+    scipy's linear_sum_assignment when present, else a self-contained
+    exact Jonker-Volgenant-style solver (scipy ships as a jax transitive
+    dep here but is NOT one of this package's base dependencies)."""
     if score.size == 0:
         return []
-    from scipy.optimize import linear_sum_assignment
-    ri, ci = linear_sum_assignment(-score)
+    try:
+        from scipy.optimize import linear_sum_assignment
+        ri, ci = linear_sum_assignment(-score)
+    except ImportError:
+        ri, ci = _lsa_maximize(score)
     return [(int(i), int(j)) for i, j in zip(ri, ci)
             if score[i, j] >= gate]
+
+
+def _lsa_maximize(score: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact rectangular max-sum assignment (augmenting-path Hungarian on
+    the negated, square-padded matrix). O(n^3); matrices here are tiny
+    (per-frame detections / distinct track-id counts)."""
+    r, c = score.shape
+    n = max(r, c)
+    cost = np.zeros((n, n))
+    cost[:r, :c] = -score
+    # Jonker-Volgenant shortest augmenting path (1-indexed internals)
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=int)     # p[j] = row matched to column j
+    way = np.zeros(n + 1, dtype=int)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, np.inf)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], np.inf, 0
+            for j in range(1, n + 1):
+                if used[j]:
+                    continue
+                cur = cost[i0 - 1, j - 1] - u[i0] - v[j]
+                if cur < minv[j]:
+                    minv[j] = cur
+                    way[j] = j0
+                if minv[j] < delta:
+                    delta = minv[j]
+                    j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            p[j0] = p[way[j0]]
+            j0 = way[j0]
+    rows, cols = [], []
+    for j in range(1, n + 1):
+        if p[j] and p[j] <= r and j <= c:
+            rows.append(p[j] - 1)
+            cols.append(j - 1)
+    return np.asarray(rows, int), np.asarray(cols, int)
 
 
 def evaluate_mot(gt_frames: Sequence[Frame],
@@ -65,7 +124,10 @@ def evaluate_mot(gt_frames: Sequence[Frame],
             for j, (_, pb) in enumerate(preds):
                 iou[i, j] = box_iou_xywh(np.asarray(gb, np.float64),
                                          np.asarray(pb, np.float64))
-        # 1) continuity: keep last frame's correspondences that still hold
+        # 1) continuity: keep last frame's correspondences that still
+        # hold. A hypothesis can carry over to ONE GT only (two GTs may
+        # both remember the same hyp id after occlusions — first in gid
+        # order wins, the other falls through to the Hungarian stage).
         matches: Dict[int, int] = {}
         used_g, used_p = set(), set()
         for i, g in enumerate(gid):
@@ -73,7 +135,7 @@ def evaluate_mot(gt_frames: Sequence[Frame],
             if want is None or want not in pid:
                 continue
             j = pid.index(want)
-            if iou[i, j] >= iou_threshold:
+            if j not in used_p and iou[i, j] >= iou_threshold:
                 matches[i] = j
                 used_g.add(i)
                 used_p.add(j)
@@ -92,9 +154,16 @@ def evaluate_mot(gt_frames: Sequence[Frame],
             if g in last_match and last_match[g] != p:
                 idsw += 1
             last_match[g] = p
-            pair_frames[(g, p)] = pair_frames.get((g, p), 0) + 1
+        # IDF1 association is INDEPENDENT of the CLEAR correspondence
+        # (Ristani semantics): every gated (gt,hyp) overlap counts as a
+        # potential co-frame; the global assignment below resolves ids
+        for i in range(len(gid)):
+            for j in range(len(pid)):
+                if iou[i, j] >= iou_threshold:
+                    key = (gid[i], pid[j])
+                    pair_frames[key] = pair_frames.get(key, 0) + 1
     # IDF1: global one-to-one gt_id <-> hyp_id assignment maximizing
-    # total co-matched frames
+    # total potentially-co-matched frames (IDTP)
     g_ids = sorted({k[0] for k in pair_frames})
     p_ids = sorted({k[1] for k in pair_frames})
     idtp = 0

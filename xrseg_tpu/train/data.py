@@ -685,20 +685,21 @@ def mixup2(a: Sample, b: Sample, rng: np.random.Generator) -> Sample:
     """YOLO-style mixup: pixel blend with lambda ~ Beta(32,32) (so ~0.5),
     GT sets CONCATENATED unweighted (ultralytics semantics — the loss
     sees both images' objects at full strength). Inputs must share HxW.
-    kpts merge too when both sides carry them (pose)."""
+    kpts (pose) and boxes_xywhr (obb) merge too when both sides carry
+    them."""
     lam = float(rng.beta(32.0, 32.0))
     img = np.clip(lam * a["image"].astype(np.float32)
                   + (1.0 - lam) * b["image"].astype(np.float32),
                   0, 255).astype(np.uint8)
     out: Sample = {
         "image": img,
-        "boxes": np.concatenate([a["boxes"], b["boxes"]], 0),
         "labels": np.concatenate([a["labels"], b["labels"]], 0),
     }
+    for key in ("boxes", "boxes_xywhr", "kpts"):
+        if key in a and key in b:
+            out[key] = np.concatenate([a[key], b[key]], 0)
     if "polys" in a and "polys" in b:
         out["polys"] = list(a["polys"]) + list(b["polys"])
-    if "kpts" in a and "kpts" in b:
-        out["kpts"] = np.concatenate([a["kpts"], b["kpts"]], 0)
     return out
 
 
@@ -842,7 +843,7 @@ class Loader:
                 if task in ("pose", "obb", "classify"):
                     samples.append(augment_task_sample(
                         self.ds.__getitem__, int(i), rng, input_hw,
-                        self.aug, task, self.kpt_flip_idx))
+                        self.aug, task, self.kpt_flip_idx, n_total=n))
                 else:
                     samples.append(augment_sample(
                         self.ds.__getitem__, int(i), rng, input_hw,
@@ -1135,13 +1136,26 @@ def hflip_obb_sample(s):
 def augment_task_sample(get, i: int, rng: np.random.Generator,
                         input_hw: Tuple[int, int], aug: AugmentConfig,
                         task: str,
-                        flip_idx: Optional[Sequence[int]] = None):
+                        flip_idx: Optional[Sequence[int]] = None,
+                        n_total: int = 0):
     """Task-family counterpart of augment_sample: stretch-resize +
-    geometry-aware hflip + HSV jitter. Mosaic / affine / copy-paste are
-    detect/segment-only (they operate on polygon masks); the task path
-    keeps the same deterministic per-(seed, epoch, i) RNG contract."""
+    mixup (pose/obb) + geometry-aware hflip + HSV jitter. Mosaic /
+    affine / copy-paste are detect/segment-only (they operate on polygon
+    masks); classify rejects mixup (hard int labels — soft-label CE is a
+    different loss contract). The task path keeps the same deterministic
+    per-(seed, epoch, i) RNG contract."""
     s = get(i)
     s = dict(s, image=_resize_uint8(s["image"], input_hw))
+    if aug.mixup > 0:
+        if task == "classify":
+            raise ValueError("mixup is unsupported for the classify task"
+                             " (labels are hard ints; soft-label CE is a"
+                             " different loss contract)")
+        if n_total > 0 and rng.uniform() < aug.mixup:
+            other = get(int(rng.integers(0, n_total)))
+            other = dict(other,
+                         image=_resize_uint8(other["image"], input_hw))
+            s = mixup2(s, other, rng)
     if rng.uniform() < aug.hflip:
         if task == "pose":
             s = hflip_pose_sample(s, flip_idx)
