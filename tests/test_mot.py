@@ -167,3 +167,37 @@ def test_hungarian_fallback_matches_scipy():
         fr, fc = _lsa_maximize(m)
         assert len(set(fr)) == len(fr) and len(set(fc)) == len(fc)
         np.testing.assert_allclose(m[fr, fc].sum(), want, rtol=1e-12)
+
+
+def test_motchallenge_loader_and_cli(tmp_path):
+    """MOTChallenge txt round trip: ltwh -> cxcywh, conf-0 GT rows
+    dropped, sparse frames densified; CLI prints the metric JSON."""
+    import json
+    import subprocess
+    import sys
+
+    gt = tmp_path / "gt.txt"
+    gt.write_text(
+        "1,1,5,5,10,10,1,1,1\n"
+        "1,2,50,50,10,10,0,1,1\n"      # conf 0: inactive, dropped
+        "2,1,8,5,10,10,1,1,1\n"
+        "4,1,14,5,10,10,1,1,1\n")      # frame 3 empty (densified)
+    frames = __import__("xrseg_tpu.eval.mot", fromlist=["x"]
+                        ).load_motchallenge(str(gt))
+    assert len(frames) == 4
+    assert len(frames[0]) == 1 and len(frames[2]) == 0
+    np.testing.assert_allclose(frames[0][0][1], [10, 10, 10, 10])
+
+    pred = tmp_path / "pred.txt"
+    pred.write_text(
+        "1,7,5,5,10,10,0.9\n"
+        "2,7,8,5,10,10,0.9\n"
+        "4,7,14,5,10,10,0.9\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "xrseg_tpu.eval.mot",
+         "--gt", str(gt), "--pred", str(pred)],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["MOTA"] == pytest.approx(1.0)
+    assert r["IDF1"] == pytest.approx(1.0)

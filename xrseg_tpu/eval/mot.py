@@ -183,6 +183,59 @@ def evaluate_mot(gt_frames: Sequence[Frame],
     }
 
 
+def load_motchallenge(path: str, min_conf: float = 0.0
+                      ) -> List[Frame]:
+    """MOTChallenge txt (`frame,id,left,top,w,h,conf,...`) -> per-frame
+    [(id, box cxcywh)] lists, 1-indexed frames densified from 1..max.
+    GT files mark inactive boxes with conf 0 — those rows are dropped;
+    raise min_conf to gate detector confidence in result files."""
+    rows: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+    max_f = 0
+    with open(path) as f:
+        for line in f:
+            parts = line.replace(";", ",").split(",")
+            if len(parts) < 6:
+                continue
+            fr, tid = int(float(parts[0])), int(float(parts[1]))
+            l, t, w, h = (float(v) for v in parts[2:6])
+            conf = float(parts[6]) if len(parts) > 6 else 1.0
+            if conf <= min_conf:
+                continue
+            rows.setdefault(fr, []).append(
+                (tid, np.asarray([l + w / 2, t + h / 2, w, h],
+                                 np.float64)))
+            max_f = max(max_f, fr)
+    return [rows.get(i, []) for i in range(1, max_f + 1)]
+
+
+def _main() -> int:
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(
+        description="CLEAR-MOT + IDF1 over MOTChallenge-format files")
+    ap.add_argument("--gt", required=True, help="MOTChallenge gt.txt")
+    ap.add_argument("--pred", required=True,
+                    help="MOTChallenge tracker-output txt")
+    ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--min-conf", type=float, default=0.0,
+                    help="drop prediction rows at or below this conf")
+    args = ap.parse_args()
+    gt = load_motchallenge(args.gt)
+    pred = load_motchallenge(args.pred, min_conf=args.min_conf)
+    n = max(len(gt), len(pred))
+    gt += [[] for _ in range(n - len(gt))]
+    pred += [[] for _ in range(n - len(pred))]
+    r = evaluate_mot(gt, pred, iou_threshold=args.iou)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in r.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())
+
+
 def track_sequence(det_frames: Sequence[Frame], *,
                    labels: int = 0, **tracker_kwargs) -> List[Frame]:
     """Convenience: run MultiTargetTracker over per-frame detection
