@@ -264,10 +264,46 @@ def test_tta_flip_symmetry_and_masks():
     # unsupported compositions are loud
     pose_cfg = ExecutorConfig(model=ModelConfig(
         scale="n", input_size=(64, 64), dtype="float32", task="pose"))
-    with pytest.raises(ValueError, match="tta"):
+    with pytest.raises(ValueError, match="tta_kpt_flip_idx"):
         build_pipeline(pose_cfg, params, tta=True)
+    with pytest.raises(ValueError, match="permutation"):
+        build_pipeline(pose_cfg, params, tta=True,
+                       tta_kpt_flip_idx=(0, 0, 1))
     with pytest.raises(ValueError, match="tta segment"):
         build_pipeline(cfg, params, tta=True, emit_masks="none")
+
+
+def test_tta_pose_flip_symmetry():
+    """Pose TTA with a keypoint permutation: flip-symmetric end to end —
+    kpts of TTA(flip(I)) equal mirror+permute of TTA(I)'s (the flip_idx
+    here is an involution, as real skeleton left/right swaps are)."""
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="pose", kpt_shape=(3, 3), num_classes=2),
+        post=PostprocessConfig(max_detections=8, score_threshold=0.01))
+    params = detection_params(jax.random.key(0), cfg.model)
+    flip_idx = (1, 0, 2)
+    pipe = build_pipeline(cfg, params, tta=True,
+                          tta_kpt_flip_idx=flip_idx)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    d1 = jax.device_get(pipe(jnp.asarray(frame)))
+    d2 = jax.device_get(pipe(jnp.asarray(
+        np.ascontiguousarray(frame[:, :, ::-1]))))
+    n = int(d1["count"][0])
+    assert n > 0 and int(d2["count"][0]) == n
+    o1 = np.argsort(-np.asarray(d1["scores"][0][:n]), kind="stable")
+    o2 = np.argsort(-np.asarray(d2["scores"][0][:n]), kind="stable")
+    np.testing.assert_allclose(np.asarray(d1["scores"][0][:n])[o1],
+                               np.asarray(d2["scores"][0][:n])[o2],
+                               atol=1e-5)
+    k1 = np.asarray(d1["kpts"][0])[o1]
+    k2 = np.asarray(d2["kpts"][0])[o2]
+    want = k1[:, list(flip_idx)].copy()
+    want[..., 0] = 64.0 - want[..., 0]
+    np.testing.assert_allclose(k2, want, atol=1e-3)
 
 
 def test_tta_obb_runs():

@@ -12,7 +12,7 @@ IEExecutor.cs:419-456).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +69,8 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                    params_dtype: Optional[str] = None,
                    emit_masks: str = "all",
                    mask_display_hw: Optional[Tuple[int, int]] = None,
-                   tta: bool = False
+                   tta: bool = False,
+                   tta_kpt_flip_idx: Optional[Sequence[int]] = None
                    ) -> CompiledPipeline:
     """Compile the full pipeline for a fixed frame geometry.
 
@@ -109,18 +110,28 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     each survivor's coefficients multiply the protos of its own view
     (flipped-view protos are flipped back — sigmoid(c @ flip(P)) ==
     flip(sigmoid(c @ P))). ~2x device cost; for offline eval/serving
-    accuracy, not the interactive executor.
+    accuracy, not the interactive executor. Pose works too, given
+    tta_kpt_flip_idx (the skeleton's left/right joint permutation under
+    a mirror — COCO-17: the same tuple as TrainConfig.kpt_flip_idx).
     """
     if emit_masks not in ("all", "none"):
         raise ValueError(f"emit_masks {emit_masks!r}: expected 'all'|'none'")
     if mask_display_hw is not None and emit_masks != "all":
         raise ValueError("mask_display_hw requires emit_masks='all'")
     if tta:
-        if cfg.model.task in ("pose", "classify"):
-            raise ValueError(f"tta unsupported for task {cfg.model.task!r}"
-                             " (pose needs a model-specific keypoint"
-                             " left/right permutation; classify gains"
-                             " nothing from box merging)")
+        if cfg.model.task == "classify":
+            raise ValueError("tta unsupported for task 'classify'"
+                             " (nothing to merge pre-NMS)")
+        if cfg.model.task == "pose" and tta_kpt_flip_idx is None:
+            raise ValueError("pose tta needs tta_kpt_flip_idx: the"
+                             " skeleton's left/right joint permutation"
+                             " under a mirror is model-specific (COCO-17:"
+                             " TrainConfig's kpt_flip_idx values)")
+        if tta_kpt_flip_idx is not None and \
+                sorted(tta_kpt_flip_idx) != list(
+                    range(cfg.model.kpt_shape[0])):
+            raise ValueError("tta_kpt_flip_idx must be a permutation of"
+                             f" range({cfg.model.kpt_shape[0]})")
         if cfg.model.task == "segment" and emit_masks != "all":
             raise ValueError("tta segment requires emit_masks='all' (the"
                              " coefs-only contract has one protos tensor;"
@@ -158,7 +169,8 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
             if tta:
                 return _decode_tta(params, x, mcfg, pcfg,
                                    crop_masks=crop_masks, mask_dtype=mdt,
-                                   mask_display_hw=mask_display_hw)
+                                   mask_display_hw=mask_display_hw,
+                                   kpt_flip_idx=tta_kpt_flip_idx)
             out = yolo11.forward(params, x, mcfg, concat_preds=False)
             return decode_task_outputs(
                 out, mcfg, pcfg, crop_masks=crop_masks, mask_dtype=mdt,
@@ -171,7 +183,7 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
 
 
 def _decode_tta(params, x, mcfg, pcfg, *, crop_masks: bool,
-                mask_dtype, mask_display_hw):
+                mask_dtype, mask_display_hw, kpt_flip_idx=None):
     """2-view hflip TTA forward + merge + decode (see build_pipeline).
 
     x: preprocessed [B,S,S,3]. Identity and mirrored views run as one
@@ -183,7 +195,8 @@ def _decode_tta(params, x, mcfg, pcfg, *, crop_masks: bool,
     from xrseg_tpu.models import yolo11
     from xrseg_tpu.ops import masks as mask_ops
     from xrseg_tpu.ops.postprocess import (postprocess_batch_parts,
-                                           postprocess_obb_batch)
+                                           postprocess_obb_batch,
+                                           postprocess_pose_batch)
 
     W = mcfg.input_size[1]
     B = x.shape[0]
@@ -195,6 +208,18 @@ def _decode_tta(params, x, mcfg, pcfg, *, crop_masks: bool,
 
     c0, c1 = split(out["cls_logits"])
     cls_logits = jnp.concatenate([c0, c1], axis=1)         # [B,2A,nc]
+    if mcfg.task == "pose":
+        b0, b1 = split(out["boxes_xywh"])
+        b1 = jnp.concatenate([W - b1[..., 0:1], b1[..., 1:]], -1)
+        k0, k1 = split(out["kpts"])                        # [B,A,K,3]
+        k1 = jnp.concatenate([W - k1[..., 0:1], k1[..., 1:]], -1)
+        k1 = k1[:, :, jnp.asarray(list(kpt_flip_idx), jnp.int32)]
+        det = postprocess_pose_batch(
+            jnp.concatenate([b0, b1], axis=1), cls_logits,
+            jnp.concatenate([k0, k1], axis=1), pcfg,
+            scores_are_logits=True)
+        det["slate"] = pack_slate(det, pcfg.max_detections)
+        return det
     if mcfg.task == "obb":
         b0, b1 = split(out["boxes_xywhr"])
         b1 = jnp.concatenate([W - b1[..., 0:1], b1[..., 1:4],
