@@ -84,6 +84,10 @@ def main() -> int:
                     help="pose with --eval: also write detections as a "
                          "COCO keypoint-results JSON (for external "
                          "pycocotools OKS scoring)")
+    ap.add_argument("--tta", action="store_true",
+                    help="--eval with 2-view TTA (pose uses the COCO-17 "
+                         "flip permutation for 17-kpt models, identity "
+                         "otherwise)")
     ap.add_argument("--classes", type=int, default=None,
                     help="num classes (default: synthetic preset, or "
                          "inferred from --data labels)")
@@ -255,12 +259,21 @@ def main() -> int:
 
     if args.eval:
         from xrseg_tpu.eval.dataset_eval import evaluate_task_dataset
+        flip17 = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
+                  16, 15)
+        kfi = None
+        if args.tta and args.task == "pose":
+            kfi = (flip17 if cfg.kpt_shape[0] == 17
+                   else tuple(range(cfg.kpt_shape[0])))
         r = evaluate_task_dataset(cfg, params, ds,
                                   max_images=args.eval,
                                   batch=min(4, args.eval),
                                   score_threshold=0.005,
                                   coco_dump=(args.dump if args.task ==
-                                             "pose" else None))
+                                             "pose" else None),
+                                  tta=(args.tta and
+                                       args.task != "classify"),
+                                  tta_kpt_flip_idx=kfi)
         print("eval:", {k: (round(v, 4) if isinstance(v, float) else v)
                         for k, v in r.items()})
 

@@ -233,7 +233,9 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
                           max_images: Optional[int] = None,
                           batch: int = 4,
                           pipe=None,
-                          coco_dump: Optional[str] = None
+                          coco_dump: Optional[str] = None,
+                          tta: bool = False,
+                          tta_kpt_flip_idx=None
                           ) -> Dict[str, float]:
     """Task-family `val`: pose (OKS keypoint AP), obb (probIoU rotated
     AP), classify (top-1 accuracy) of `params` through the REAL compiled
@@ -252,6 +254,9 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
 
     if cfg.task not in ("pose", "obb", "classify"):
         raise ValueError("use evaluate_dataset for detect/segment")
+    if pipe is not None and tta:
+        raise ValueError("tta=True has no effect on a caller-supplied"
+                         " pipe — build it with build_pipeline(tta=True)")
     if pipe is None:
         ex_cfg = ExecutorConfig(
             model=cfg,
@@ -259,7 +264,9 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
                                    iou_threshold=iou_threshold,
                                    max_detections=max_detections))
         pipe = build_pipeline(ex_cfg, jax.device_get(params),
-                              frame_hw=cfg.input_size, batch=batch)
+                              frame_hw=cfg.input_size, batch=batch,
+                              tta=(tta and cfg.task != "classify"),
+                              tta_kpt_flip_idx=tta_kpt_flip_idx)
     H, W = cfg.input_size
     n = len(dataset) if max_images is None else min(len(dataset),
                                                     max_images)
