@@ -320,3 +320,53 @@ def test_tta_obb_runs():
     det = jax.device_get(pipe(jnp.asarray(frame)))
     assert det["boxes_xywhr"].shape == (1, 10, 5)
     assert np.isfinite(det["slate"]).all()
+
+
+def test_tta_views_identity_and_scales():
+    """tta_views plumbing: (a) explicit default views == tta default;
+    (b) duplicated identity views collapse to the plain pipeline's
+    detections (exact-duplicate candidates suppress in NMS); (c) the
+    ultralytics 3-view list runs finite with detections; (d) guards."""
+    from xrseg_tpu.compile import ULTRALYTICS_TTA_VIEWS
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="detect", num_classes=2),
+        post=PostprocessConfig(max_detections=8, score_threshold=0.01))
+    params = detection_params(jax.random.key(0), cfg.model)
+    rng = np.random.default_rng(1)
+    frame = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)), jnp.uint8)
+
+    d_def = jax.device_get(build_pipeline(cfg, params, tta=True)(frame))
+    d_exp = jax.device_get(build_pipeline(
+        cfg, params, tta=True,
+        tta_views=((1.0, False), (1.0, True)))(frame))
+    np.testing.assert_array_equal(np.asarray(d_def["slate"]),
+                                  np.asarray(d_exp["slate"]))
+
+    d_plain = jax.device_get(build_pipeline(cfg, params)(frame))
+    d_dup = jax.device_get(build_pipeline(
+        cfg, params, tta=True,
+        tta_views=((1.0, False), (1.0, False)))(frame))
+    n = int(d_plain["count"][0])
+    assert int(d_dup["count"][0]) == n
+    np.testing.assert_allclose(np.asarray(d_dup["scores"][0][:n]),
+                               np.asarray(d_plain["scores"][0][:n]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_dup["boxes_xywh"][0][:n]),
+                               np.asarray(d_plain["boxes_xywh"][0][:n]),
+                               atol=1e-4)
+
+    d_ul = jax.device_get(build_pipeline(
+        cfg, params, tta=True, tta_views=ULTRALYTICS_TTA_VIEWS)(frame))
+    assert int(d_ul["count"][0]) > 0
+    assert np.isfinite(np.asarray(d_ul["slate"])).all()
+
+    seg_cfg = ExecutorConfig(model=ModelConfig(
+        scale="n", input_size=(64, 64), dtype="float32"))
+    with pytest.raises(ValueError, match="detect/obb-only"):
+        build_pipeline(seg_cfg, params, tta=True,
+                       tta_views=ULTRALYTICS_TTA_VIEWS)
+    with pytest.raises(ValueError, match="scales"):
+        build_pipeline(cfg, params, tta=True, tta_views=((1.5, False),))

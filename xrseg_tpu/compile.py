@@ -70,7 +70,8 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                    emit_masks: str = "all",
                    mask_display_hw: Optional[Tuple[int, int]] = None,
                    tta: bool = False,
-                   tta_kpt_flip_idx: Optional[Sequence[int]] = None
+                   tta_kpt_flip_idx: Optional[Sequence[int]] = None,
+                   tta_views: Optional[Sequence[Tuple[float, bool]]] = None
                    ) -> CompiledPipeline:
     """Compile the full pipeline for a fixed frame geometry.
 
@@ -113,6 +114,14 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
     accuracy, not the interactive executor. Pose works too, given
     tta_kpt_flip_idx (the skeleton's left/right joint permutation under
     a mirror — COCO-17: the same tuple as TrainConfig.kpt_flip_idx).
+
+    tta_views: optional (scale, flip) view list replacing the default
+    ((1.0, False), (1.0, True)). ULTRALYTICS_TTA_VIEWS reproduces
+    upstream augment=True's 3 views (1 / 0.83-flipped / 0.67) — scaled
+    content is letterboxed top-left into the SAME canvas (gray fill) so
+    all views still ride one static-shape forward. Scaled views are
+    detect/obb-only (segment protos and pose keypoints don't unscale
+    exactly).
     """
     if emit_masks not in ("all", "none"):
         raise ValueError(f"emit_masks {emit_masks!r}: expected 'all'|'none'")
@@ -136,6 +145,15 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
             raise ValueError("tta segment requires emit_masks='all' (the"
                              " coefs-only contract has one protos tensor;"
                              " TTA candidates pair with per-view protos)")
+        if tta_views is not None:
+            if not tta_views or any(not (0.0 < s <= 1.0)
+                                    for s, _ in tta_views):
+                raise ValueError("tta_views scales must lie in (0, 1]")
+            if cfg.model.task in ("segment", "pose") and any(
+                    s != 1.0 for s, _ in tta_views):
+                raise ValueError(f"scaled tta views are detect/obb-only"
+                                 f" ({cfg.model.task} protos/keypoints"
+                                 " don't unscale exactly)")
     mcfg = cfg.model
     pcfg = cfg.post
     if params_dtype is not None:
@@ -170,7 +188,9 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                 return _decode_tta(params, x, mcfg, pcfg,
                                    crop_masks=crop_masks, mask_dtype=mdt,
                                    mask_display_hw=mask_display_hw,
-                                   kpt_flip_idx=tta_kpt_flip_idx)
+                                   kpt_flip_idx=tta_kpt_flip_idx,
+                                   views=(tuple(tta_views) if tta_views
+                                          else DEFAULT_TTA_VIEWS))
             out = yolo11.forward(params, x, mcfg, concat_preds=False)
             return decode_task_outputs(
                 out, mcfg, pcfg, crop_masks=crop_masks, mask_dtype=mdt,
@@ -182,81 +202,119 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
                             input_shape=in_shape, input_format=input_format)
 
 
-def _decode_tta(params, x, mcfg, pcfg, *, crop_masks: bool,
-                mask_dtype, mask_display_hw, kpt_flip_idx=None):
-    """2-view hflip TTA forward + merge + decode (see build_pipeline).
+DEFAULT_TTA_VIEWS: Tuple[Tuple[float, bool], ...] = ((1.0, False),
+                                                     (1.0, True))
+# ultralytics augment=True runs scales (1, 0.83-flipped, 0.67); detect
+# and obb accept these via tta_views (scale-in-canvas keeps shapes
+# static: one batched forward, content anchored top-left, gray fill)
+ULTRALYTICS_TTA_VIEWS: Tuple[Tuple[float, bool], ...] = (
+    (1.0, False), (0.83, True), (0.67, False))
 
-    x: preprocessed [B,S,S,3]. Identity and mirrored views run as one
-    [2B,...] forward; flipped-view candidates are mapped back to
-    original geometry and concatenated along the anchor axis (A -> 2A)
-    before the standard NMS. Segment survivors synthesize masks against
-    the protos of their OWN view (view-1 protos spatially flipped back,
-    exact by linearity of the coef x proto matmul)."""
+
+def _decode_tta(params, x, mcfg, pcfg, *, crop_masks: bool,
+                mask_dtype, mask_display_hw, kpt_flip_idx=None,
+                views: Tuple[Tuple[float, bool], ...] = DEFAULT_TTA_VIEWS):
+    """Multi-view TTA forward + merge + decode (see build_pipeline).
+
+    x: preprocessed [B,S,S,3]. Every (scale, flip) view rides ONE
+    [VB,...] forward (scaled content letterboxed top-left into the same
+    canvas, gray fill — static shapes); per-view candidates are mapped
+    back to original geometry (unflip, then /scale) and concatenated
+    along the anchor axis (A -> VA) before the standard NMS. Segment
+    survivors synthesize masks against the protos of their OWN view
+    (flipped protos flipped back, exact by linearity; scaled views are
+    rejected for segment/pose at build time)."""
     from xrseg_tpu.models import yolo11
     from xrseg_tpu.ops import masks as mask_ops
     from xrseg_tpu.ops.postprocess import (postprocess_batch_parts,
                                            postprocess_obb_batch,
                                            postprocess_pose_batch)
 
-    W = mcfg.input_size[1]
-    B = x.shape[0]
-    out = yolo11.forward(params, jnp.concatenate([x, jnp.flip(x, 2)], 0),
-                         mcfg, concat_preds=False)
+    H, W = mcfg.input_size
+    B, _, _, C = x.shape
 
-    def split(v):
-        return v[:B], v[B:]
+    def make_view(scale, flip):
+        xv = x
+        if scale != 1.0:
+            sh, sw = int(round(H * scale)), int(round(W * scale))
+            xs = jax.image.resize(x, (B, sh, sw, C), method="bilinear")
+            xv = jnp.full((B, H, W, C), jnp.asarray(114.0 / 255.0,
+                                                    x.dtype))
+            xv = xv.at[:, :sh, :sw].set(xs.astype(x.dtype))
+        return jnp.flip(xv, 2) if flip else xv
 
-    c0, c1 = split(out["cls_logits"])
-    cls_logits = jnp.concatenate([c0, c1], axis=1)         # [B,2A,nc]
+    out = yolo11.forward(
+        params, jnp.concatenate([make_view(s, f) for s, f in views], 0),
+        mcfg, concat_preds=False)
+
+    def per_view(v):
+        return [v[i * B:(i + 1) * B] for i in range(len(views))]
+
+    cls_parts = per_view(out["cls_logits"])
+    cls_logits = jnp.concatenate(cls_parts, axis=1)        # [B,VA,nc]
+    A = cls_parts[0].shape[1]
+
     if mcfg.task == "pose":
-        b0, b1 = split(out["boxes_xywh"])
-        b1 = jnp.concatenate([W - b1[..., 0:1], b1[..., 1:]], -1)
-        k0, k1 = split(out["kpts"])                        # [B,A,K,3]
-        k1 = jnp.concatenate([W - k1[..., 0:1], k1[..., 1:]], -1)
-        k1 = k1[:, :, jnp.asarray(list(kpt_flip_idx), jnp.int32)]
+        bs, ks = [], []
+        for (scale, flip), b, k in zip(views,
+                                       per_view(out["boxes_xywh"]),
+                                       per_view(out["kpts"])):
+            if flip:
+                b = jnp.concatenate([W - b[..., 0:1], b[..., 1:]], -1)
+                k = jnp.concatenate([W - k[..., 0:1], k[..., 1:]], -1)
+                k = k[:, :, jnp.asarray(list(kpt_flip_idx), jnp.int32)]
+            bs.append(b / scale)
+            ks.append(jnp.concatenate([k[..., :2] / scale, k[..., 2:]],
+                                      -1))
         det = postprocess_pose_batch(
-            jnp.concatenate([b0, b1], axis=1), cls_logits,
-            jnp.concatenate([k0, k1], axis=1), pcfg,
-            scores_are_logits=True)
+            jnp.concatenate(bs, axis=1), cls_logits,
+            jnp.concatenate(ks, axis=1), pcfg, scores_are_logits=True)
         det["slate"] = pack_slate(det, pcfg.max_detections)
         return det
+
     if mcfg.task == "obb":
-        b0, b1 = split(out["boxes_xywhr"])
-        b1 = jnp.concatenate([W - b1[..., 0:1], b1[..., 1:4],
-                              -b1[..., 4:5]], -1)
-        det = postprocess_obb_batch(jnp.concatenate([b0, b1], axis=1),
+        bs = []
+        for (scale, flip), b in zip(views, per_view(out["boxes_xywhr"])):
+            if flip:
+                b = jnp.concatenate([W - b[..., 0:1], b[..., 1:4],
+                                     -b[..., 4:5]], -1)
+            bs.append(jnp.concatenate([b[..., :4] / scale, b[..., 4:]],
+                                      -1))
+        det = postprocess_obb_batch(jnp.concatenate(bs, axis=1),
                                     cls_logits, pcfg,
                                     scores_are_logits=True)
         det["slate"] = pack_slate(det, pcfg.max_detections)
         return det
 
-    b0, b1 = split(out["boxes_xywh"])
-    b1 = jnp.concatenate([W - b1[..., 0:1], b1[..., 1:]], -1)
-    boxes = jnp.concatenate([b0, b1], axis=1)               # [B,2A,4]
-    coefs_all = protos_pair = None
+    bs = []
+    for (scale, flip), b in zip(views, per_view(out["boxes_xywh"])):
+        if flip:
+            b = jnp.concatenate([W - b[..., 0:1], b[..., 1:]], -1)
+        bs.append(b / scale)
+    boxes = jnp.concatenate(bs, axis=1)                    # [B,VA,4]
+    coefs_all = view_protos = None
     if mcfg.task == "segment":
-        k0, k1 = split(out["mask_coefs"])
-        coefs_all = jnp.concatenate([k0, k1], axis=1)       # [B,2A,nm]
-        p0, p1 = split(out["protos"])
-        protos_pair = (p0, jnp.flip(p1, 2))                 # view-1 unflipped
-    A = c0.shape[1]
+        coefs_all = jnp.concatenate(per_view(out["mask_coefs"]), axis=1)
+        view_protos = [jnp.flip(p, 2) if flip else p
+                       for (scale, flip), p in
+                       zip(views, per_view(out["protos"]))]
     det = postprocess_batch_parts(
         boxes, cls_logits, coefs_all,
-        protos_pair[0] if protos_pair else None, pcfg,
+        view_protos[0] if view_protos else None, pcfg,
         False, mcfg.input_size, mask_dtype=mask_dtype,
         scores_are_logits=True, with_masks=False)
-    if protos_pair is not None:
-        p0, p1f = protos_pair
+    if view_protos is not None:
         det.pop("protos", None)
         coefs = det["coefs"].astype(mask_dtype)
 
         def synth(c, p):
             return mask_ops.synthesize_masks(c, p.astype(mask_dtype))
 
-        m0 = jax.vmap(synth)(coefs, p0)
-        m1 = jax.vmap(synth)(coefs, p1f)
-        view = (det["indices"] >= A)[..., None, None]
-        m = jnp.where(view, m1, m0)
+        view_idx = det["indices"] // A                     # [B,D]
+        m = jax.vmap(synth)(coefs, view_protos[0])
+        for vi in range(1, len(views)):
+            mv = jax.vmap(synth)(coefs, view_protos[vi])
+            m = jnp.where((view_idx == vi)[..., None, None], mv, m)
         if crop_masks:
             m = jax.vmap(lambda mm, b: mask_ops.crop_masks(
                 mm, b, mcfg.input_size))(m, det["boxes_xywh"])
