@@ -77,6 +77,11 @@ class PostprocessConfig:
     # scan elsewhere. Both are exact greedy NMS — identical results.
     nms_backend: str = "auto"
     class_aware: bool = True
+    # Candidate merge for detect/segment: "nms" (greedy suppression, the
+    # reference's semantics) or "wbf" (Weighted Box Fusion, ops/wbf.py —
+    # fuses overlapping candidates score-weighted; the better merge for
+    # TTA/ensemble candidate streams). pose/obb always use NMS.
+    merge: str = "nms"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,13 +127,25 @@ def postprocess_batch_parts(boxes: jax.Array, cls_scores: jax.Array,
     backend = cfg.nms_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
-    det = nms_ops.nms_fixed_batched(
-        boxes, scores, labels,
-        iou_threshold=cfg.iou_threshold, score_threshold=thr,
-        max_det=cfg.max_detections, class_aware=cfg.class_aware,
-        backend=backend)
-    if scores_are_logits:
-        det["scores"] = jax.nn.sigmoid(det["scores"]) * det["valid"]
+    if getattr(cfg, "merge", "nms") == "wbf":
+        # WBF's coordinate weights must be POSITIVE probabilities, not
+        # logits — convert up front and gate in probability space
+        from xrseg_tpu.ops.wbf import wbf_fixed_batched
+        if scores_are_logits:
+            scores = jax.nn.sigmoid(scores)
+        det = wbf_fixed_batched(
+            boxes, scores, labels, iou_threshold=cfg.iou_threshold,
+            score_threshold=cfg.score_threshold,
+            max_det=cfg.max_detections, class_aware=cfg.class_aware)
+        det["scores"] = det["scores"] * det["valid"]
+    else:
+        det = nms_ops.nms_fixed_batched(
+            boxes, scores, labels,
+            iou_threshold=cfg.iou_threshold, score_threshold=thr,
+            max_det=cfg.max_detections, class_aware=cfg.class_aware,
+            backend=backend)
+        if scores_are_logits:
+            det["scores"] = jax.nn.sigmoid(det["scores"]) * det["valid"]
 
     if protos is not None and coefs_all is not None:
         coefs = jnp.take_along_axis(coefs_all,

@@ -1,0 +1,169 @@
+"""Weighted Box Fusion (Solovyev et al. 2021) — TPU-shaped, fixed-size.
+
+NMS *discards* every overlapping candidate but the winner; WBF *fuses*
+them (score-weighted coordinate average, mean score), which is the
+better merge when candidates come from multiple sources that each saw
+the object — exactly the TTA / model-ensemble case this framework's
+`build_pipeline(tta=...)` produces. PostprocessConfig(merge="wbf")
+swaps it in for the detect/segment decode.
+
+TPU shape discipline (same rules as ops/nms.py): candidates are sorted
+once, then a lax.scan greedily assigns each to the best-IoU existing
+cluster (same label) or opens a new one, carrying fixed [max_det]
+accumulators — no dynamic shapes anywhere. Cost is one [A] sort +
+A x max_det IoU rows; an eval/accuracy mode, not the interactive hot
+path.
+
+Fused score is the cluster's MEAN member score (the paper's default;
+its optional min(n,T)/T rescale needs the source count T, which a
+merged-anchor stream does not carry).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xrseg_tpu.ops.nms import xywh_to_corners
+
+
+def _iou_row(box_c: jax.Array, boxes_c: jax.Array) -> jax.Array:
+    """IoU of one corner-form box [4] against [D,4]."""
+    lt = jnp.maximum(box_c[:2], boxes_c[:, :2])
+    rb = jnp.minimum(box_c[2:], boxes_c[:, 2:])
+    inter = jnp.prod(jnp.maximum(rb - lt, 0.0), axis=-1)
+    a1 = jnp.prod(jnp.maximum(box_c[2:] - box_c[:2], 0.0))
+    a2 = jnp.prod(jnp.maximum(boxes_c[:, 2:] - boxes_c[:, :2], 0.0),
+                  axis=-1)
+    return inter / jnp.maximum(a1 + a2 - inter, 1e-12)
+
+
+def wbf_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
+              *, iou_threshold: float = 0.55,
+              score_threshold: float = 0.0,
+              max_det: int = 50,
+              class_aware: bool = True) -> Dict[str, jax.Array]:
+    """Single-image fixed-shape WBF.
+
+    boxes_xywh [A,4] / scores [A] / labels [A] -> the nms_fixed output
+    contract: {boxes_xywh [D,4] (FUSED), scores [D] (mean member score),
+    labels [D], indices [D] (anchor index of each cluster's top-scoring
+    member — mask coefficients etc. gather from it), valid [D],
+    count []} with D = max_det, score-sorted.
+    """
+    A = scores.shape[0]
+    D = max_det
+    order = jnp.argsort(-scores)
+    s_sorted = scores[order]
+    b_sorted = boxes_xywh[order].astype(jnp.float32)
+    l_sorted = labels[order]
+    alive = s_sorted > score_threshold
+
+    def step(carry, inp):
+        (wsum, ssum, n, top_i, lab, active, n_open) = carry
+        box, score, label, idx, ok = inp
+        fused = wsum / jnp.maximum(ssum, 1e-12)[:, None]       # [D,4]
+        iou = _iou_row(xywh_to_corners(box[None])[0],
+                       xywh_to_corners(fused))
+        same = (lab == label) | (not class_aware)
+        cand = active & same & (iou >= iou_threshold)
+        merge = ok & cand.any()
+        best = jnp.argmax(jnp.where(cand, iou, -1.0))
+        # merge into `best` (candidates arrive score-DESC, so a cluster's
+        # first member is always its top-scoring one — top_i set at open)
+        w = score.astype(jnp.float32)
+        wsum_m = wsum.at[best].add(w * box)
+        ssum_m = ssum.at[best].add(w)
+        n_m = n.at[best].add(1)
+        # open a new cluster at slot n_open
+        can_open = ok & ~cand.any() & (n_open < D)
+        wsum_o = wsum.at[n_open].set(w * box)
+        ssum_o = ssum.at[n_open].set(w)
+        n_o = n.at[n_open].set(1)
+        top_i_o = top_i.at[n_open].set(idx)
+        lab_o = lab.at[n_open].set(label)
+        act_o = active.at[n_open].set(True)
+
+        def pick(m, o, base):
+            return jnp.where(merge, m, jnp.where(can_open, o, base))
+
+        carry = (pick(wsum_m, wsum_o, wsum), pick(ssum_m, ssum_o, ssum),
+                 pick(n_m, n_o, n),
+                 jnp.where(can_open, top_i_o, top_i),
+                 jnp.where(can_open, lab_o, lab),
+                 jnp.where(can_open, act_o, active),
+                 n_open + can_open.astype(n_open.dtype))
+        return carry, None
+
+    init = (jnp.zeros((D, 4), jnp.float32),            # wsum
+            jnp.zeros((D,), jnp.float32),              # ssum
+            jnp.zeros((D,), jnp.int32),                # n members
+            jnp.zeros((D,), jnp.int32),                # top member index
+            jnp.full((D,), -1, labels.dtype),          # cluster label
+            jnp.zeros((D,), bool),                     # active
+            jnp.zeros((), jnp.int32))                  # open count
+    (wsum, ssum, n, top_i, lab, active, n_open), _ = jax.lax.scan(
+        step, init,
+        (b_sorted, s_sorted.astype(jnp.float32), l_sorted,
+         order.astype(jnp.int32), alive))
+
+    fused = wsum / jnp.maximum(ssum, 1e-12)[:, None]
+    mean_score = jnp.where(active, ssum / jnp.maximum(n, 1), 0.0)
+    # score-sort the slate (clusters open in first-member order, which
+    # is NOT final mean-score order)
+    res = jnp.argsort(-mean_score)
+    return {"boxes_xywh": fused[res] * active[res][:, None],
+            "scores": mean_score[res],
+            "labels": jnp.where(active[res], lab[res], 0).astype(jnp.int32),
+            "indices": jnp.where(active[res], top_i[res], 0),
+            "valid": active[res],
+            "count": n_open}
+
+
+def wbf_fixed_batched(boxes, scores, labels, *, iou_threshold: float,
+                      score_threshold: float, max_det: int,
+                      class_aware: bool = True,
+                      backend: str = "scan") -> Dict[str, jax.Array]:
+    """Batched WBF with the nms_fixed_batched signature (the `backend`
+    arg is accepted for call-site compatibility and ignored — WBF runs
+    the scan formulation everywhere)."""
+    del backend
+    return jax.vmap(lambda b, s, l: wbf_fixed(
+        b, s, l, iou_threshold=iou_threshold,
+        score_threshold=score_threshold, max_det=max_det,
+        class_aware=class_aware))(boxes, scores, labels)
+
+
+def wbf_reference_numpy(boxes, scores, labels, *, iou_threshold=0.55,
+                        score_threshold=0.0, class_aware=True):
+    """Loop-based numpy oracle (same greedy-cluster semantics)."""
+    from xrseg_tpu.eval.metrics import box_iou_xywh
+    order = np.argsort(-np.asarray(scores), kind="stable")
+    clusters = []                     # [wsum, ssum, n, label, top_i, top_s]
+    for i in order:
+        if scores[i] <= score_threshold:
+            continue
+        best, best_iou = -1, iou_threshold
+        for ci, c in enumerate(clusters):
+            if class_aware and c[3] != labels[i]:
+                continue
+            iou = box_iou_xywh(c[0] / c[1], np.asarray(boxes[i],
+                                                       np.float64))
+            if iou >= best_iou:
+                best, best_iou = ci, iou
+        if best >= 0:
+            c = clusters[best]
+            c[0] = c[0] + scores[i] * np.asarray(boxes[i], np.float64)
+            c[1] += scores[i]
+            c[2] += 1
+            if scores[i] > c[5]:
+                c[4], c[5] = int(i), float(scores[i])
+        else:
+            clusters.append([scores[i] * np.asarray(boxes[i], np.float64),
+                             float(scores[i]), 1, int(labels[i]), int(i),
+                             float(scores[i])])
+    rows = [(c[0] / c[1], c[1] / c[2], c[3], c[4]) for c in clusters]
+    rows.sort(key=lambda r: -r[1])
+    return rows
