@@ -29,7 +29,8 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
                      batch: int = 8,
                      pipe=None,
                      coco_dump: Optional[str] = None,
-                     tta: bool = False) -> Dict[str, float]:
+                     tta: bool = False,
+                     merge: str = "nms") -> Dict[str, float]:
     """mAP of `params` through the deployed pipeline on `dataset`'s GT.
 
     Returns {box_mAP, box_AP50, box_AP75, mask_mAP?, n_images, n_gt}.
@@ -59,7 +60,8 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
             model=cfg,
             post=PostprocessConfig(score_threshold=score_threshold,
                                    iou_threshold=iou_threshold,
-                                   max_detections=max_detections))
+                                   max_detections=max_detections,
+                                   merge=merge))
         pipe = build_pipeline(ex_cfg, jax.device_get(params),
                               crop_masks=True,
                               frame_hw=cfg.input_size, batch=batch,
@@ -186,6 +188,9 @@ def _main() -> int:
     ap.add_argument("--tta", action="store_true",
                     help="2-view test-time augmentation (identity + "
                          "hflip, merged pre-NMS; ~2x device cost)")
+    ap.add_argument("--merge", default="nms", choices=["nms", "wbf"],
+                    help="candidate merge: greedy NMS (reference "
+                         "semantics) or Weighted Box Fusion")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -216,7 +221,8 @@ def _main() -> int:
     out = evaluate_dataset(cfg, params, ds, score_threshold=args.score,
                            iou_threshold=args.iou,
                            max_images=args.max_images, batch=args.batch,
-                           coco_dump=args.dump, tta=args.tta)
+                           coco_dump=args.dump, tta=args.tta,
+                           merge=args.merge)
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in out.items()}))
     return 0
