@@ -98,3 +98,53 @@ def test_wbf_pipeline_and_tta():
     assert np.isfinite(d2["slate"]).all()
     # masks still synthesize (segment default task) via top-member coefs
     assert "masks" in d2
+
+
+def test_ensemble_pipeline():
+    """build_ensemble_pipeline: (a) an ensemble of the SAME checkpoint
+    twice collapses to the single-model detections (duplicate candidates
+    fuse to themselves under WBF / suppress under NMS); (b) two distinct
+    checkpoints run merged with finite output; (c) member-mismatch and
+    unsupported-task guards."""
+    from xrseg_tpu.compile import build_ensemble_pipeline, build_pipeline
+    from xrseg_tpu.config import (ExecutorConfig, ModelConfig,
+                                  PostprocessConfig)
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          num_classes=2),
+        post=PostprocessConfig(max_detections=8, score_threshold=0.3,
+                               merge="wbf"))
+    p1 = detection_params(jax.random.key(0), cfg.model)
+    p2 = detection_params(jax.random.key(1), cfg.model)
+    frame = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (1, 64, 64, 3)), jnp.uint8)
+
+    plain = jax.device_get(build_pipeline(cfg, p1)(frame))
+    dup = jax.device_get(build_ensemble_pipeline(cfg, [p1, p1])(frame))
+    n = int(plain["count"][0])
+    assert int(dup["count"][0]) == n
+    o_p = np.argsort(-np.asarray(plain["scores"][0][:n]), kind="stable")
+    o_d = np.argsort(-np.asarray(dup["scores"][0][:n]), kind="stable")
+    np.testing.assert_allclose(
+        np.asarray(dup["scores"][0][:n])[o_d],
+        np.asarray(plain["scores"][0][:n])[o_p], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dup["boxes_xywh"][0][:n])[o_d],
+        np.asarray(plain["boxes_xywh"][0][:n])[o_p], atol=1e-3)
+    assert "masks" in dup                      # segment tail intact
+
+    two = jax.device_get(build_ensemble_pipeline(cfg, [p1, p2])(frame))
+    assert int(two["count"][0]) > 0
+    assert np.isfinite(two["slate"]).all()
+
+    other = ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                        num_classes=3)
+    with pytest.raises(ValueError, match="share task/classes"):
+        build_ensemble_pipeline(cfg, [p1, p2], model_cfgs=[cfg.model,
+                                                           other])
+    pose_cfg = ExecutorConfig(model=ModelConfig(
+        scale="n", input_size=(64, 64), dtype="float32", task="pose"))
+    with pytest.raises(ValueError, match="detect/segment"):
+        build_ensemble_pipeline(pose_cfg, [p1])

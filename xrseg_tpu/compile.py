@@ -326,6 +326,94 @@ def _decode_tta(params, x, mcfg, pcfg, *, crop_masks: bool,
     return det
 
 
+def build_ensemble_pipeline(cfg: ExecutorConfig, params_list,
+                            model_cfgs=None, *,
+                            frame_hw: Optional[Tuple[int, int]] = None,
+                            batch: Optional[int] = None,
+                            resize_mode: str = "stretch",
+                            crop_masks: bool = False,
+                            mask_dtype: str = "float32"
+                            ) -> CompiledPipeline:
+    """Model ensemble in ONE device program: every checkpoint's forward
+    runs on the same preprocessed frames, candidates concatenate along
+    the anchor axis (A -> M*A) and merge through the configured
+    PostprocessConfig (merge="wbf" is the natural choice — fuse what the
+    models agree on; "nms" keeps the best single candidate). The
+    canonical Weighted-Box-Fusion use case, ultralytics-ensemble
+    equivalent, but compiled: no per-model host round trips.
+
+    model_cfgs: per-checkpoint ModelConfigs when the members differ in
+    scale (n+s+..., same task/classes/input size — validated). Segment
+    masks stay exact per member: each survivor synthesizes against its
+    OWN model's protos (same per-view selection as TTA).
+    """
+    mcfg = cfg.model
+    pcfg = cfg.post
+    model_cfgs = list(model_cfgs or [mcfg] * len(params_list))
+    if len(model_cfgs) != len(params_list) or not params_list:
+        raise ValueError("params_list and model_cfgs must be equal-length"
+                         " and non-empty")
+    for mc in model_cfgs:
+        if (mc.task, mc.num_classes, mc.input_size) != \
+                (mcfg.task, mcfg.num_classes, mcfg.input_size):
+            raise ValueError("ensemble members must share task/classes/"
+                             f"input_size; got {mc.task}/{mc.num_classes}"
+                             f"/{mc.input_size} vs {mcfg.task}/"
+                             f"{mcfg.num_classes}/{mcfg.input_size}")
+    if mcfg.task not in ("detect", "segment"):
+        raise ValueError("ensemble pipeline supports detect/segment"
+                         f" (got {mcfg.task!r})")
+    B = batch or cfg.batch_size
+    fh, fw = frame_hw or mcfg.input_size
+    mdt = jnp.dtype(mask_dtype)
+
+    from xrseg_tpu.ops import masks as mask_ops
+    from xrseg_tpu.precision import precision_scope
+
+    def _run(params_tuple, frames):
+        with precision_scope(mcfg.matmul_precision):
+            x = pre_ops.preprocess(frames, mcfg.input_size,
+                                   mode=resize_mode,
+                                   dtype=jnp.dtype(mcfg.dtype))
+            outs = [yolo11.forward(p, x, mc, concat_preds=False)
+                    for p, mc in zip(params_tuple, model_cfgs)]
+            boxes = jnp.concatenate([o["boxes_xywh"] for o in outs], 1)
+            cls = jnp.concatenate([o["cls_logits"] for o in outs], 1)
+            A = outs[0]["cls_logits"].shape[1]
+            coefs_all = protos_list = None
+            if mcfg.task == "segment":
+                coefs_all = jnp.concatenate(
+                    [o["mask_coefs"] for o in outs], 1)
+                protos_list = [o["protos"] for o in outs]
+            det = postprocess_batch_parts(
+                boxes, cls, coefs_all,
+                protos_list[0] if protos_list else None, pcfg,
+                False, mcfg.input_size, mask_dtype=mdt,
+                scores_are_logits=True, with_masks=False)
+            if protos_list is not None:
+                det.pop("protos", None)
+                coefs = det["coefs"].astype(mdt)
+
+                def synth(c, p):
+                    return mask_ops.synthesize_masks(c, p.astype(mdt))
+
+                member = det["indices"] // A
+                m = jax.vmap(synth)(coefs, protos_list[0])
+                for vi in range(1, len(outs)):
+                    mv = jax.vmap(synth)(coefs, protos_list[vi])
+                    m = jnp.where((member == vi)[..., None, None], mv, m)
+                if crop_masks:
+                    m = jax.vmap(lambda mm, b: mask_ops.crop_masks(
+                        mm, b, mcfg.input_size))(m, det["boxes_xywh"])
+                det["masks"] = m.astype(mdt)
+            det["slate"] = pack_slate(det, pcfg.max_detections)
+            return det
+
+    return CompiledPipeline(cfg=cfg, params=tuple(params_list),
+                            fn=jax.jit(_run),
+                            input_shape=(B, fh, fw, 3))
+
+
 def decode_task_outputs(out, mcfg, pcfg, *, crop_masks: bool = False,
                         mask_dtype=jnp.float32, emit_masks: str = "all",
                         mask_display_hw: Optional[Tuple[int, int]] = None):
