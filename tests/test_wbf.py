@@ -148,3 +148,50 @@ def test_ensemble_pipeline():
         scale="n", input_size=(64, 64), dtype="float32", task="pose"))
     with pytest.raises(ValueError, match="detect/segment"):
         build_ensemble_pipeline(pose_cfg, [p1])
+
+
+def test_wbf_rotated_fuses_angles_circularly():
+    from xrseg_tpu.ops.wbf import wbf_rotated_fixed
+
+    # two rotated boxes straddling the +-pi/2 wrap: naive angle mean is
+    # ~0 (wrong); the doubled-angle circular mean stays at the wrap
+    boxes = jnp.asarray([[20.0, 20, 16, 6, np.pi / 2 - 0.05],
+                         [20.0, 20, 16, 6, -np.pi / 2 + 0.05],
+                         [60.0, 60, 16, 6, 0.3]])
+    scores = jnp.asarray([0.8, 0.8, 0.7])
+    labels = jnp.asarray([0, 0, 0], jnp.int32)
+    d = wbf_rotated_fixed(boxes, scores, labels, iou_threshold=0.4,
+                          max_det=4)
+    assert int(d["count"]) == 2
+    ang = float(d["boxes_xywhr"][0, 4])
+    # circular mean of (pi/2-0.05) and (-pi/2+0.05) over 2*theta is
+    # +-pi/2 (mod pi): |ang| ~ pi/2, NOT ~0
+    assert abs(abs(ang) - np.pi / 2) < 1e-5
+    np.testing.assert_allclose(float(d["boxes_xywhr"][0, 0]), 20.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(d["scores"][0]), 0.8, rtol=1e-6)
+    # singleton cluster keeps its angle exactly
+    np.testing.assert_allclose(float(d["boxes_xywhr"][1, 4]), 0.3,
+                               atol=1e-6)
+
+
+def test_wbf_rotated_pipeline():
+    """merge='wbf' through the OBB pipeline (incl. TTA)."""
+    from xrseg_tpu.compile import build_pipeline
+    from xrseg_tpu.config import (ExecutorConfig, ModelConfig,
+                                  PostprocessConfig)
+    from xrseg_tpu.testing import detection_params
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
+                          task="obb", num_classes=2),
+        post=PostprocessConfig(max_detections=8, score_threshold=0.3,
+                               merge="wbf"))
+    params = detection_params(jax.random.key(0), cfg.model)
+    frame = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (1, 64, 64, 3)), jnp.uint8)
+    d = jax.device_get(build_pipeline(cfg, params)(frame))
+    assert int(d["count"][0]) > 0
+    assert np.isfinite(d["slate"]).all()
+    d2 = jax.device_get(build_pipeline(cfg, params, tta=True)(frame))
+    assert int(d2["count"][0]) > 0 and np.isfinite(d2["slate"]).all()

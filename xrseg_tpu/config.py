@@ -77,10 +77,13 @@ class PostprocessConfig:
     # scan elsewhere. Both are exact greedy NMS — identical results.
     nms_backend: str = "auto"
     class_aware: bool = True
-    # Candidate merge for detect/segment: "nms" (greedy suppression, the
-    # reference's semantics) or "wbf" (Weighted Box Fusion, ops/wbf.py —
-    # fuses overlapping candidates score-weighted; the better merge for
-    # TTA/ensemble candidate streams). pose/obb always use NMS.
+    # Candidate merge: "nms" (greedy suppression, the reference's
+    # semantics) or "wbf" (Weighted Box Fusion, ops/wbf.py — fuses
+    # overlapping candidates score-weighted; the better merge for
+    # TTA/ensemble candidate streams). detect/segment use axis-aligned
+    # WBF; obb uses the rotated variant (probIoU matching, doubled-angle
+    # circular-mean angle fusion). pose always uses NMS (keypoint fusion
+    # has no standard semantics).
     merge: str = "nms"
 
 

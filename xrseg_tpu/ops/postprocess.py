@@ -204,6 +204,18 @@ def postprocess_obb_batch(boxes_xywhr: jax.Array, cls_scores: jax.Array,
     labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if getattr(cfg, "merge", "nms") == "wbf":
+        # positive probability weights (see postprocess_batch_parts)
+        from xrseg_tpu.ops.wbf import wbf_rotated_fixed_batched
+        if scores_are_logits:
+            scores = jax.nn.sigmoid(scores)
+        det = wbf_rotated_fixed_batched(
+            boxes_xywhr, scores, labels,
+            iou_threshold=cfg.iou_threshold,
+            score_threshold=cfg.score_threshold,
+            max_det=cfg.max_detections, class_aware=cfg.class_aware)
+        det["scores"] = det["scores"] * det["valid"]
+        return det
     det = nms_ops.nms_fixed_rotated_batched(
         boxes_xywhr, scores, labels, iou_threshold=cfg.iou_threshold,
         score_threshold=_logit_threshold(cfg, scores_are_logits),

@@ -136,6 +136,90 @@ def wbf_fixed_batched(boxes, scores, labels, *, iou_threshold: float,
         class_aware=class_aware))(boxes, scores, labels)
 
 
+def wbf_rotated_fixed(boxes_xywhr: jax.Array, scores: jax.Array,
+                      labels: jax.Array, *, iou_threshold: float = 0.55,
+                      score_threshold: float = 0.0, max_det: int = 50,
+                      class_aware: bool = True) -> Dict[str, jax.Array]:
+    """OBB WBF: probIoU cluster matching; cx/cy/w/h fuse score-weighted,
+    the ANGLE fuses as the weighted circular mean over DOUBLED angles
+    (rotated rectangles have pi symmetry): theta = atan2(sum w sin2t,
+    sum w cos2t)/2. Output slate keys use "boxes_xywhr"."""
+    from xrseg_tpu.ops.nms import probiou_row
+    D = max_det
+    order = jnp.argsort(-scores)
+    s_sorted = scores[order].astype(jnp.float32)
+    b_sorted = boxes_xywhr[order].astype(jnp.float32)
+    l_sorted = labels[order]
+    alive = s_sorted > score_threshold
+
+    def fuse(wsum, cs, sn, ssum):
+        xywh = wsum / jnp.maximum(ssum, 1e-12)[:, None]
+        ang = 0.5 * jnp.arctan2(sn, jnp.where(ssum > 0, cs, 1.0))
+        return jnp.concatenate([xywh, ang[:, None]], -1)
+
+    def step(carry, inp):
+        (wsum, cs, sn, ssum, n, top_i, lab, active, n_open) = carry
+        box, score, label, idx, ok = inp
+        fused = fuse(wsum, cs, sn, ssum)
+        iou = jnp.maximum(probiou_row(box, fused), 0.0)
+        same = (lab == label) | (not class_aware)
+        cand = active & same & (iou >= iou_threshold)
+        merge = ok & cand.any()
+        best = jnp.argmax(jnp.where(cand, iou, -1.0))
+        w = score
+        upd_m = (wsum.at[best].add(w * box[:4]),
+                 cs.at[best].add(w * jnp.cos(2 * box[4])),
+                 sn.at[best].add(w * jnp.sin(2 * box[4])),
+                 ssum.at[best].add(w), n.at[best].add(1))
+        can_open = ok & ~cand.any() & (n_open < D)
+        upd_o = (wsum.at[n_open].set(w * box[:4]),
+                 cs.at[n_open].set(w * jnp.cos(2 * box[4])),
+                 sn.at[n_open].set(w * jnp.sin(2 * box[4])),
+                 ssum.at[n_open].set(w), n.at[n_open].set(1))
+
+        def pick(m, o, base):
+            return jnp.where(merge, m, jnp.where(can_open, o, base))
+
+        carry = tuple(pick(m, o, b) for m, o, b in
+                      zip(upd_m, upd_o, (wsum, cs, sn, ssum, n)))
+        carry += (jnp.where(can_open, top_i.at[n_open].set(idx), top_i),
+                  jnp.where(can_open, lab.at[n_open].set(label), lab),
+                  jnp.where(can_open, active.at[n_open].set(True),
+                            active),
+                  n_open + can_open.astype(n_open.dtype))
+        return carry, None
+
+    init = (jnp.zeros((D, 4), jnp.float32), jnp.zeros((D,), jnp.float32),
+            jnp.zeros((D,), jnp.float32), jnp.zeros((D,), jnp.float32),
+            jnp.zeros((D,), jnp.int32), jnp.zeros((D,), jnp.int32),
+            jnp.full((D,), -1, labels.dtype), jnp.zeros((D,), bool),
+            jnp.zeros((), jnp.int32))
+    (wsum, cs, sn, ssum, n, top_i, lab, active, n_open), _ = jax.lax.scan(
+        step, init, (b_sorted, s_sorted, l_sorted,
+                     order.astype(jnp.int32), alive))
+    fused = fuse(wsum, cs, sn, ssum)
+    mean_score = jnp.where(active, ssum / jnp.maximum(n, 1), 0.0)
+    res = jnp.argsort(-mean_score)
+    return {"boxes_xywhr": fused[res] * active[res][:, None],
+            "scores": mean_score[res],
+            "labels": jnp.where(active[res], lab[res], 0).astype(jnp.int32),
+            "indices": jnp.where(active[res], top_i[res], 0),
+            "valid": active[res],
+            "count": n_open}
+
+
+def wbf_rotated_fixed_batched(boxes, scores, labels, *,
+                              iou_threshold: float,
+                              score_threshold: float, max_det: int,
+                              class_aware: bool = True,
+                              backend: str = "scan"):
+    del backend
+    return jax.vmap(lambda b, s, l: wbf_rotated_fixed(
+        b, s, l, iou_threshold=iou_threshold,
+        score_threshold=score_threshold, max_det=max_det,
+        class_aware=class_aware))(boxes, scores, labels)
+
+
 def wbf_reference_numpy(boxes, scores, labels, *, iou_threshold=0.55,
                         score_threshold=0.0, class_aware=True):
     """Loop-based numpy oracle (same greedy-cluster semantics)."""
