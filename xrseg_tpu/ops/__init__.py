@@ -1,1 +1,1 @@
-from xrseg_tpu.ops import nms, masks, postprocess, preprocess, yuv  # noqa: F401
+from xrseg_tpu.ops import nms, masks, postprocess, preprocess, wbf, yuv  # noqa: F401
