@@ -241,7 +241,8 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
                           pipe=None,
                           coco_dump: Optional[str] = None,
                           tta: bool = False,
-                          tta_kpt_flip_idx=None
+                          tta_kpt_flip_idx=None,
+                          merge: str = "nms"
                           ) -> Dict[str, float]:
     """Task-family `val`: pose (OKS keypoint AP), obb (probIoU rotated
     AP), classify (top-1 accuracy) of `params` through the REAL compiled
@@ -268,7 +269,8 @@ def evaluate_task_dataset(cfg: ModelConfig, params, dataset,
             model=cfg,
             post=PostprocessConfig(score_threshold=score_threshold,
                                    iou_threshold=iou_threshold,
-                                   max_detections=max_detections))
+                                   max_detections=max_detections,
+                                   merge=merge))
         pipe = build_pipeline(ex_cfg, jax.device_get(params),
                               frame_hw=cfg.input_size, batch=batch,
                               tta=(tta and cfg.task != "classify"),
