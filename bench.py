@@ -28,6 +28,59 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _probe_backend(timeout_s: float = 150.0) -> str | None:
+    """Bounded backend-liveness probe, run BEFORE any in-process jax import.
+
+    The tunneled PJRT ("axon") fails by HANGING at backend init when the
+    relay is down (observed r3: 10+ h outage, `jax.devices()` never
+    returns), which would otherwise turn this gate into 10 minutes of
+    driver timeout + a raw traceback. Probe in a subprocess with a hard
+    timeout: backend init + device enumeration only (no transfers — the
+    first D2H legitimately costs 100-250 s on this tunnel and must not
+    fail the probe). Returns None when healthy, else a short error slug.
+    """
+    import os
+    import subprocess
+    # sitecustomize force-registers the axon plugin and overrides the
+    # platform at import, so the env var alone is too late (CLAUDE.md);
+    # re-apply it via jax.config so JAX_PLATFORMS=cpu smoke runs probe CPU.
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "print('ndev=%d' % len(jax.devices()))\n"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True, env=dict(os.environ))
+        if p.returncode == 0 and "ndev=" in p.stdout:
+            return None
+        return "tpu-backend-error"
+    except subprocess.TimeoutExpired:
+        return "tpu-backend-unavailable"
+    except Exception:
+        return "tpu-backend-error"
+
+
+def _backend_gate() -> None:
+    """Exit nonzero with ONE parseable JSON line if the backend is down."""
+    err = _probe_backend()
+    if err is None:
+        return
+    print(json.dumps({
+        "metric": "yolo11n_seg_640_fps_per_chip",
+        "value": None,
+        "unit": "frames/sec/chip",
+        "vs_baseline": None,
+        "error": err,
+        "detail": "jax backend init did not complete within the probe "
+                  "timeout; the axon TPU tunnel is likely down (see "
+                  "docs/ROADMAP.md r3 incident). No code was benchmarked.",
+    }), flush=True)
+    raise SystemExit(3)
+
+
 def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
                      repeats: int = 2, task: str = "segment",
                      frame_hw=None, input_size=(640, 640),
@@ -324,7 +377,15 @@ BASELINE_CONFIGS = {
 
 
 def main() -> int:
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even under the axon sitecustomize (which
+        # overrides the platform at import): lets JAX_PLATFORMS=cpu run
+        # this file as a smoke test. No-op in the driver's axon env.
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     _enable_compile_cache()
+    _backend_gate()
     if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
         # BASELINE configs 4-5 through their REAL runner surfaces (the
         # numbers the README streaming table cites; host-link-bound on
