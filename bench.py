@@ -363,6 +363,92 @@ def run_task_bench(task: str, batch: int = 128, n_chained: int = 20,
             "ms_per_batch": per_batch * 1e3, "batch": batch}
 
 
+def run_accuracy_modes_bench(batch: int = 128, n_chained: int = 10,
+                             scale: str = "n", repeats: int = 2,
+                             b1_frames: int = 30,
+                             input_size=(640, 640)) -> list:
+    """On-chip cost of the r3 accuracy modes, priced with the same
+    chained-on-device methodology as the headline: plain pipeline vs
+    2-view TTA vs ultralytics 3-view TTA vs WBF merge vs 2-model
+    ensemble, each at the headline batch and at batch=1.
+
+    These modes all feed the reference's deployed-output contract
+    (IEModelEditorConverter.cs:50-58); this table replaces the README's
+    former "~V× device cost" estimate with measured numbers.
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from xrseg_tpu.compile import (ULTRALYTICS_TTA_VIEWS,
+                                   build_ensemble_pipeline, build_pipeline)
+    from xrseg_tpu.config import ExecutorConfig, ModelConfig
+    from xrseg_tpu.models import yolo11
+
+    isz = tuple(input_size)
+    seg_cfg = ExecutorConfig(model=ModelConfig(scale=scale, task="segment",
+                                               input_size=isz))
+    det_cfg = ExecutorConfig(model=ModelConfig(scale=scale, task="detect",
+                                               input_size=isz))
+    wbf_cfg = _dc.replace(seg_cfg, post=_dc.replace(seg_cfg.post,
+                                                    merge="wbf"))
+    params = yolo11.init_params(jax.random.key(0), seg_cfg.model)
+    params2 = yolo11.init_params(jax.random.key(1), seg_cfg.model)
+
+    # (name, build(batch) -> pipeline); each pipeline's .params feed .fn
+    modes = [
+        ("plain_segment", lambda b: build_pipeline(seg_cfg, params,
+                                                   batch=b)),
+        ("tta2_segment", lambda b: build_pipeline(seg_cfg, params,
+                                                  batch=b, tta=True)),
+        # scaled multi-scale views are detect/obb-only (compile.py guard)
+        ("tta3_detect", lambda b: build_pipeline(
+            det_cfg, params, batch=b, tta=True,
+            tta_views=ULTRALYTICS_TTA_VIEWS)),
+        ("wbf_segment", lambda b: build_pipeline(wbf_cfg, params,
+                                                 batch=b)),
+        ("ensemble2_segment", lambda b: build_ensemble_pipeline(
+            wbf_cfg, [params, params2], batch=b)),
+    ]
+
+    def chained_fps(pipe, b, n, reps):
+        @jax.jit
+        def chained(p, frames):
+            def body(carry, _):
+                det = pipe.fn(p, frames + carry)
+                s = det["slate"].sum()
+                return (s % 2).astype(jnp.uint8), s
+            c, ss = jax.lax.scan(body, jnp.uint8(0), None, length=n)
+            return ss.sum()
+        frames = jnp.zeros((b,) + isz + (3,), jnp.uint8)
+        _ = np.asarray(chained(pipe.params, frames))   # compile
+        best = float("inf")
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(chained(pipe.params, frames))
+            best = min(best, time.perf_counter() - t0)
+        return b / (best / n)
+
+    rows = []
+    plain = {}
+    for name, build in modes:
+        fps_b = chained_fps(build(batch), batch, n_chained, repeats)
+        fps_1 = chained_fps(build(1), 1, b1_frames, repeats)
+        if name.startswith("plain"):
+            plain = {"b": fps_b, "1": fps_1}
+        rows.append({
+            "metric": f"accuracy_mode_{name}_yolo11{scale}",
+            "value": round(fps_b, 1),
+            "unit": f"frames/sec/chip (b={batch})",
+            "vs_baseline": round(fps_b / 30.0, 1),
+            "ms_per_frame_b1": round(1e3 / fps_1, 2),
+            "cost_vs_plain_bN": round(plain["b"] / fps_b, 2),
+            "cost_vs_plain_b1": round(fps_1 and plain["1"] / fps_1, 2),
+        })
+    return rows
+
+
 # The five BASELINE.json configs (single chip; config 5's two stereo
 # streams = batch 2).
 BASELINE_CONFIGS = {
@@ -406,6 +492,11 @@ def main() -> int:
             "vs_baseline": round(r5["fps_per_chip"] / 30.0, 1),
             "p50_latency_ms": round(r5["p50_latency_ms"], 2),
         }), flush=True)
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--accuracy-modes":
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+        for row in run_accuracy_modes_bench(batch=batch):
+            print(json.dumps(row), flush=True)
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--tasks":
         for task in ("pose", "obb", "classify"):
