@@ -524,3 +524,128 @@ def test_mesh_server_serves_pose():
             assert len(d["kpts"]) == 5 and len(d["kpts"][0]) == 3
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# overload shedding (503 + Retry-After instead of queueing into the timeout)
+# ---------------------------------------------------------------------------
+
+def _post_status(srv, data: bytes):
+    """POST /infer; return (status, headers, body_json)."""
+    req = urllib.request.Request(_url(srv, "/infer"), data=data,
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, dict(r.headers), json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), json.loads(e.read())
+
+
+def test_overload_sheds_503_and_recovers():
+    """Flood a saturated micro-batch server: excess requests must fail
+    FAST with 503 + Retry-After (not camp in the queue until the 300 s
+    wait), queued ones still complete, and the server serves normally
+    once the flood passes."""
+    import threading
+    import time as _time
+
+    from xrseg_tpu.runtime.server import InferenceServer
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=10))
+    srv = InferenceServer(cfg, port=0, micro_batch=2,
+                          batch_window_ms=30.0, max_pending=2).start()
+    try:
+        img = _npy(np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8))
+        assert _post_status(srv, img)[0] == 200    # warm the b=1 bucket
+
+        # stall the device: the dispatcher blocks on srv._lock before
+        # compiling/running, so the queue (cap 2) fills behind it
+        n = 8
+        results = [None] * n
+        with srv._lock:
+            def worker(i):
+                t0 = _time.perf_counter()
+                st, hdr, body = _post_status(srv, img)
+                results[i] = (st, hdr, body, _time.perf_counter() - t0)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(n)]
+            for t in threads:
+                t.start()
+            # shed responses must arrive while the device is still stalled
+            deadline = _time.perf_counter() + 60.0
+            while (_time.perf_counter() < deadline and
+                   sum(r is not None and r[0] == 503
+                       for r in results) < n - 3):
+                _time.sleep(0.05)
+            shed_now = [r for r in results if r is not None and r[0] == 503]
+            # cap 2 in queue + up to 2 already collected by the dispatcher
+            assert len(shed_now) >= n - 4, [r and r[0] for r in results]
+            for st, hdr, body, dt in shed_now:
+                assert hdr.get("Retry-After") == "1"
+                assert "error" in body
+                assert dt < 60.0     # fast-fail, not the 300 s queue wait
+        # lock released: the queued requests now run and succeed
+        for t in threads:
+            t.join(timeout=300)
+        done = [r for r in results if r is not None]
+        assert len(done) == n
+        ok = [r for r in done if r[0] == 200]
+        shed = [r for r in done if r[0] == 503]
+        assert len(ok) >= 2 and len(shed) >= n - 4, [r[0] for r in done]
+
+        # recovery: a fresh request after the flood serves normally
+        st, _, body = _post_status(srv, img)
+        assert st == 200 and "detections" in body
+
+        with urllib.request.urlopen(_url(srv, "/stats"), timeout=30) as rr:
+            stats = json.loads(rr.read())
+        assert stats["shed"] == len(shed)
+        assert stats["max_pending"] == 2
+        assert stats["queue_depth"] == 0
+    finally:
+        srv.close()
+
+
+def test_overload_sheds_unbatched_path():
+    """micro_batch=1 path: threads stacked behind the device lock are
+    bounded by max_pending too."""
+    import threading
+
+    from xrseg_tpu.runtime.server import InferenceServer
+
+    cfg = ExecutorConfig(
+        model=ModelConfig(scale="n", input_size=(64, 64), dtype="float32"),
+        post=PostprocessConfig(score_threshold=0.05, max_detections=10))
+    srv = InferenceServer(cfg, port=0, max_pending=1).start()
+    try:
+        img = _npy(np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3), dtype=np.uint8))
+        assert _post_status(srv, img)[0] == 200    # compile + warm
+
+        n = 4
+        results = [None] * n
+        with srv._lock:     # stall the device
+            def worker(i):
+                results[i] = _post_status(srv, img)
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(n)]
+            for t in threads:
+                t.start()
+            import time as _time
+            deadline = _time.perf_counter() + 60.0
+            while (_time.perf_counter() < deadline and
+                   sum(r is not None and r[0] == 503
+                       for r in results) < n - 1):
+                _time.sleep(0.05)
+            assert sum(r is not None and r[0] == 503
+                       for r in results) >= n - 1
+        for t in threads:
+            t.join(timeout=120)
+        codes = sorted(r[0] for r in results)
+        assert codes.count(200) == 1 and codes.count(503) == n - 1, codes
+    finally:
+        srv.close()

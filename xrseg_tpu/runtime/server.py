@@ -88,6 +88,17 @@ def rle_decode(rle: dict) -> np.ndarray:
     return flat.reshape((h, w), order="F")
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised when the server sheds a request instead of queueing it.
+
+    Overload posture: bound the pending work and fail FAST (503 +
+    Retry-After) rather than letting a flood of handler threads camp on
+    the batch queue until the 300 s wait times out — the serving-side
+    analogue of the reference's error-state-and-continue defensive
+    stance (IEExecutor.cs:428,453: never wedge the loop on a bad step).
+    """
+
+
 class InferenceServer:
     """Compile once, serve many. start() runs in a daemon thread (tests);
     serve_forever() blocks (CLI)."""
@@ -102,7 +113,8 @@ class InferenceServer:
                  mask_res: str = "proto",
                  mesh_shape: Optional[Dict[str, int]] = None,
                  tp_min_channels: int = 100000,
-                 max_request_mb: float = 64.0):
+                 max_request_mb: float = 64.0,
+                 max_pending: Optional[int] = None):
         from xrseg_tpu.compile import load_model
 
         self.cfg = cfg
@@ -205,7 +217,14 @@ class InferenceServer:
         self._pipelines_lock = threading.Lock()
         self._batch_hist: Dict[int, int] = {}
         self._closing = False
-        self._q: "queue.Queue" = queue.Queue()
+        # Overload shedding: cap pending work; excess requests get an
+        # immediate 503 + Retry-After instead of waiting out the queue
+        # timeout. Default: 8 full micro-batches of headroom.
+        self.max_pending = (int(max_pending) if max_pending
+                            else max(8, self.micro_batch * 8))
+        self._shed = 0
+        self._inflight = 0
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.max_pending)
         self._dispatcher: Optional[threading.Thread] = None
         if self.micro_batch > 1:
             self._dispatcher = threading.Thread(target=self._dispatch_loop,
@@ -219,12 +238,16 @@ class InferenceServer:
                 pass
 
             def _reply(self, code: int, obj,
-                       content_type: str = "application/json") -> None:
+                       content_type: str = "application/json",
+                       extra_headers: Optional[Dict[str, str]] = None
+                       ) -> None:
                 body = (obj.encode() if isinstance(obj, str)
                         else json.dumps(obj).encode())
                 self.send_response(code)
                 self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -257,6 +280,10 @@ class InferenceServer:
                 if self.path == "/infer":
                     try:
                         self._reply(200, server.infer_bytes(data))
+                    except ServerOverloaded as e:   # shed, don't queue
+                        self._reply(503, {"error": str(e)},
+                                    extra_headers={"Retry-After": "1"})
+                        self.close_connection = True
                     except Exception as e:   # bad image, wrong shape, ...
                         with server._counter_lock:
                             server._errors += 1
@@ -301,14 +328,27 @@ class InferenceServer:
         if self.micro_batch > 1:
             host = self._infer_batched(frame)
         else:
-            with self._lock, self.tracer.section("infer"):
-                frames = frame[None]
-                if self._data_axis > 1:   # pad to the mesh's data axis
-                    frames = np.concatenate(
-                        [frames, np.zeros((self._data_axis - 1,)
-                                          + frame.shape, np.uint8)])
-                det = self.pipeline(frames)
-                host = self._host_result(det, 0)
+            # same shedding bound on the unbatched path: cap threads
+            # stacked up behind the device lock
+            with self._counter_lock:
+                if self._inflight >= self.max_pending:
+                    self._shed += 1
+                    raise ServerOverloaded(
+                        f"{self._inflight} requests already waiting on "
+                        f"the device (cap {self.max_pending})")
+                self._inflight += 1
+            try:
+                with self._lock, self.tracer.section("infer"):
+                    frames = frame[None]
+                    if self._data_axis > 1:   # pad to the mesh's data axis
+                        frames = np.concatenate(
+                            [frames, np.zeros((self._data_axis - 1,)
+                                              + frame.shape, np.uint8)])
+                    det = self.pipeline(frames)
+                    host = self._host_result(det, 0)
+            finally:
+                with self._counter_lock:
+                    self._inflight -= 1
         latency_ms = (time.perf_counter() - t0) * 1e3
         with self._counter_lock:
             self._requests += 1
@@ -389,7 +429,13 @@ class InferenceServer:
 
     def _infer_batched(self, frame: np.ndarray) -> dict:
         item = self._Pending(frame)
-        self._q.put(item)
+        try:
+            self._q.put_nowait(item)
+        except queue.Full:
+            with self._counter_lock:
+                self._shed += 1
+            raise ServerOverloaded(
+                f"batch queue full ({self.max_pending} pending)")
         if not item.event.wait(timeout=300.0):
             raise RuntimeError("inference timed out in the batch queue")
         if item.error is not None:
@@ -506,6 +552,10 @@ class InferenceServer:
             f"xrseg_requests_total {s['requests']}",
             "# TYPE xrseg_errors_total counter",
             f"xrseg_errors_total {s['errors']}",
+            "# TYPE xrseg_shed_total counter",
+            f"xrseg_shed_total {s['shed']}",
+            "# TYPE xrseg_queue_depth gauge",
+            f"xrseg_queue_depth {s['queue_depth']}",
             "# TYPE xrseg_uptime_seconds gauge",
             f"xrseg_uptime_seconds {s['uptime_s']}",
         ]
@@ -530,6 +580,9 @@ class InferenceServer:
 
     def stats(self) -> dict:
         out = {"requests": self._requests, "errors": self._errors,
+               "shed": self._shed, "max_pending": self.max_pending,
+               "queue_depth": (self._q.qsize() if self.micro_batch > 1
+                               else self._inflight),
                "uptime_s": round(time.time() - self._t_start, 1),
                "stages": self.tracer.summary()}
         if self.micro_batch > 1:
@@ -610,6 +663,9 @@ def _main() -> int:
     ap.add_argument("--tp-min-channels", type=int, default=100000,
                     help="shard conv output channels >= this over the "
                          "mesh model axis (TP; default effectively off)")
+    ap.add_argument("--max-pending", type=int, default=None,
+                    help="overload shedding: max requests pending before "
+                         "503 + Retry-After (default 8*micro_batch)")
     args = ap.parse_args()
 
     mesh_shape = None
@@ -648,7 +704,8 @@ def _main() -> int:
                           mask_res=args.mask_res,
                           mesh_shape=mesh_shape,
                           tp_min_channels=args.tp_min_channels,
-                          max_request_mb=args.max_request_mb)
+                          max_request_mb=args.max_request_mb,
+                          max_pending=args.max_pending)
     mesh_note = f"  mesh={mesh_shape}" if mesh_shape else ""
     print(f"serving on http://{args.host}:{srv.port}  "
           f"(POST /infer, GET /healthz, GET /stats){mesh_note}", flush=True)
