@@ -230,6 +230,15 @@ def _rbox_covariance(xywhr: jax.Array):
     """Rotated box -> 2D Gaussian covariance terms (a, b, c): the
     probIoU representation (w^2/12, h^2/12 variances rotated by angle)."""
     w, h, r = xywhr[..., 2], xywhr[..., 3], xywhr[..., 4]
+    # variance floor (1e-3 px, sub-resolution): a zero-area box has zero
+    # covariance, which collapses the Bhattacharyya distance term to
+    # 0/eps = 0 and makes probIoU ~1 against ANYTHING anywhere — wrong
+    # limit (should ->0 for distinct centers), and it defeats the NMS
+    # class-offset embedding (cross-class suppression). The floor keeps
+    # the distance term alive in the degenerate limit; boxes >= 0.001 px
+    # are unaffected. (Found by tests/test_geometry_fuzz.py.)
+    w = jnp.maximum(w, 1e-3)
+    h = jnp.maximum(h, 1e-3)
     a0 = w * w / 12.0
     b0 = h * h / 12.0
     cs, sn = jnp.cos(r), jnp.sin(r)
@@ -252,7 +261,13 @@ def probiou(obb1: jax.Array, obb2: jax.Array,
     x2, y2 = obb2[..., 0], obb2[..., 1]
     a1, b1, c1 = _rbox_covariance(obb1)
     a2, b2, c2 = _rbox_covariance(obb2)
-    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    # the quadratic form is PSD mathematically but rounds NEGATIVE in
+    # f32 for degenerate pairs (zero-area boxes, near-parallel thin
+    # lines: cancellation error ~1e-3 at w=64, far beyond eps) -> log
+    # of a negative -> NaN IoU, which un-suppresses in NMS and poisons
+    # OBB-loss gradients. Clamp before adding eps. (Found by
+    # tests/test_geometry_fuzz.py's degenerate-scene sweep.)
+    denom = jnp.maximum((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2, 0.0) + eps
     t1 = ((a1 + a2) * (y1 - y2) ** 2
           + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
     t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
@@ -347,14 +362,20 @@ def probiou_numpy(b1, b2, eps=1e-7):
     import numpy as np
 
     def cov(b):
-        a0, b0 = b[2] ** 2 / 12.0, b[3] ** 2 / 12.0
+        # same 1e-3 px variance floor as the jax op (_rbox_covariance)
+        a0 = max(b[2], 1e-3) ** 2 / 12.0
+        b0 = max(b[3], 1e-3) ** 2 / 12.0
         c, s = np.cos(b[4]), np.sin(b[4])
         return (a0 * c * c + b0 * s * s, a0 * s * s + b0 * c * c,
                 (a0 - b0) * c * s)
 
+    b1 = np.asarray(b1, np.float64)
+    b2 = np.asarray(b2, np.float64)
     a1, bb1, c1 = cov(b1)
     a2, bb2, c2 = cov(b2)
-    den = (a1 + a2) * (bb1 + bb2) - (c1 + c2) ** 2 + eps
+    # same PSD clamp as the jax op (see probiou): degenerate pairs
+    # round the form negative and NaN the log otherwise
+    den = max((a1 + a2) * (bb1 + bb2) - (c1 + c2) ** 2, 0.0) + eps
     t1 = ((a1 + a2) * (b1[1] - b2[1]) ** 2
           + (bb1 + bb2) * (b1[0] - b2[0]) ** 2) / den * 0.25
     t2 = ((c1 + c2) * (b2[0] - b1[0]) * (b1[1] - b2[1])) / den * 0.5

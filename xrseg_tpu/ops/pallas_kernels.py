@@ -355,7 +355,9 @@ def _nms_rotated_batched_kernel(x_ref, y_ref, a_ref, b_ref, c_ref, det_ref,
         xi, yi = gather(x), gather(y)
         ai, bi, ci = gather(a), gather(b), gather(c)
         deti = gather(det)
-        denom = (ai + a) * (bi + b) - (ci + c) ** 2 + eps
+        # PSD clamp: the form rounds negative in f32 for degenerate
+        # pairs -> NaN log (see ops/nms.probiou; same fix)
+        denom = jnp.maximum((ai + a) * (bi + b) - (ci + c) ** 2, 0.0) + eps
         t1 = ((ai + a) * (yi - y) ** 2
               + (bi + b) * (xi - x) ** 2) / denom * 0.25
         t2 = ((ci + c) * (x - xi) * (yi - y)) / denom * 0.5
@@ -385,6 +387,10 @@ def nms_rotated_batched_pallas(boxes_xywhr: jax.Array,
     B, K = masked_scores.shape
     bx = boxes_xywhr.astype(jnp.float32)
     w, h, r = bx[..., 2], bx[..., 3], bx[..., 4]
+    # same 1e-3 px variance floor as ops/nms._rbox_covariance (zero-area
+    # boxes otherwise suppress everything, including cross-class)
+    w = jnp.maximum(w, 1e-3)
+    h = jnp.maximum(h, 1e-3)
     a0 = w * w / 12.0
     b0 = h * h / 12.0
     cs, sn = jnp.cos(r), jnp.sin(r)
