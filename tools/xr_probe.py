@@ -1,0 +1,187 @@
+"""Drive the FULL XR tick on the real chip: the reference's actual
+per-frame workload composed end to end.
+
+tools/executor_probe.py validates L3 (the inference state machine) on
+hardware; this probe composes L3+L4+L5+L6 the way XRScene does
+(IEExecutor.cs:458-526 tracking + target-mask path, :561-651 depth
+fusion/point-cloud): SyntheticCameraSource frames (+ synthetic depth +
+pose), a scripted controller that laser-selects the first detection,
+then N frames of
+
+  dispatch -> poll -> packed-slate readback -> tracker update ->
+  device-side target-mask gather -> masker SmoothDamp -> depth fusion ->
+  point-cloud extraction
+
+reporting sustained fps, per-stage latency split (executor tracer), and
+per-frame point counts. Emits ONE JSON line (artifact for README).
+
+Run on the chip:   python tools/xr_probe.py --frames 120
+CPU smoke:         python tools/xr_probe.py --cpu --frames 12 --size 64
+
+Uses the reference's deployed .sentis weights + a bundled real image as
+the camera background when /root/reference is mounted (a real `bus`
+lock); detection-guaranteeing fixture weights otherwise.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(
+    os.path.dirname(__file__), "..")))
+
+import numpy as np  # noqa: E402
+
+REF_SENTIS = ("/root/reference/Assets/Resources/Model/"
+              "yolo11n-seg-sentis.sentis")
+REF_IMAGES = "/root/reference/Assets/Resources/Images"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=120,
+                    help="timed tracked frames after lock")
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--size", type=int, default=None,
+                    help="model input size override (CPU smoke)")
+    ap.add_argument("--scale", default="n")
+    ap.add_argument("--out", default=None, help="also write JSON here")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import xrseg_tpu
+    xrseg_tpu.enable_compile_cache()
+    from xrseg_tpu.config import XR_PRESET, ExecutorConfig, ModelConfig
+    from xrseg_tpu.runtime.executor import Executor
+    from xrseg_tpu.runtime.frame_source import (FileFrameSource,
+                                                SyntheticCameraSource)
+    from xrseg_tpu.runtime.xr_loop import (XRLoop,
+                                           aim_controller_at_frame_point)
+
+    mcfg = ModelConfig(scale=args.scale)
+    if args.size:
+        mcfg = ModelConfig(scale=args.scale,
+                           input_size=(args.size, args.size),
+                           dtype="float32")
+    cfg = ExecutorConfig(model=mcfg, post=XR_PRESET.post,
+                         depth=XR_PRESET.depth, enable_ui_rendering=True)
+
+    params = None
+    background = None
+    weights = "fixture"
+    if os.path.exists(REF_SENTIS) and not args.size:
+        from xrseg_tpu.io.weights import load_params_auto
+        params, mcfg = load_params_auto(REF_SENTIS, mcfg)
+        cfg = ExecutorConfig(model=mcfg, post=XR_PRESET.post,
+                             depth=XR_PRESET.depth,
+                             enable_ui_rendering=True)
+        weights = "reference .sentis"
+        src_bg = FileFrameSource(REF_IMAGES, image_name="000000002006",
+                                 loop=False)
+        if src_bg.open():
+            background = next(src_bg.frames()).rgb
+    else:
+        import jax
+
+        from xrseg_tpu.testing import detection_params
+        params = detection_params(jax.random.key(0), mcfg)
+
+    # a result takes several ticks (dispatch/poll/readback/cleanup), so
+    # budget camera frames generously; the loop breaks on frame count
+    n_total = (args.warmup + args.frames) * 10 + 300
+    src = SyntheticCameraSource(frame_hw=(480, 640), depth_hw=(128, 128),
+                                max_frames=n_total, realtime=False,
+                                background_rgb=background)
+    ex = Executor(cfg, params=params, frame_hw=(480, 640))
+    loop = XRLoop(ex, intrinsics=src.intrinsics)
+    print(f"weights: {weights}; compiling + warmup...", flush=True)
+
+    frames_iter = src.frames()
+    results = 0
+    locked_at = None
+    timed_started = None
+    point_counts = []
+    lost = 0
+    t_first = None
+    t_last = None
+    ticks = 0
+    for fd in frames_iter:
+        r = loop.tick(fd)
+        ticks += 1
+        if r is None:
+            continue
+        results += 1
+        if t_first is None:
+            t_first = time.perf_counter()
+        # lock phase: laser-select the first detection (trigger edge)
+        if not loop.selected and r.count > 0 and fd.pose is not None:
+            b = r.boxes[0]
+            frame_sp = (b.center_x + ex.screen_wh[0] / 2,
+                        b.center_y + ex.screen_wh[1] / 2)
+            ctl = aim_controller_at_frame_point(
+                src.intrinsics, fd.pose, frame_sp, ex.screen_wh)
+            ctl.trigger = True
+            loop.tick(fd, ctl)
+            if loop.selected:
+                locked_at = results
+                print(f"laser-selected target: {b.class_name} "
+                      f"@ result {results}", flush=True)
+        if loop.selected and locked_at is not None:
+            n_after_lock = results - locked_at
+            if n_after_lock == args.warmup:
+                timed_started = (results, time.perf_counter())
+                point_counts = []
+                lost = 0
+            if n_after_lock >= args.warmup:
+                if r.tracked is not None:
+                    point_counts.append(
+                        len(r.point_cloud.positions)
+                        if r.point_cloud is not None else 0)
+                else:
+                    lost += 1
+                t_last = time.perf_counter()
+            if timed_started and results - timed_started[0] >= args.frames:
+                break
+
+    if timed_started is None:
+        print(json.dumps({"metric": "xr_tick_full_loop",
+                          "error": "never locked a target",
+                          "results": results}), flush=True)
+        return 1
+
+    elapsed = t_last - timed_started[1]
+    n_timed = results - timed_started[0]
+    stages = ex.tracer.summary()
+    split = {k: round(v.get("p50_ms", 0.0), 2) for k, v in stages.items()
+             if k in ("dispatch", "readback", "process", "mask_fetch",
+                      "depth_fusion")}
+    row = {
+        "metric": "xr_tick_full_loop_fps",
+        "value": round(n_timed / elapsed, 2),
+        "unit": "tracked frames/sec (dispatch+slate+track+mask+"
+                "depth-fusion+pointcloud)",
+        "vs_baseline": round(n_timed / elapsed / 30.0, 2),
+        "weights": weights,
+        "frames_timed": n_timed,
+        "lost_frames": lost,
+        "points_min": int(min(point_counts)) if point_counts else 0,
+        "points_p50": int(np.median(point_counts)) if point_counts else 0,
+        "stage_p50_ms": split,
+    }
+    print(json.dumps(row), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(row, f, indent=1)
+    if weights == "reference .sentis":
+        # the real-weights gate: every tracked frame must extract points
+        return 0 if (point_counts and min(point_counts) > 0) else 1
+    return 0 if point_counts else 1   # fixture smoke: loop composed + ran
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
