@@ -73,6 +73,15 @@ def main() -> int:
                     help="force the CPU backend (e.g. for smoke tests)")
     ap.add_argument("--tb", default=None, metavar="DIR",
                     help="TensorBoard scalar logdir ('auto' = <out>/tb)")
+    ap.add_argument("--resize-mode", default="stretch",
+                    choices=["stretch", "letterbox"],
+                    help="train-time sample geometry: stretch (the "
+                         "reference's deploy semantics) or aspect-"
+                         "preserving letterbox (ultralytics training)")
+    ap.add_argument("--data-hw", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="synthetic dataset source frame size (non-square "
+                         "makes the stretch-vs-letterbox A/B meaningful)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="compute dtype (params stay f32 master weights; "
@@ -92,9 +101,11 @@ def main() -> int:
                       num_classes=args.classes, dtype=args.dtype)
 
     if args.synthetic:
-        train_ds = D.SyntheticShapesDataset(n=256, hw=(args.size, args.size),
+        data_hw = tuple(args.data_hw) if args.data_hw \
+            else (args.size, args.size)
+        train_ds = D.SyntheticShapesDataset(n=256, hw=data_hw,
                                             n_classes=min(3, args.classes))
-        val_ds = D.SyntheticShapesDataset(n=32, hw=(args.size, args.size),
+        val_ds = D.SyntheticShapesDataset(n=32, hw=data_hw,
                                           n_classes=min(3, args.classes),
                                           seed=1)
     else:
@@ -134,7 +145,8 @@ def main() -> int:
         mesh = mesh_lib.make_mesh((args.mesh, 1))
 
     aug = D.AugmentConfig(mosaic=0.0 if args.no_mosaic else 1.0,
-                          mixup=args.mixup, copy_paste=args.copy_paste)
+                          mixup=args.mixup, copy_paste=args.copy_paste,
+                          letterbox=(args.resize_mode == "letterbox"))
     scales = (tuple((s, s) for s in args.scales) if args.scales else None)
     tcfg = TrainConfig(epochs=args.epochs, batch=args.batch, lr=args.lr,
                        max_gt=args.max_gt, aug=aug, ckpt_dir=args.out,

@@ -30,7 +30,8 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
                      pipe=None,
                      coco_dump: Optional[str] = None,
                      tta: bool = False,
-                     merge: str = "nms") -> Dict[str, float]:
+                     merge: str = "nms",
+                     resize_mode: str = "stretch") -> Dict[str, float]:
     """mAP of `params` through the deployed pipeline on `dataset`'s GT.
 
     Returns {box_mAP, box_AP50, box_AP75, mask_mAP?, n_images, n_gt}.
@@ -76,6 +77,11 @@ def evaluate_dataset(cfg: ModelConfig, params, dataset,
     for b0 in range(0, n, batch):
         idx = range(b0, min(b0 + batch, n))
         raw = [dataset[i] for i in idx]
+        if resize_mode == "letterbox":
+            # aspect-preserving eval geometry: letterbox each sample
+            # (image + normalized GT remapped into the padded canvas);
+            # the stretch path below is then a no-op resize
+            raw = [data_lib.letterbox_sample(s, (H, W)) for s in raw]
         frames = np.zeros((batch, H, W, 3), np.uint8)
         for j, s in enumerate(raw):
             frames[j] = data_lib._resize_uint8(s["image"], (H, W))

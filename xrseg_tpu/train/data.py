@@ -460,6 +460,39 @@ def _resize_uint8_pil(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
         (hw[1], hw[0]), Image.BILINEAR), np.uint8)
 
 
+def letterbox_sample(s: Sample, out_hw: Tuple[int, int]) -> Sample:
+    """Aspect-preserving resize + gray(114) pad to out_hw (ultralytics
+    letterbox semantics), with normalized boxes/polys remapped into the
+    padded canvas. After this transform the default stretch pipeline is
+    geometry-neutral (the image is already out_hw), so ONE transform
+    gives both train-time and eval-time letterboxing — the A/B against
+    the reference's stretch deploy (ToTensor, IEExecutor.cs:370)."""
+    ih, iw = s["image"].shape[:2]
+    oh, ow = out_hw
+    r = min(oh / ih, ow / iw)
+    ch, cw = max(1, round(ih * r)), max(1, round(iw * r))
+    top, left = (oh - ch) // 2, (ow - cw) // 2
+    img = np.full((oh, ow, 3), 114, np.uint8)
+    img[top:top + ch, left:left + cw] = _resize_uint8(s["image"], (ch, cw))
+    out = dict(s, image=img)
+    sx, sy = cw / ow, ch / oh
+    ox, oy = left / ow, top / oh
+    if "boxes" in s:
+        b = np.asarray(s["boxes"], np.float32).copy()
+        if len(b):
+            b[:, 0] = b[:, 0] * sx + ox
+            b[:, 1] = b[:, 1] * sy + oy
+            b[:, 2] *= sx
+            b[:, 3] *= sy
+        out["boxes"] = b
+    if "polys" in s:
+        out["polys"] = [None if p is None else
+                        np.stack([p[:, 0] * sx + ox, p[:, 1] * sy + oy],
+                                 -1).astype(np.float32)
+                        for p in s["polys"]]
+    return out
+
+
 def hflip_sample(s: Sample) -> Sample:
     out = dict(s)
     out["image"] = s["image"][:, ::-1]
@@ -679,6 +712,10 @@ class AugmentConfig:
     translate: float = 0.1
     copy_paste: float = 0.0      # per-instance paste probability (segment)
     min_box_px: float = 2.0      # drop GT smaller than this after augment
+    # aspect-preserving letterbox of every raw sample (incl. mosaic
+    # tiles) before augmentation, instead of the default stretch — the
+    # ultralytics-training geometry (see letterbox_sample)
+    letterbox: bool = False
 
 
 def mixup2(a: Sample, b: Sample, rng: np.random.Generator) -> Sample:
@@ -707,6 +744,9 @@ def _base_sample(get, i: int, rng: np.random.Generator,
                  input_hw: Tuple[int, int], aug: AugmentConfig,
                  n_total: int) -> Sample:
     """mosaic-or-plain base image at input_hw (shared by main + mixup)."""
+    if aug.letterbox:
+        raw_get = get
+        get = lambda j: letterbox_sample(raw_get(j), input_hw)  # noqa: E731
     if aug.mosaic > 0 and rng.uniform() < aug.mosaic:
         idx = [i] + list(rng.integers(0, n_total, 3))
         return mosaic4([get(j) for j in idx], rng, input_hw)
