@@ -373,3 +373,46 @@ def test_wbf_symmetric_tie_pinned(rotated):
                                rtol=1e-6)
     np.testing.assert_allclose(float(np.asarray(det[key])[1, 0]), 23.5,
                                rtol=1e-5)
+
+
+def test_wbf_pre_topk_exact_equivalence():
+    """pre_topk truncation of the WBF candidate stream is EXACT whenever
+    at most pre_topk anchors clear the score gate (sub-threshold rows
+    are scan no-ops): 240 axis + 210 rotated scenes, truncated vs
+    full-width, bit-compared; over-threshold-crowded scenes are skipped
+    (and counted) since the contract only holds under the cap."""
+    import functools as _ft
+    K = 56      # A=64 scenes average ~48 above-gate anchors
+    wbf_k = jax.jit(_ft.partial(
+        wbf_fixed, iou_threshold=IOU_THR, score_threshold=SCORE_THR,
+        max_det=D, class_aware=True, pre_topk=K))
+    wbf_rot_k = jax.jit(_ft.partial(
+        wbf_rotated_fixed, iou_threshold=IOU_THR,
+        score_threshold=SCORE_THR, max_det=D, class_aware=True,
+        pre_topk=K))
+    checked = skipped = 0
+    for rotated, full_j, trunc_j, key in (
+            (False, wbf_j, wbf_k, "boxes_xywh"),
+            (True, wbf_rot_j, wbf_rot_k, "boxes_xywhr")):
+        for mode in MODES:
+            for seed in range(40 if not rotated else 35):
+                boxes, scores, labels = make_scene(seed, mode,
+                                                   rotated=rotated)
+                if (scores > SCORE_THR).sum() > K:
+                    skipped += 1
+                    continue
+                a = full_j(jnp.asarray(boxes), jnp.asarray(scores),
+                           jnp.asarray(labels))
+                b = trunc_j(jnp.asarray(boxes), jnp.asarray(scores),
+                            jnp.asarray(labels))
+                assert int(a["count"]) == int(b["count"]), (mode, seed)
+                np.testing.assert_array_equal(np.asarray(a["indices"]),
+                                              np.asarray(b["indices"]))
+                np.testing.assert_allclose(np.asarray(a[key]),
+                                           np.asarray(b[key]),
+                                           rtol=1e-6, atol=1e-5)
+                np.testing.assert_allclose(np.asarray(a["scores"]),
+                                           np.asarray(b["scores"]),
+                                           rtol=1e-6)
+                checked += 1
+    assert checked >= 250, (checked, skipped)

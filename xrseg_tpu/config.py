@@ -70,6 +70,11 @@ class PostprocessConfig:
     # full-width selection loop measured FASTER than any capped variant
     # (top_k's sort and scatter-compaction both cost more than the wide
     # vector ops they save). >0 caps candidates for tiny-model tests.
+    # merge="wbf" honors the same cap with the OPPOSITE cost profile:
+    # the WBF scan runs one sequential step per candidate (A steps at
+    # full width, M*A for ensembles), so capping shortens the dependency
+    # chain itself — same exactness contract (exact while <= pre_nms_topk
+    # anchors clear the score gate).
     pre_nms_topk: int = 0
     # NMS execution backend: "scan" = lax.scan select-and-suppress loop
     # (portable); "pallas" = the same loop as one on-core Pallas kernel

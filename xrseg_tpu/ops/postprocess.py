@@ -136,7 +136,8 @@ def postprocess_batch_parts(boxes: jax.Array, cls_scores: jax.Array,
         det = wbf_fixed_batched(
             boxes, scores, labels, iou_threshold=cfg.iou_threshold,
             score_threshold=cfg.score_threshold,
-            max_det=cfg.max_detections, class_aware=cfg.class_aware)
+            max_det=cfg.max_detections, class_aware=cfg.class_aware,
+            pre_topk=cfg.pre_nms_topk)
         det["scores"] = det["scores"] * det["valid"]
     else:
         det = nms_ops.nms_fixed_batched(
@@ -213,7 +214,8 @@ def postprocess_obb_batch(boxes_xywhr: jax.Array, cls_scores: jax.Array,
             boxes_xywhr, scores, labels,
             iou_threshold=cfg.iou_threshold,
             score_threshold=cfg.score_threshold,
-            max_det=cfg.max_detections, class_aware=cfg.class_aware)
+            max_det=cfg.max_detections, class_aware=cfg.class_aware,
+            pre_topk=cfg.pre_nms_topk)
         det["scores"] = det["scores"] * det["valid"]
         return det
     det = nms_ops.nms_fixed_rotated_batched(

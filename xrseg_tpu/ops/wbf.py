@@ -40,11 +40,36 @@ def _iou_row(box_c: jax.Array, boxes_c: jax.Array) -> jax.Array:
     return inter / jnp.maximum(a1 + a2 - inter, 1e-12)
 
 
+def _topk_candidates(boxes, scores, labels, pre_topk: int):
+    """Score-descending candidate stream for the WBF scan, optionally
+    truncated to the top pre_topk anchors.
+
+    Sub-threshold candidates are NO-OPS in the scan (alive=False rows
+    neither merge nor open a cluster), so truncation is EXACT whenever
+    at most pre_topk anchors clear the score gate — the same contract
+    as nms_fixed's pre_topk. Unlike NMS (whose greedy loop runs only
+    max_det iterations over wide vectors, where full width measured
+    FASTER on TPU), the WBF scan runs ONE SEQUENTIAL STEP PER CANDIDATE
+    — 8400 steps at full width, M*8400 for an M-model ensemble — so
+    shortening the stream shortens the dependency chain itself.
+    lax.top_k sorts descending with ties broken by lower index, matching
+    the stable argsort ordering."""
+    A = scores.shape[0]
+    if pre_topk and pre_topk < A:
+        s_sorted, order = jax.lax.top_k(scores, pre_topk)
+    else:
+        order = jnp.argsort(-scores)
+        s_sorted = scores[order]
+    return (boxes[order].astype(jnp.float32), s_sorted, labels[order],
+            order.astype(jnp.int32))
+
+
 def wbf_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
               *, iou_threshold: float = 0.55,
               score_threshold: float = 0.0,
               max_det: int = 50,
-              class_aware: bool = True) -> Dict[str, jax.Array]:
+              class_aware: bool = True,
+              pre_topk: int = 0) -> Dict[str, jax.Array]:
     """Single-image fixed-shape WBF.
 
     boxes_xywh [A,4] / scores [A] / labels [A] -> the nms_fixed output
@@ -52,13 +77,14 @@ def wbf_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
     labels [D], indices [D] (anchor index of each cluster's top-scoring
     member — mask coefficients etc. gather from it), valid [D],
     count []} with D = max_det, score-sorted.
+
+    pre_topk: 0 = scan every anchor (guaranteed exact); >0 = scan only
+    the top pre_topk candidates by score (exact unless more than
+    pre_topk anchors clear score_threshold — see _topk_candidates).
     """
-    A = scores.shape[0]
     D = max_det
-    order = jnp.argsort(-scores)
-    s_sorted = scores[order]
-    b_sorted = boxes_xywh[order].astype(jnp.float32)
-    l_sorted = labels[order]
+    b_sorted, s_sorted, l_sorted, order = _topk_candidates(
+        boxes_xywh, scores, labels, pre_topk)
     alive = s_sorted > score_threshold
 
     def step(carry, inp):
@@ -125,6 +151,7 @@ def wbf_fixed(boxes_xywh: jax.Array, scores: jax.Array, labels: jax.Array,
 def wbf_fixed_batched(boxes, scores, labels, *, iou_threshold: float,
                       score_threshold: float, max_det: int,
                       class_aware: bool = True,
+                      pre_topk: int = 0,
                       backend: str = "scan") -> Dict[str, jax.Array]:
     """Batched WBF with the nms_fixed_batched signature (the `backend`
     arg is accepted for call-site compatibility and ignored — WBF runs
@@ -133,23 +160,24 @@ def wbf_fixed_batched(boxes, scores, labels, *, iou_threshold: float,
     return jax.vmap(lambda b, s, l: wbf_fixed(
         b, s, l, iou_threshold=iou_threshold,
         score_threshold=score_threshold, max_det=max_det,
-        class_aware=class_aware))(boxes, scores, labels)
+        class_aware=class_aware, pre_topk=pre_topk))(boxes, scores, labels)
 
 
 def wbf_rotated_fixed(boxes_xywhr: jax.Array, scores: jax.Array,
                       labels: jax.Array, *, iou_threshold: float = 0.55,
                       score_threshold: float = 0.0, max_det: int = 50,
-                      class_aware: bool = True) -> Dict[str, jax.Array]:
+                      class_aware: bool = True,
+                      pre_topk: int = 0) -> Dict[str, jax.Array]:
     """OBB WBF: probIoU cluster matching; cx/cy/w/h fuse score-weighted,
     the ANGLE fuses as the weighted circular mean over DOUBLED angles
     (rotated rectangles have pi symmetry): theta = atan2(sum w sin2t,
-    sum w cos2t)/2. Output slate keys use "boxes_xywhr"."""
+    sum w cos2t)/2. Output slate keys use "boxes_xywhr". pre_topk as in
+    wbf_fixed (exact candidate-stream truncation)."""
     from xrseg_tpu.ops.nms import probiou_row
     D = max_det
-    order = jnp.argsort(-scores)
-    s_sorted = scores[order].astype(jnp.float32)
-    b_sorted = boxes_xywhr[order].astype(jnp.float32)
-    l_sorted = labels[order]
+    b_sorted, s_sorted, l_sorted, order = _topk_candidates(
+        boxes_xywhr, scores, labels, pre_topk)
+    s_sorted = s_sorted.astype(jnp.float32)
     alive = s_sorted > score_threshold
 
     def fuse(wsum, cs, sn, ssum):
@@ -212,12 +240,13 @@ def wbf_rotated_fixed_batched(boxes, scores, labels, *,
                               iou_threshold: float,
                               score_threshold: float, max_det: int,
                               class_aware: bool = True,
+                              pre_topk: int = 0,
                               backend: str = "scan"):
     del backend
     return jax.vmap(lambda b, s, l: wbf_rotated_fixed(
         b, s, l, iou_threshold=iou_threshold,
         score_threshold=score_threshold, max_det=max_det,
-        class_aware=class_aware))(boxes, scores, labels)
+        class_aware=class_aware, pre_topk=pre_topk))(boxes, scores, labels)
 
 
 def wbf_reference_numpy(boxes, scores, labels, *, iou_threshold=0.55,
