@@ -408,6 +408,12 @@ def run_accuracy_modes_bench(batch: int = 128, n_chained: int = 10,
             tta_views=ULTRALYTICS_TTA_VIEWS)),
         ("wbf_segment", lambda b: build_pipeline(wbf_cfg, params,
                                                  batch=b)),
+        # same merge with the exact top-512 candidate compaction (the
+        # WBF scan is one sequential step per candidate; see ops/wbf.py)
+        ("wbf_topk512_segment", lambda b: build_pipeline(
+            _dc.replace(wbf_cfg, post=_dc.replace(wbf_cfg.post,
+                                                  pre_nms_topk=512)),
+            params, batch=b)),
         ("ensemble2_segment", lambda b: build_ensemble_pipeline(
             wbf_cfg, [params, params2], batch=b)),
     ]
