@@ -87,8 +87,8 @@ def pose_parity_report(images: Sequence[np.ndarray], params,
         kept = nms_reference_numpy(out["boxes_xywh"][0], best, labels,
                                    pcfg.iou_threshold,
                                    pcfg.score_threshold,
-                                   class_aware=pcfg.class_aware
-                                   )[:pcfg.max_detections]
+                                   class_aware=pcfg.class_aware,
+                                   max_keep=pcfg.max_detections)
         gts = []
         for i in kept:
             k = np.asarray(out["kpts"][0][i], np.float32)
@@ -139,8 +139,8 @@ def obb_parity_report(images: Sequence[np.ndarray], params,
         kept = nms_rotated_reference_numpy(rboxes, best, labels,
                                            pcfg.iou_threshold,
                                            pcfg.score_threshold,
-                                           class_aware=pcfg.class_aware
-                                           )[:pcfg.max_detections]
+                                           class_aware=pcfg.class_aware,
+                                           max_keep=pcfg.max_detections)
         oracle.append([GroundTruth(rboxes[i][:4], int(labels[i]),
                                    box_xywhr=rboxes[i]) for i in kept])
 

@@ -387,13 +387,19 @@ def probiou_numpy(b1, b2, eps=1e-7):
 
 
 def nms_rotated_reference_numpy(boxes_xywhr, scores, labels, iou_threshold,
-                                score_threshold, class_aware=True):
-    """Naive greedy rotated NMS (test oracle)."""
+                                score_threshold, class_aware=True,
+                                max_keep: int = 0):
+    """Naive greedy rotated NMS (test oracle). max_keep>0 stops once that
+    many boxes are kept — EXACT for the kept[:max_keep] prefix (greedy
+    NMS only ever appends, in score order); essential when thousands of
+    candidates survive the gate (fixture weights at 640^2)."""
     import numpy as np
     order = np.argsort(-scores, kind="stable")
     order = [i for i in order if scores[i] > score_threshold]
     kept = []
     for i in order:
+        if max_keep and len(kept) >= max_keep:
+            break
         ok = True
         for j in kept:
             if class_aware and labels[i] != labels[j]:
@@ -407,8 +413,10 @@ def nms_rotated_reference_numpy(boxes_xywhr, scores, labels, iou_threshold,
 
 
 def nms_reference_numpy(boxes_xywh, scores, labels, iou_threshold,
-                        score_threshold, class_aware=True):
-    """Naive O(N^2) host NMS — test oracle only."""
+                        score_threshold, class_aware=True,
+                        max_keep: int = 0):
+    """Naive O(N^2) host NMS — test oracle only. max_keep as in
+    nms_rotated_reference_numpy (exact early exit for the top prefix)."""
     import numpy as np
     order = np.argsort(-scores, kind="stable")
     order = [i for i in order if scores[i] > score_threshold]
@@ -428,6 +436,8 @@ def nms_reference_numpy(boxes_xywh, scores, labels, iou_threshold,
         return inter / u if u > 0 else 0.0
 
     for i in order:
+        if max_keep and len(kept) >= max_keep:
+            break
         ok = True
         for j in kept:
             if class_aware and labels[i] != labels[j]:
