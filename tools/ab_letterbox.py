@@ -17,6 +17,13 @@ train/deploy geometry MISMATCH (the situation of running an
 ultralytics-letterbox-trained checkpoint through the reference's
 stretch deploy).
 
+By default both arms FINE-TUNE from the reference's deployed .sentis
+weights (80->3 class graft via io.weights.transfer_params) — transfer
+converges in a couple of epochs where random init at this scale needs a
+long schedule (a first random-init attempt at lr 2e-3 diverged at epoch
+3 in both arms; the deployed-weights arm is also the practically
+interesting comparison). Pass --weights none for random init.
+
 CPU scale:  python tools/ab_letterbox.py --cpu --size 128 --epochs 8
 Chip scale: python tools/ab_letterbox.py --size 640 --epochs 12
 """
@@ -36,7 +43,12 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--n-train", type=int, default=128)
     ap.add_argument("--n-val", type=int, default=48)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: 1e-4 fine-tune / 5e-4 random init")
+    ap.add_argument("--weights", default=(
+        "/root/reference/Assets/Resources/Model/"
+        "yolo11n-seg-sentis.sentis"),
+        help="donor weights to fine-tune from ('none' for random init)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args()
@@ -65,14 +77,27 @@ def main() -> int:
     print(f"source frames {data_hw}, model {size}x{size}, "
           f"{args.n_train} train / {args.n_val} val", flush=True)
 
+    init_params = None
+    if args.weights and args.weights.lower() != "none" \
+            and os.path.exists(args.weights):
+        from xrseg_tpu.io.weights import load_params_auto, transfer_params
+        donor_cfg = ModelConfig(scale="n", input_size=(size, size),
+                                num_classes=80, dtype="float32")
+        donor, _ = load_params_auto(args.weights, donor_cfg)
+        init_params, rep = transfer_params(donor, cfg)
+        print(f"fine-tuning from {args.weights}: {rep['copied']} leaves "
+              f"copied, {len(rep['reinit'])} reinitialized", flush=True)
+    lr = args.lr if args.lr is not None else \
+        (1e-4 if init_params is not None else 5e-4)
+
     results = {}
     params_by_mode = {}
     for mode in ("stretch", "letterbox"):
         aug = D.AugmentConfig(letterbox=(mode == "letterbox"))
         tcfg = TrainConfig(epochs=args.epochs, batch=args.batch,
-                           lr=args.lr, max_gt=8, aug=aug, ckpt_dir=None)
+                           lr=lr, max_gt=8, aug=aug, ckpt_dir=None)
         tr = Trainer(cfg, tcfg,
-                     params=None)   # fresh init per arm, same seed
+                     params=init_params)   # same init for both arms
         tr.fit(train_ds, val_dataset=None)
         params_by_mode[mode] = tr.eval_params
         print(f"trained {mode}: final loss "
