@@ -525,6 +525,56 @@ def main() -> int:
                 "vs_baseline": round(r["fps_per_chip"] / 30.0, 1),
             }), flush=True)
         return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--xla-sweep":
+        # XLA:TPU compiler-flag A/B on the headline workload. TPU flags
+        # ride LIBTPU_INIT_ARGS (XLA_FLAGS is parsed by the HOST-side XLA,
+        # which hard-aborts on unknown --xla_tpu_* names) and bind at
+        # backend init, so each variant runs `bench.py <batch>` in a fresh
+        # subprocess; the persistent compile cache keys on compile
+        # options, so variants don't poison each other's entries. Control
+        # runs first. On the CPU smoke path libtpu never loads and every
+        # variant legitimately reports the control number.
+        import os
+        import subprocess
+        batch = sys.argv[2] if len(sys.argv) > 2 else "128"
+        variants = [
+            ("control", ""),
+            ("scoped_vmem_64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
+            ("latency_hiding_sched",
+             "--xla_tpu_enable_latency_hiding_scheduler=true"),
+            ("vmem64m+lhs",
+             "--xla_tpu_scoped_vmem_limit_kib=65536 "
+             "--xla_tpu_enable_latency_hiding_scheduler=true"),
+        ]
+        for name, flags in variants:
+            env = dict(os.environ)
+            if flags:
+                env["LIBTPU_INIT_ARGS"] = (
+                    env.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
+            try:
+                p = subprocess.run([sys.executable, __file__, batch],
+                                   capture_output=True, text=True,
+                                   timeout=1800, env=env)
+                row = None
+                for line in p.stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        row = json.loads(line)
+                print(json.dumps({
+                    "metric": f"xla_sweep_{name}_b{batch}",
+                    "value": (row or {}).get("value"),
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": (row or {}).get("vs_baseline"),
+                    "libtpu_init_args": flags or "(default)",
+                    "rc": p.returncode,
+                }), flush=True)
+            except subprocess.TimeoutExpired:
+                print(json.dumps({
+                    "metric": f"xla_sweep_{name}_b{batch}",
+                    "value": None, "error": "timeout",
+                    "libtpu_init_args": flags or "(default)",
+                }), flush=True)
+        return 0
     if len(sys.argv) > 2 and sys.argv[1] == "--profile":
         # device trace of the headline workload for TensorBoard/xprof
         from xrseg_tpu.runtime.profiling import device_trace

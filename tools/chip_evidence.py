@@ -47,6 +47,7 @@ def steps(out):
               3600))
     s.append(("bench_tasks", b + ["--tasks"], 3000))
     s.append(("bench_streaming", b + ["--streaming"], 2400))
+    s.append(("bench_xla_sweep", b + ["--xla-sweep", "128"], 7200))
     s.append(("xr_probe", [PY, "tools/xr_probe.py", "--frames", "120",
                            "--out", f"{out}/xr_probe_chip.json"], 2400))
     if os.path.exists(SENTIS):
