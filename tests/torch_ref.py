@@ -120,6 +120,11 @@ def upsample2x(x):
 
 
 def backbone_neck(p, x):
+    # Structure-driven arch dispatch (mirrors yolo11.backbone/neck):
+    # v8 params carry no C2PSA ("b10") and run the neck blocks
+    # shortcut-free; the layer SEQUENCE is otherwise identical.
+    v8 = "b10" not in p
+    sc = not v8
     x = conv(p["b0"], x, 2)
     x = conv(p["b1"], x, 2)
     x = c3k2(p["b2"], x, shortcut=True)
@@ -130,16 +135,16 @@ def backbone_neck(p, x):
     x = conv(p["b7"], x6, 2)
     x = c3k2(p["b8"], x, shortcut=True)
     x = sppf(p["b9"], x)
-    x10 = c2psa(p["b10"], x)
+    x10 = x if v8 else c2psa(p["b10"], x)
 
     u = upsample2x(x10)
-    x13 = c3k2(p["h13"], torch.cat([u, x6], 1), shortcut=True)
+    x13 = c3k2(p["h13"], torch.cat([u, x6], 1), shortcut=sc)
     u = upsample2x(x13)
-    x16 = c3k2(p["h16"], torch.cat([u, x4], 1), shortcut=True)
+    x16 = c3k2(p["h16"], torch.cat([u, x4], 1), shortcut=sc)
     d = conv(p["h17"], x16, 2)
-    x19 = c3k2(p["h19"], torch.cat([d, x13], 1), shortcut=True)
+    x19 = c3k2(p["h19"], torch.cat([d, x13], 1), shortcut=sc)
     d = conv(p["h20"], x19, 2)
-    x22 = c3k2(p["h22"], torch.cat([d, x10], 1), shortcut=True)
+    x22 = c3k2(p["h22"], torch.cat([d, x10], 1), shortcut=sc)
     return x16, x19, x22
 
 
@@ -150,8 +155,11 @@ def detect_heads(p, feats):
         b = conv(d2["conv1"], conv(d2["conv0"], f))
         boxes.append(conv(d2["out"], b, act=False))
         d3 = p["det"]["cv3"][i]
-        c = conv(d3["pw0"], dwconv(d3["dw0"], f))
-        c = conv(d3["pw1"], dwconv(d3["dw1"], c))
+        if "dw0" in d3:      # v11 depthwise-separable cls branch
+            c = conv(d3["pw0"], dwconv(d3["dw0"], f))
+            c = conv(d3["pw1"], dwconv(d3["dw1"], c))
+        else:                # v8 legacy: two plain 3x3 convs
+            c = conv(d3["conv1"], conv(d3["conv0"], f))
         clss.append(conv(d3["out"], c, act=False))
     return boxes, clss
 
@@ -346,8 +354,10 @@ def classify_forward_torch(p, x_nhwc: np.ndarray, cfg):
     x = c3k2(p["b6"], x, shortcut=True)
     x = conv(p["b7"], x, 2)
     x = c3k2(p["b8"], x, shortcut=True)
-    x = sppf(p["b9"], x)
-    x = c2psa(p["b10"], x)
+    if "b9" in p:            # v8-cls carries no SPPF
+        x = sppf(p["b9"], x)
+    if "b10" in p:           # ... and no C2PSA
+        x = c2psa(p["b10"], x)
     h = p["cls_head"]
     y = conv(h["conv"], x)                       # [B,1280,h,w]
     y = y.mean(dim=(2, 3)).numpy().astype(np.float64)

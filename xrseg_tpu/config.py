@@ -20,6 +20,11 @@ class ModelConfig:
     160x160 (IEModelEditorConverter.cs:50-58).
     """
     scale: str = "n"                 # one of n / s / m / l / x
+    # Architecture generation: "yolo11" (the reference's deployed family)
+    # or "yolov8" (the ultralytics generation most third-party checkpoints
+    # target: C2f blocks, no C2PSA, plain-conv cls head). Same tasks,
+    # losses, pipelines and export contract for both.
+    arch: str = "yolo11"
     num_classes: int = 80
     num_masks: int = 32              # mask coefficients (segmentation only)
     reg_max: int = 16                # DFL bins per box side

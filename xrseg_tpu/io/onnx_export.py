@@ -192,7 +192,9 @@ def _c3k(g: _G, p, x: str, c: int) -> str:
     return _conv(g, p["cv3"], g.n("Concat", [y1, y2], axis=1))
 
 
-def _c3k2(g: _G, p, x: str) -> str:
+def _c3k2(g: _G, p, x: str, shortcut: bool = True) -> str:
+    """Emits C3k2 and (structurally identical) v8 C2f blocks; shortcut
+    False for v8 neck blocks (yolov8.yaml head C2f(..., False))."""
     is_c3k = "cv3" in p["m"][0]
     c = np.asarray(p["cv1"]["w"]).shape[-1] // 2
     y = _conv(g, p["cv1"], x)
@@ -201,7 +203,7 @@ def _c3k2(g: _G, p, x: str) -> str:
     cur = b
     for bp in p["m"]:
         cur = (_c3k(g, bp, cur, c) if is_c3k
-               else _bottleneck(g, bp, cur, True, c, c))
+               else _bottleneck(g, bp, cur, shortcut, c, c))
         outs.append(cur)
     return _conv(g, p["cv2"], g.n("Concat", outs, axis=1))
 
@@ -321,8 +323,11 @@ def export_onnx(params, cfg, path: str,
     x6 = _c3k2(g, params["b6"], x)
     x = _conv(g, params["b7"], x6, stride=2)
     x = _c3k2(g, params["b8"], x)
-    x = _sppf(g, params["b9"], x)
-    x10 = _c2psa(g, params["b10"], x, (H // 32, W // 32))
+    if "b9" in params:                 # v8-cls drops SPPF
+        x = _sppf(g, params["b9"], x)
+    # v8 has no C2PSA; x10 is then the SPPF (or b8) output
+    x10 = (_c2psa(g, params["b10"], x, (H // 32, W // 32))
+           if "b10" in params else x)
 
     if cfg.task == "classify":
         # backbone -> Conv(1280) -> GlobalAveragePool -> Gemm -> Softmax:
@@ -344,10 +349,11 @@ def export_onnx(params, cfg, path: str,
                             class_names)
 
     # --- neck + heads, interleaved per reference graph order ---
+    sc = getattr(cfg, "arch", "yolo11") != "yolov8"   # v8 neck: no residual
     u = _upsample2x(g, x10)
-    x13 = _c3k2(g, params["h13"], g.n("Concat", [u, x6], axis=1))
+    x13 = _c3k2(g, params["h13"], g.n("Concat", [u, x6], axis=1), sc)
     u = _upsample2x(g, x13)
-    x16 = _c3k2(g, params["h16"], g.n("Concat", [u, x4], axis=1))
+    x16 = _c3k2(g, params["h16"], g.n("Concat", [u, x4], axis=1), sc)
 
     nc, rm, nm = cfg.num_classes, cfg.reg_max, cfg.num_masks
 
@@ -360,20 +366,24 @@ def export_onnx(params, cfg, path: str,
         b = _conv(g, d2["conv1"], b)
         box_maps.append((_conv(g, d2["out"], b, act=False), hw[0] * hw[1]))
         d3 = params["det"]["cv3"][i]
-        ci = np.asarray(d3["dw0"]["w"]).shape[-1]
-        c = _dwconv(g, d3["dw0"], f, ci)
-        c = _conv(g, d3["pw0"], c)
-        cj = np.asarray(d3["dw1"]["w"]).shape[-1]
-        c = _dwconv(g, d3["dw1"], c, cj)
-        c = _conv(g, d3["pw1"], c)
+        if "dw0" in d3:          # v11: depthwise-separable cls branch
+            ci = np.asarray(d3["dw0"]["w"]).shape[-1]
+            c = _dwconv(g, d3["dw0"], f, ci)
+            c = _conv(g, d3["pw0"], c)
+            cj = np.asarray(d3["dw1"]["w"]).shape[-1]
+            c = _dwconv(g, d3["dw1"], c, cj)
+            c = _conv(g, d3["pw1"], c)
+        else:                    # v8 legacy: two plain 3x3 convs
+            c = _conv(g, d3["conv0"], f)
+            c = _conv(g, d3["conv1"], c)
         cls_maps.append((_conv(g, d3["out"], c, act=False), hw[0] * hw[1]))
 
     emit_detect(0, x16, (H // 8, W // 8))
     d = _conv(g, params["h17"], x16, stride=2)
-    x19 = _c3k2(g, params["h19"], g.n("Concat", [d, x13], axis=1))
+    x19 = _c3k2(g, params["h19"], g.n("Concat", [d, x13], axis=1), sc)
     emit_detect(1, x19, (H // 16, W // 16))
     d = _conv(g, params["h20"], x19, stride=2)
-    x22 = _c3k2(g, params["h22"], g.n("Concat", [d, x10], axis=1))
+    x22 = _c3k2(g, params["h22"], g.n("Concat", [d, x10], axis=1), sc)
     emit_detect(2, x22, (H // 32, W // 32))
 
     # --- concat levels along anchors ---
@@ -508,7 +518,8 @@ def _write_model(g: _G, cfg, path: str, outputs: List[bytes],
                  class_names: Optional[Sequence[str]] = None) -> str:
     H, W = cfg.input_size
     graph = b"".join(_fb(1, n) for n in g.nodes)
-    graph += _fs(2, f"xrseg_yolo11{cfg.scale}_{cfg.task}")
+    graph += _fs(2, f"xrseg_{getattr(cfg, 'arch', 'yolo11')}"
+                    f"{cfg.scale}_{cfg.task}")
     graph += b"".join(_fb(5, t) for t in g.inits)
     graph += _fb(11, _value_info("images", (1, 3, H, W)))
     graph += b"".join(_fb(12, o) for o in outputs)

@@ -232,6 +232,21 @@ def c3k2_init(kg: KeyGen, c1: int, c2: int, n: int = 1, c3k: bool = False,
     return p
 
 
+def c2f_init(kg: KeyGen, c1: int, c2: int, n: int = 1, e: float = 0.5,
+             param_dtype=jnp.float32) -> Params:
+    """YOLOv8 C2f block params. Identical split/append/concat topology to
+    C3k2 (c3k2_apply runs it unchanged — the m-entries are Bottlenecks),
+    but the inner Bottleneck uses e=1.0 (hidden dim c, NOT c/2 — the v8
+    convention; YOLO11's C3k2 Bottleneck keeps e=0.5, see c3k2_init)."""
+    c = int(c2 * e)
+    return {
+        "cv1": conv_init(kg, c1, 2 * c, 1, param_dtype=param_dtype),
+        "cv2": conv_init(kg, (2 + n) * c, c2, 1, param_dtype=param_dtype),
+        "m": [bottleneck_init(kg, c, c, (3, 3), 1.0, param_dtype)
+              for _ in range(n)],
+    }
+
+
 def c3k2_apply(p: Params, x: jax.Array, *, shortcut: bool = True,
                dtype=jnp.bfloat16) -> jax.Array:
     is_c3k = "cv3" in p["m"][0]     # static structure check, jit-safe

@@ -34,6 +34,18 @@ YOLO11_SCALES: Dict[str, Tuple[float, float, int]] = {
     "x": (1.00, 1.50, 512),
 }
 
+# The published YOLOv8 ladder (cfg.arch == "yolov8"): the ultralytics
+# generation most third-party checkpoints target. Same tasks/heads/export
+# contract; C2f blocks (inner Bottleneck e=1.0), no C2PSA, 3/6/6/3
+# backbone repeats, plain-conv cls head, shortcut-free neck blocks.
+YOLOV8_SCALES: Dict[str, Tuple[float, float, int]] = {
+    "n": (0.33, 0.25, 1024),
+    "s": (0.33, 0.50, 1024),
+    "m": (0.67, 0.75, 768),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.25, 512),
+}
+
 
 def make_divisible(x: float, divisor: int = 8) -> int:
     return max(divisor, int(x + divisor / 2) // divisor * divisor)
@@ -43,19 +55,26 @@ class Spec:
     """Resolved channel/repeat plan for one scale."""
 
     def __init__(self, cfg: ModelConfig):
-        if cfg.scale not in YOLO11_SCALES:
+        arch = getattr(cfg, "arch", "yolo11")
+        if arch not in ("yolo11", "yolov8"):
             raise ValueError(
-                f"Unknown YOLO11 scale {cfg.scale!r}; expected one of "
-                f"{sorted(YOLO11_SCALES)}")
+                f"Unknown arch {arch!r}; expected 'yolo11' or 'yolov8'")
+        table = YOLO11_SCALES if arch == "yolo11" else YOLOV8_SCALES
+        if cfg.scale not in table:
+            raise ValueError(
+                f"Unknown {arch} scale {cfg.scale!r}; expected one of "
+                f"{sorted(table)}")
         if cfg.input_size[0] % 32 or cfg.input_size[1] % 32:
             raise ValueError(
                 f"input_size {cfg.input_size} must be a multiple of 32 "
                 "(the P5 stride)")
-        depth, width, max_ch = YOLO11_SCALES[cfg.scale]
+        depth, width, max_ch = table[cfg.scale]
         self.cfg = cfg
+        self.arch = arch
         self.depth, self.width, self.max_ch = depth, width, max_ch
-        # c3k flag is forced on for the wide scales (ultralytics scale rule).
-        self.force_c3k = cfg.scale in ("m", "l", "x")
+        # c3k flag is forced on for the wide scales (ultralytics scale
+        # rule; YOLO11-only — v8 has no C3k blocks).
+        self.force_c3k = arch == "yolo11" and cfg.scale in ("m", "l", "x")
 
         def ch(c: int) -> int:
             return make_divisible(min(c, max_ch) * width, 8)
@@ -68,6 +87,7 @@ class Spec:
         self.c64, self.c128, self.c256 = ch(64), ch(128), ch(256)
         self.c512, self.c1024 = ch(512), ch(1024)
         self.n2 = rep(2)
+        self.n3, self.n6 = rep(3), rep(6)      # v8 backbone/head repeats
         # detect head widths
         nc, reg_max = cfg.num_classes, cfg.reg_max
         self.head_ch = (self.c256, self.c512, self.c1024)   # P3, P4, P5
@@ -105,6 +125,25 @@ def _init_backbone(kg: L.KeyGen, s: Spec, pd, p: Params) -> None:
     p["b10"] = L.c2psa_init(kg, s.c1024, s.n2, 0.5, pd)
 
 
+def _init_backbone_v8(kg: L.KeyGen, s: Spec, pd, p: Params,
+                      with_sppf: bool = True) -> None:
+    """YOLOv8 backbone (ultralytics yolov8.yaml layers 0-9): C2f blocks
+    with 3/6/6/3 repeats, channel-preserving (the downsample convs carry
+    the widening), SPPF last — no C2PSA. The classify task drops SPPF
+    (yolov8-cls.yaml ends at the C2f(1024))."""
+    p["b0"] = L.conv_init(kg, 3, s.c64, 3, param_dtype=pd)
+    p["b1"] = L.conv_init(kg, s.c64, s.c128, 3, param_dtype=pd)
+    p["b2"] = L.c2f_init(kg, s.c128, s.c128, s.n3, param_dtype=pd)
+    p["b3"] = L.conv_init(kg, s.c128, s.c256, 3, param_dtype=pd)
+    p["b4"] = L.c2f_init(kg, s.c256, s.c256, s.n6, param_dtype=pd)
+    p["b5"] = L.conv_init(kg, s.c256, s.c512, 3, param_dtype=pd)
+    p["b6"] = L.c2f_init(kg, s.c512, s.c512, s.n6, param_dtype=pd)
+    p["b7"] = L.conv_init(kg, s.c512, s.c1024, 3, param_dtype=pd)
+    p["b8"] = L.c2f_init(kg, s.c1024, s.c1024, s.n3, param_dtype=pd)
+    if with_sppf:
+        p["b9"] = L.sppf_init(kg, s.c1024, s.c1024, pd)
+
+
 def _init_branch3(kg: L.KeyGen, s: Spec, pd, c_hidden: int,
                   c_out: int) -> list:
     """A per-level (conv3x3, conv3x3, 1x1-out) head branch — the shape
@@ -125,8 +164,12 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     if cfg.task == "classify":
         # backbone-only topology + Conv(1280) + pooled linear head
         # (ultralytics Classify: Conv(c1, 1280, 1) -> AdaptiveAvgPool ->
-        # Linear(1280, nc))
-        _init_backbone(kg, s, pd, p)
+        # Linear(1280, nc)). v8-cls ends at the C2f(1024) — no SPPF
+        # (yolov8-cls.yaml), unlike v11-cls which keeps SPPF+C2PSA.
+        if s.arch == "yolov8":
+            _init_backbone_v8(kg, s, pd, p, with_sppf=False)
+        else:
+            _init_backbone(kg, s, pd, p)
         fan = s.cls_hidden
         p["cls_head"] = {
             "conv": L.conv_init(kg, s.c1024, s.cls_hidden, 1,
@@ -139,15 +182,30 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
         return p
 
     # --- backbone ---
-    _init_backbone(kg, s, pd, p)
+    if s.arch == "yolov8":
+        _init_backbone_v8(kg, s, pd, p)
+        # v8 neck: C2f blocks (shortcut-free at apply time), skips at
+        # c256 (x4) / c512 (x6) / c1024 (sppf)
+        p["h13"] = L.c2f_init(kg, s.c1024 + s.c512, s.c512, s.n3,
+                              param_dtype=pd)
+        p["h16"] = L.c2f_init(kg, s.c512 + s.c256, s.c256, s.n3,
+                              param_dtype=pd)
+        p["h17"] = L.conv_init(kg, s.c256, s.c256, 3, param_dtype=pd)
+        p["h19"] = L.c2f_init(kg, s.c256 + s.c512, s.c512, s.n3,
+                              param_dtype=pd)
+        p["h20"] = L.conv_init(kg, s.c512, s.c512, 3, param_dtype=pd)
+        p["h22"] = L.c2f_init(kg, s.c512 + s.c1024, s.c1024, s.n3,
+                              param_dtype=pd)
+    else:
+        _init_backbone(kg, s, pd, p)
 
-    # --- FPN/PAN head ---
-    p["h13"] = L.c3k2_init(kg, s.c1024 + s.c512, s.c512, s.n2, _c3k(s, False), 0.5, pd)
-    p["h16"] = L.c3k2_init(kg, s.c512 + s.c512, s.c256, s.n2, _c3k(s, False), 0.5, pd)
-    p["h17"] = L.conv_init(kg, s.c256, s.c256, 3, param_dtype=pd)
-    p["h19"] = L.c3k2_init(kg, s.c256 + s.c512, s.c512, s.n2, _c3k(s, False), 0.5, pd)
-    p["h20"] = L.conv_init(kg, s.c512, s.c512, 3, param_dtype=pd)
-    p["h22"] = L.c3k2_init(kg, s.c512 + s.c1024, s.c1024, s.n2, True, 0.5, pd)
+        # --- FPN/PAN head ---
+        p["h13"] = L.c3k2_init(kg, s.c1024 + s.c512, s.c512, s.n2, _c3k(s, False), 0.5, pd)
+        p["h16"] = L.c3k2_init(kg, s.c512 + s.c512, s.c256, s.n2, _c3k(s, False), 0.5, pd)
+        p["h17"] = L.conv_init(kg, s.c256, s.c256, 3, param_dtype=pd)
+        p["h19"] = L.c3k2_init(kg, s.c256 + s.c512, s.c512, s.n2, _c3k(s, False), 0.5, pd)
+        p["h20"] = L.conv_init(kg, s.c512, s.c512, 3, param_dtype=pd)
+        p["h22"] = L.c3k2_init(kg, s.c512 + s.c1024, s.c1024, s.n2, True, 0.5, pd)
 
     # --- detect head (box reg + cls), one branch pair per pyramid level ---
     nc, reg_max = cfg.num_classes, cfg.reg_max
@@ -158,13 +216,22 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
             "conv1": L.conv_init(kg, s.c2, s.c2, 3, param_dtype=pd),
             "out": L.head_conv_init(kg, s.c2, 4 * reg_max, 1, pd),
         })
-        p["det"]["cv3"].append({
-            "dw0": L.dwconv_init(kg, ci, 3, pd),
-            "pw0": L.conv_init(kg, ci, s.c3, 1, param_dtype=pd),
-            "dw1": L.dwconv_init(kg, s.c3, 3, pd),
-            "pw1": L.conv_init(kg, s.c3, s.c3, 1, param_dtype=pd),
-            "out": L.head_conv_init(kg, s.c3, nc, 1, pd),
-        })
+        if s.arch == "yolov8":
+            # v8 ("legacy") cls branch: two plain 3x3 convs — no
+            # depthwise separation (that's the v11 head refinement)
+            p["det"]["cv3"].append({
+                "conv0": L.conv_init(kg, ci, s.c3, 3, param_dtype=pd),
+                "conv1": L.conv_init(kg, s.c3, s.c3, 3, param_dtype=pd),
+                "out": L.head_conv_init(kg, s.c3, nc, 1, pd),
+            })
+        else:
+            p["det"]["cv3"].append({
+                "dw0": L.dwconv_init(kg, ci, 3, pd),
+                "pw0": L.conv_init(kg, ci, s.c3, 1, param_dtype=pd),
+                "dw1": L.dwconv_init(kg, s.c3, 3, pd),
+                "pw1": L.conv_init(kg, s.c3, s.c3, 1, param_dtype=pd),
+                "out": L.head_conv_init(kg, s.c3, nc, 1, pd),
+            })
         # bias init for stable random-weight behavior (standard YOLO recipe)
         stride = s.strides[i]
         p["det"]["cv2"][i]["out"]["b"] = jnp.full((4 * reg_max,), 1.0, pd)
@@ -199,6 +266,21 @@ def backbone(p: Params, x: jax.Array, cfg: ModelConfig, dt
     # NOTE: an exact space-to-depth stem (L.conv0_s2d_apply) was measured
     # and is 3% SLOWER end-to-end on v5e — XLA already handles the
     # low-channel stem well and the explicit s2d transpose is HBM-bound.
+    if getattr(cfg, "arch", "yolo11") == "yolov8":
+        # v8: same wiring, C2f blocks, SPPF last (no C2PSA). The classify
+        # variant carries no SPPF (static structure check, jit-safe).
+        x = L.conv_apply(p["b0"], x, stride=2, dtype=dt)
+        x = L.conv_apply(p["b1"], x, stride=2, dtype=dt)
+        x = L.c3k2_apply(p["b2"], x, shortcut=True, dtype=dt)
+        x = L.conv_apply(p["b3"], x, stride=2, dtype=dt)
+        x4 = L.c3k2_apply(p["b4"], x, shortcut=True, dtype=dt)
+        x = L.conv_apply(p["b5"], x4, stride=2, dtype=dt)
+        x6 = L.c3k2_apply(p["b6"], x, shortcut=True, dtype=dt)
+        x = L.conv_apply(p["b7"], x6, stride=2, dtype=dt)
+        x = L.c3k2_apply(p["b8"], x, shortcut=True, dtype=dt)
+        if "b9" in p:
+            x = L.sppf_apply(p["b9"], x, dtype=dt)
+        return x4, x6, x
     x = L.conv_apply(p["b0"], x, stride=2, dtype=dt)
     x = L.conv_apply(p["b1"], x, stride=2, dtype=dt)
     x = L.c3k2_apply(p["b2"], x, shortcut=True, dtype=dt)
@@ -215,16 +297,21 @@ def backbone(p: Params, x: jax.Array, cfg: ModelConfig, dt
 
 def neck(p: Params, feats: Tuple[jax.Array, jax.Array, jax.Array],
          cfg: ModelConfig, dt) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """FPN/PAN neck: (x4, x6, x10) -> (P3, P4, P5)."""
+    """FPN/PAN neck: (x4, x6, x10) -> (P3, P4, P5).
+
+    YOLO11 runs its neck C3k2 blocks WITH the residual shortcut (see
+    backbone() note); v8's neck C2f blocks are shortcut-free (ultralytics
+    yolov8.yaml head: C2f(..., False))."""
     x4, x6, x10 = feats
+    sc = getattr(cfg, "arch", "yolo11") != "yolov8"
     u = L.upsample2x_nearest(x10)
-    x13 = L.c3k2_apply(p["h13"], jnp.concatenate([u, x6], -1), shortcut=True, dtype=dt)
+    x13 = L.c3k2_apply(p["h13"], jnp.concatenate([u, x6], -1), shortcut=sc, dtype=dt)
     u = L.upsample2x_nearest(x13)
-    x16 = L.c3k2_apply(p["h16"], jnp.concatenate([u, x4], -1), shortcut=True, dtype=dt)
+    x16 = L.c3k2_apply(p["h16"], jnp.concatenate([u, x4], -1), shortcut=sc, dtype=dt)
     d = L.conv_apply(p["h17"], x16, stride=2, dtype=dt)
-    x19 = L.c3k2_apply(p["h19"], jnp.concatenate([d, x13], -1), shortcut=True, dtype=dt)
+    x19 = L.c3k2_apply(p["h19"], jnp.concatenate([d, x13], -1), shortcut=sc, dtype=dt)
     d = L.conv_apply(p["h20"], x19, stride=2, dtype=dt)
-    x22 = L.c3k2_apply(p["h22"], jnp.concatenate([d, x10], -1), shortcut=True, dtype=dt)
+    x22 = L.c3k2_apply(p["h22"], jnp.concatenate([d, x10], -1), shortcut=sc, dtype=dt)
     return x16, x19, x22
 
 
@@ -241,10 +328,14 @@ def _detect_branches(p: Params, feats, cfg: ModelConfig, dt):
         b = L.conv_apply(d2["conv1"], b, dtype=dt)
         boxes.append(L.head_conv_apply(d2["out"], b, dtype=dt))
         d3 = p["det"]["cv3"][i]
-        c = L.dwconv_apply(d3["dw0"], f, dtype=dt)
-        c = L.conv_apply(d3["pw0"], c, dtype=dt)
-        c = L.dwconv_apply(d3["dw1"], c, dtype=dt)
-        c = L.conv_apply(d3["pw1"], c, dtype=dt)
+        if "dw0" in d3:          # v11 head: depthwise-separable cls branch
+            c = L.dwconv_apply(d3["dw0"], f, dtype=dt)
+            c = L.conv_apply(d3["pw0"], c, dtype=dt)
+            c = L.dwconv_apply(d3["dw1"], c, dtype=dt)
+            c = L.conv_apply(d3["pw1"], c, dtype=dt)
+        else:                    # v8 ("legacy") head: two plain 3x3 convs
+            c = L.conv_apply(d3["conv0"], f, dtype=dt)
+            c = L.conv_apply(d3["conv1"], c, dtype=dt)
         clss.append(L.head_conv_apply(d3["out"], c, dtype=dt))
     return boxes, clss
 
@@ -530,6 +621,56 @@ def ordered_param_slots(cfg: ModelConfig):
             conv(name, i, "conv1")
             conv(name, i, "out")
 
+    def task_tail():
+        if cfg.task == "segment":
+            branch3("seg_cv4")
+            conv("proto", "cv1")
+            slots.append((("proto",), "convtranspose"))
+            conv("proto", "cv2")
+            conv("proto", "cv3")
+        elif cfg.task == "pose":
+            branch3("pose_cv4")
+        elif cfg.task == "obb":
+            branch3("obb_cv4")
+
+    if s.arch == "yolov8":
+        def c2f(name, n):
+            conv(name, "cv1")
+            for i in range(n):
+                bottleneck(name, "m", i)
+            conv(name, "cv2")
+
+        def detect_level_v8(i):
+            conv("det", "cv2", i, "conv0")
+            conv("det", "cv2", i, "conv1")
+            conv("det", "cv2", i, "out")
+            conv("det", "cv3", i, "conv0")
+            conv("det", "cv3", i, "conv1")
+            conv("det", "cv3", i, "out")
+
+        conv("b0"); conv("b1")
+        c2f("b2", s.n3); conv("b3")
+        c2f("b4", s.n6); conv("b5")
+        c2f("b6", s.n6); conv("b7")
+        c2f("b8", s.n3)
+        if cfg.task == "classify":   # v8-cls: no SPPF
+            conv("cls_head", "conv")
+            slots.append((("cls_head",), "gemm"))
+            return slots
+        conv("b9", "cv1"); conv("b9", "cv2")
+        c2f("h13", s.n3)
+        c2f("h16", s.n3)
+        detect_level_v8(0)
+        conv("h17")
+        c2f("h19", s.n3)
+        detect_level_v8(1)
+        conv("h20")
+        c2f("h22", s.n3)
+        detect_level_v8(2)
+        slots.append(((), "dfl"))
+        task_tail()
+        return slots
+
     fc3k = s.force_c3k
     conv("b0"); conv("b1")
     c3k2("b2", fc3k or False); conv("b3")
@@ -575,16 +716,7 @@ def ordered_param_slots(cfg: ModelConfig):
     detect_level(2)
     slots.append(((), "dfl"))
 
-    if cfg.task == "segment":
-        branch3("seg_cv4")
-        conv("proto", "cv1")
-        slots.append((("proto",), "convtranspose"))
-        conv("proto", "cv2")
-        conv("proto", "cv3")
-    elif cfg.task == "pose":
-        branch3("pose_cv4")       # exporter emits kpt heads after the DFL
-    elif cfg.task == "obb":
-        branch3("obb_cv4")        # angle heads after the DFL
+    task_tail()                   # seg cv4+proto / pose / obb after DFL
     return slots
 
 

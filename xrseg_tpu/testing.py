@@ -74,11 +74,16 @@ def detection_params(key: jax.Array, cfg: ModelConfig, *,
         kg_key, k1, k2 = jax.random.split(kg_key, 3)
 
         # penultimate cls activation RMS -> out-conv weight scale giving
-        # logit std ~= cls_spread
-        c = L.dwconv_apply(d3["dw0"], f, dtype=dt)
-        c = L.conv_apply(d3["pw0"], c, dtype=dt)
-        c = L.dwconv_apply(d3["dw1"], c, dtype=dt)
-        c = L.conv_apply(d3["pw1"], c, dtype=dt)
+        # logit std ~= cls_spread (v11 dw-separable / v8 legacy branch,
+        # same structure sniff as yolo11._detect_branches)
+        if "dw0" in d3:
+            c = L.dwconv_apply(d3["dw0"], f, dtype=dt)
+            c = L.conv_apply(d3["pw0"], c, dtype=dt)
+            c = L.dwconv_apply(d3["dw1"], c, dtype=dt)
+            c = L.conv_apply(d3["pw1"], c, dtype=dt)
+        else:
+            c = L.conv_apply(d3["conv0"], f, dtype=dt)
+            c = L.conv_apply(d3["conv1"], c, dtype=dt)
         rms = float(jnp.sqrt(jnp.mean(
             jnp.square(c.astype(jnp.float32))))) + 1e-12
         fan_in = int(c.shape[-1])
