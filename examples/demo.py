@@ -32,6 +32,8 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/xrseg_demo")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--scale", default="n")
+    ap.add_argument("--arch", default="yolo11",
+                    choices=["yolo11", "yolov8"])
     ap.add_argument("--ckpt", default=None,
                     help="checkpoint to load (.npz/.onnx/orbax dir)")
     ap.add_argument("--sentis", default=None,
@@ -62,7 +64,7 @@ def main() -> int:
     if args.ckpt:
         # npz / onnx / orbax dir (e.g. examples/train.py's <out>/ema)
         from xrseg_tpu.io.weights import load_params_auto
-        params, _ = load_params_auto(args.ckpt, ModelConfig(scale=args.scale))
+        params, _ = load_params_auto(args.ckpt, ModelConfig(arch=args.arch, scale=args.scale))
     elif args.sentis:
         from xrseg_tpu.io.sentis import load_yolo11_params
         params, _ = load_yolo11_params(args.sentis)
@@ -70,7 +72,7 @@ def main() -> int:
     if args.mode == "test":
         base = TEST_PRESET
         cfg = ExecutorConfig(
-            model=ModelConfig(scale=args.scale), post=base.post,
+            model=ModelConfig(arch=args.arch, scale=args.scale), post=base.post,
             enable_ui_rendering=True)
         src = FileFrameSource(args.images or os.path.join(
             os.path.dirname(__file__), "data"), image_name=args.image_name,
@@ -118,7 +120,7 @@ def main() -> int:
         import dataclasses as _dc
         post = _dc.replace(post, score_threshold=args.score_threshold)
     cfg = ExecutorConfig(
-        model=ModelConfig(scale=args.scale), post=post,
+        model=ModelConfig(arch=args.arch, scale=args.scale), post=post,
         depth=XR_PRESET.depth, enable_ui_rendering=True)
     background = None
     if args.images:

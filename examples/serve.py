@@ -29,6 +29,8 @@ def main() -> int:
     ap.add_argument("--sentis", default=None)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--scale", default="n")
+    ap.add_argument("--arch", default="yolo11",
+                    choices=["yolo11", "yolov8"])
     ap.add_argument("--iou", type=float, default=0.6)
     ap.add_argument("--score", type=float, default=0.23)
     ap.add_argument("--depth", type=int, default=4, help="pipeline depth")
@@ -56,7 +58,7 @@ def main() -> int:
         return 2
 
     params = None
-    mcfg = ModelConfig(scale=args.scale)
+    mcfg = ModelConfig(arch=args.arch, scale=args.scale)
     if args.sentis:
         from xrseg_tpu.io.sentis import load_yolo11_params
         params, mcfg = load_yolo11_params(args.sentis, mcfg)

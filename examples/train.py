@@ -30,6 +30,8 @@ def main() -> int:
     ap.add_argument("--synthetic", action="store_true",
                     help="use the procedural shapes dataset")
     ap.add_argument("--scale", default="n", choices=list("nsmlx"))
+    ap.add_argument("--arch", default="yolo11",
+                    choices=["yolo11", "yolov8"])
     ap.add_argument("--task", default="segment",
                     choices=["segment", "detect"])
     ap.add_argument("--size", type=int, default=640)
@@ -96,7 +98,7 @@ def main() -> int:
     from xrseg_tpu.train import data as D
     from xrseg_tpu.train.trainer import TrainConfig, Trainer
 
-    cfg = ModelConfig(scale=args.scale, task=args.task,
+    cfg = ModelConfig(arch=args.arch, scale=args.scale, task=args.task,
                       input_size=(args.size, args.size),
                       num_classes=args.classes, dtype=args.dtype)
 
@@ -127,7 +129,7 @@ def main() -> int:
         except ValueError:
             # head mismatch (different class count / task than the file):
             # load the donor in its native head shape, then graft
-            donor_cfg = ModelConfig(scale=args.scale,
+            donor_cfg = ModelConfig(arch=args.arch, scale=args.scale,
                                     task=args.donor_task,
                                     input_size=cfg.input_size,
                                     num_classes=args.donor_classes,

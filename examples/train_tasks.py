@@ -54,7 +54,8 @@ def _donor_params(args, cfg):
     try:
         params, _ = load_params_auto(args.weights, cfg)
     except ValueError:
-        donor_cfg = ModelConfig(scale=cfg.scale, input_size=cfg.input_size,
+        donor_cfg = ModelConfig(arch=cfg.arch, scale=cfg.scale,
+                                input_size=cfg.input_size,
                                 dtype="float32")   # 80-class segmenter
         params, _ = load_params_auto(args.weights, donor_cfg)
     if not params_match_config(params, cfg):
@@ -125,6 +126,8 @@ def main() -> int:
                     help="microbatches per optimizer step")
     ap.add_argument("--tb", default=None, metavar="DIR",
                     help="TensorBoard scalar logdir ('auto' = <ckpt>/tb)")
+    ap.add_argument("--arch", default="yolo11",
+                    choices=["yolo11", "yolov8"])
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="compute dtype (params stay f32 master weights; "
@@ -161,7 +164,8 @@ def main() -> int:
                                         max_objects=1)
             ncls = args.classes or 2
         # model stores (K, 3); D=2 label files synthesize vis=1 on load
-        cfg = ModelConfig(scale="n", input_size=hw, dtype=args.dtype,
+        cfg = ModelConfig(arch=args.arch, scale="n", input_size=hw,
+                          dtype=args.dtype,
                           task="pose", kpt_shape=(kpt[0], 3),
                           num_classes=ncls)
         collate = lambda samples: D.collate_pose(samples, hw)
@@ -173,7 +177,8 @@ def main() -> int:
             ds = D.SyntheticOBBDataset(n=args.n_samples, hw=hw,
                                        max_objects=1)
             ncls = args.classes or 2
-        cfg = ModelConfig(scale="n", input_size=hw, dtype=args.dtype,
+        cfg = ModelConfig(arch=args.arch, scale="n", input_size=hw,
+                          dtype=args.dtype,
                           task="obb", num_classes=ncls)
         collate = lambda samples: D.collate_obb(samples, hw)
     else:
@@ -183,7 +188,8 @@ def main() -> int:
         else:
             ds = D.SyntheticClassifyDataset(n=args.n_samples, hw=hw)
             ncls = args.classes or 3
-        cfg = ModelConfig(scale="n", input_size=hw, dtype=args.dtype,
+        cfg = ModelConfig(arch=args.arch, scale="n", input_size=hw,
+                          dtype=args.dtype,
                           task="classify", num_classes=ncls)
         collate = lambda samples: D.collate_classify(samples, hw)
 

@@ -563,6 +563,8 @@ def _main() -> int:
     ap.add_argument("weights")
     ap.add_argument("--out", required=True)
     ap.add_argument("--scale", default="n")
+    ap.add_argument("--arch", default="yolo11",
+                    choices=["yolo11", "yolov8"])
     ap.add_argument("--task", default="segment",
                     choices=["segment", "detect"])
     ap.add_argument("--classes", type=int, default=80,
@@ -583,7 +585,8 @@ def _main() -> int:
 
     from xrseg_tpu.io.weights import load_params_auto
     params, mcfg = load_params_auto(
-        args.weights, ModelConfig(scale=args.scale, task=args.task,
+        args.weights, ModelConfig(arch=args.arch, scale=args.scale,
+                                  task=args.task,
                                   num_classes=args.classes,
                                   input_size=(args.size, args.size)))
     if args.out.endswith(".onnx"):

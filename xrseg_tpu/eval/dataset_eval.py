@@ -180,6 +180,8 @@ def _main() -> int:
                          "the images directory")
     ap.add_argument("--weights", help=".sentis/.onnx/.npz/orbax weights")
     ap.add_argument("--scale", default="n", choices=list("nsmlx"))
+    ap.add_argument("--arch", default="yolo11",
+                    choices=["yolo11", "yolov8"])
     ap.add_argument("--task", default="segment",
                     choices=["segment", "detect"])
     ap.add_argument("--size", type=int, default=640)
@@ -205,7 +207,7 @@ def _main() -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    cfg = ModelConfig(scale=args.scale, task=args.task,
+    cfg = ModelConfig(arch=args.arch, scale=args.scale, task=args.task,
                       input_size=(args.size, args.size),
                       num_classes=args.classes)
     if args.weights:

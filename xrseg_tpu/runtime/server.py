@@ -631,6 +631,8 @@ def _main() -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--weights", help=".sentis/.onnx/.npz/orbax weights")
     ap.add_argument("--scale", default="n", choices=list("nsmlx"))
+    ap.add_argument("--arch", default="yolo11",
+                    choices=["yolo11", "yolov8"])
     ap.add_argument("--task", default="segment",
                     choices=["segment", "detect", "pose", "obb",
                              "classify"])
@@ -687,7 +689,7 @@ def _main() -> int:
     import xrseg_tpu
     xrseg_tpu.enable_compile_cache()
 
-    mcfg = ModelConfig(scale=args.scale, task=args.task)
+    mcfg = ModelConfig(arch=args.arch, scale=args.scale, task=args.task)
     params = None
     if args.weights:
         from xrseg_tpu.io.weights import load_params_auto
