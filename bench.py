@@ -87,7 +87,8 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
                      post_overrides: dict | None = None,
                      params_dtype: str | None = None,
                      matmul_precision: str = "default",
-                     emit_masks: bool = True) -> dict:
+                     emit_masks: bool = True,
+                     arch: str = "yolo11") -> dict:
     """Pure device throughput: N pipeline invocations CHAINED on-device via
     lax.scan (each batch's input depends on the previous batch's output, so
     nothing can be elided or overlapped away), one scalar readback at the
@@ -102,7 +103,7 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
     from xrseg_tpu.models import yolo11
     from xrseg_tpu.ops import preprocess as pre_ops
     
-    cfg = ExecutorConfig(model=ModelConfig(scale=scale, task=task,
+    cfg = ExecutorConfig(model=ModelConfig(arch=arch, scale=scale, task=task,
                                            input_size=tuple(input_size),
                                            matmul_precision=matmul_precision))
     if post_overrides:
@@ -156,7 +157,7 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
 
 
 def run_latency_bench(n_frames: int = 60, warmup: int = 8,
-                      scale: str = "n") -> dict:
+                      scale: str = "n", arch: str = "yolo11") -> dict:
     """Interactive single-frame latency: batch=1, synchronous dispatch ->
     slate materialized on host each frame (host-transfer-anchored, the only
     timing this tunneled PJRT reports honestly). This is the p50-latency
@@ -168,7 +169,7 @@ def run_latency_bench(n_frames: int = 60, warmup: int = 8,
     from xrseg_tpu.compile import load_model
     from xrseg_tpu.config import ExecutorConfig, ModelConfig
 
-    cfg = ExecutorConfig(model=ModelConfig(scale=scale))
+    cfg = ExecutorConfig(model=ModelConfig(arch=arch, scale=scale))
     # bf16 weight storage: the batch-1 serving configuration (see README)
     pipe = load_model(cfg, batch=1, params_dtype="bfloat16")
     rng = np.random.default_rng(0)
@@ -586,14 +587,21 @@ def main() -> int:
                           "trace_dir": sys.argv[2],
                           "vs_baseline": round(r["fps_per_chip"] / 30, 1)}))
         return 0
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    r = run_device_bench(batch=batch)
-    lat = run_latency_bench()
+    argv = list(sys.argv[1:])
+    arch = "yolo11"
+    if "--arch" in argv:                   # e.g. `bench.py 128 --arch yolov8`
+        i = argv.index("--arch")
+        arch = argv[i + 1]
+        del argv[i:i + 2]
+    batch = int(argv[0]) if argv else 128
+    r = run_device_bench(batch=batch, arch=arch)
+    lat = run_latency_bench(arch=arch)
     # ONE JSON line; headline metric is throughput, and the BASELINE's
     # second metric (p50 single-frame latency, batch=1, host-anchored)
     # rides along as extra keys.
+    name = "yolo11n" if arch == "yolo11" else "yolov8n"
     print(json.dumps({
-        "metric": f"yolo11n_seg_640_fps_per_chip_b{batch}",
+        "metric": f"{name}_seg_640_fps_per_chip_b{batch}",
         "value": round(r["fps_per_chip"], 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(r["fps_per_chip"] / 30.0, 1),
