@@ -172,12 +172,17 @@ def load_orbax(path: str, like: Params | None = None) -> Params:
 def load_params_auto(path: str, cfg=None):
     """Load model params from any supported artifact, by extension:
     .sentis (the reference's deployed format), .onnx (ultralytics export),
-    .npz (our flat checkpoints), else an orbax checkpoint directory.
+    .pt/.pth (ultralytics torch state dict, BN fused on load), .npz (our
+    flat checkpoints), else an orbax checkpoint directory.
     Returns (params, cfg) — cfg is refined by loaders that carry model
-    metadata (.sentis/.onnx infer the scale), passed through otherwise."""
+    metadata (.sentis/.onnx/.pt infer arch/scale/task), passed through
+    otherwise."""
     if path.endswith(".sentis"):
         from xrseg_tpu.io.sentis import load_yolo11_params
         return load_yolo11_params(path, cfg)
+    if path.endswith((".pt", ".pth")):
+        from xrseg_tpu.io.torch_pt import load_yolo11_pt
+        return load_yolo11_pt(path, cfg)
     if path.endswith(".onnx"):
         from xrseg_tpu.io.onnx_loader import load_yolo11_onnx
         return load_yolo11_onnx(path, cfg)
