@@ -28,6 +28,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("test", "xr"), default="test")
     ap.add_argument("--images", default=None, help="image dir for test mode")
+    ap.add_argument("--video", default=None, metavar="CLIP",
+                    help="test mode: run a video clip (.y4m or MJPEG .avi)"
+                         " instead of an image dir")
     ap.add_argument("--image-name", default=None)
     ap.add_argument("--out", default="/tmp/xrseg_demo")
     ap.add_argument("--frames", type=int, default=60)
@@ -45,7 +48,14 @@ def main() -> int:
                          "tracking only)")
     ap.add_argument("--score-threshold", type=float, default=None,
                     help="override the preset NMS score threshold")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env JAX_PLATFORMS is "
+                         "too late once sitecustomize imports jax)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from PIL import Image
 
@@ -74,11 +84,16 @@ def main() -> int:
         cfg = ExecutorConfig(
             model=ModelConfig(arch=args.arch, scale=args.scale), post=base.post,
             enable_ui_rendering=True)
-        src = FileFrameSource(args.images or os.path.join(
-            os.path.dirname(__file__), "data"), image_name=args.image_name,
-            loop=False)
+        if args.video:
+            from xrseg_tpu.runtime.video import VideoFrameSource
+            src = VideoFrameSource(args.video)
+        else:
+            src = FileFrameSource(args.images or os.path.join(
+                os.path.dirname(__file__), "data"),
+                image_name=args.image_name, loop=False)
         if not src.open():
-            print(f"no images found in {args.images}", file=sys.stderr)
+            print(f"no frames found in {args.video or args.images}",
+                  file=sys.stderr)
             return 2
         # frames can be any size; executor is compiled per frame geometry,
         # so normalize offline to one size for this demo

@@ -38,6 +38,10 @@ def main() -> int:
     ap.add_argument("--n-val", type=int, default=48)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--det-weight", type=float, default=1.0)
+    ap.add_argument("--cls-weight", type=float, default=1.0)
+    ap.add_argument("--box-weight", type=float, default=1.0)
+    ap.add_argument("--fg-power", type=float, default=1.0)
+    ap.add_argument("--temp", type=float, default=2.0)
     ap.add_argument("--weights", default=(
         "/root/reference/Assets/Resources/Model/"
         "yolo11n-seg-sentis.sentis"),
@@ -113,7 +117,11 @@ def main() -> int:
         else:
             dstep = make_distill_step(
                 scfg, tcfg_model, opt,
-                DistillConfig(det_weight=args.det_weight))
+                DistillConfig(temperature=args.temp,
+                              cls_weight=args.cls_weight,
+                              box_weight=args.box_weight,
+                              fg_power=args.fg_power,
+                              det_weight=args.det_weight))
 
             def do_step(state, batch):
                 return dstep(state, teacher_params, batch)
