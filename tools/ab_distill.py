@@ -42,6 +42,14 @@ def main() -> int:
     ap.add_argument("--box-weight", type=float, default=1.0)
     ap.add_argument("--fg-power", type=float, default=1.0)
     ap.add_argument("--temp", type=float, default=2.0)
+    ap.add_argument("--label-fraction", type=float, default=1.0,
+                    help="fraction of train images whose GT the students "
+                         "see (the rest are unlabeled; the distill arm "
+                         "still gets teacher responses on ALL of them — "
+                         "the semi-supervised setting)")
+    ap.add_argument("--pure-arm", action="store_true",
+                    help="add a det_weight=0 arm: teacher responses "
+                         "ONLY, zero labels")
     ap.add_argument("--weights", default=(
         "/root/reference/Assets/Resources/Model/"
         "yolo11n-seg-sentis.sentis"),
@@ -96,16 +104,34 @@ def main() -> int:
         for k, v in t_eval.items()}}), flush=True)
 
     # --- 2. two students, same init / same batches / same optimizer ---
+    n_labeled = max(int(len(train_ds) * args.label_fraction), 0)
+
     def batch_stream(seed=0):
+        """Identical batches for every arm; images with index >=
+        n_labeled have their GT masked out (unlabeled)."""
         rng = np.random.default_rng(seed)
         while True:
             idx = rng.integers(0, len(train_ds), args.batch)
-            yield D.collate([train_ds[int(i)] for i in idx], scfg,
-                            max_gt=8)
+            b = D.collate([train_ds[int(i)] for i in idx], scfg, max_gt=8)
+            unlabeled = np.asarray(idx) >= n_labeled
+            if unlabeled.any():
+                b["labels"] = b["labels"].copy()
+                b["labels"][unlabeled] = -1
+                b["boxes_xywh"] = b["boxes_xywh"].copy()
+                b["boxes_xywh"][unlabeled] = 0.0
+                if "masks" in b:
+                    b["masks"] = b["masks"].copy()
+                    b["masks"][unlabeled] = 0.0
+            yield b
+
+    if args.label_fraction < 1.0:
+        print(f"label fraction {args.label_fraction}: {n_labeled}/"
+              f"{len(train_ds)} train images keep their GT", flush=True)
 
     results = {"teacher": t_eval}
     students = {}
-    for arm in ("scratch", "distill"):
+    arms = ["scratch", "distill"] + (["pure"] if args.pure_arm else [])
+    for arm in arms:
         opt = make_optimizer(lr=args.lr, warmup_steps=args.steps // 20,
                              total_steps=args.steps)
         state = init_train_state(jax.random.key(1), scfg, opt)
@@ -121,7 +147,8 @@ def main() -> int:
                               cls_weight=args.cls_weight,
                               box_weight=args.box_weight,
                               fg_power=args.fg_power,
-                              det_weight=args.det_weight))
+                              det_weight=(0.0 if arm == "pure"
+                                          else args.det_weight)))
 
             def do_step(state, batch):
                 return dstep(state, teacher_params, batch)
