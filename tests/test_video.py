@@ -172,6 +172,42 @@ def test_unsupported_container_rejected(tmp_path):
         VideoFrameSource(p).open()
 
 
+def test_video_to_tracker_composition(tmp_path):
+    """VideoFrameSource -> Executor(multi_tracking) end to end: the
+    tools/track_video.py composition at test geometry — fixture weights
+    guarantee detections; track ids must persist across frames."""
+    from xrseg_tpu.config import ExecutorConfig, ModelConfig
+    from xrseg_tpu.runtime.executor import Executor
+    from xrseg_tpu.testing import detection_params
+    import jax
+
+    w = h = 64
+    rng = np.random.default_rng(0)
+    y = (rng.uniform(60, 200, (h, w))).astype(np.uint8)
+    frames = [(y, np.full((h // 2, w // 2), 128, np.uint8),
+               np.full((h // 2, w // 2), 128, np.uint8))] * 4
+    p = str(tmp_path / "t.y4m")
+    write_y4m(p, frames, w, h)
+
+    cfg = ExecutorConfig(model=ModelConfig(scale="n", input_size=(64, 64)),
+                         multi_tracking=True)
+    params = detection_params(jax.random.key(0), cfg.model)
+    src = VideoFrameSource(p)
+    src.open()
+    ex = Executor(cfg, params=params, frame_hw=(h, w))
+    ids_per_frame = []
+    for fd in src.frames():
+        r = ex.run_sync(fd)
+        assert r.count > 0
+        ids_per_frame.append({t.track_id for t in (r.tracks or [])})
+    src.close()
+    assert len(ids_per_frame) == 4
+    confirmed = [s for s in ids_per_frame if s]
+    assert confirmed, "tracker never confirmed a track"
+    # identical frames: once confirmed, ids persist to the last frame
+    assert confirmed[-1] & confirmed[0]
+
+
 def test_yuv_to_rgb_roundtrip_gray():
     """mid-gray: Y=126 -> (128,128,128) within rounding."""
     y = np.full((2, 2), 126, np.uint8)
