@@ -50,6 +50,10 @@ def main() -> int:
     ap.add_argument("--pure-arm", action="store_true",
                     help="add a det_weight=0 arm: teacher responses "
                          "ONLY, zero labels")
+    ap.add_argument("--pseudo-arm", action="store_true",
+                    help="add a self-training arm: the teacher's HARD "
+                         "detections (incl. polygonized masks) replace "
+                         "GT entirely — zero labels, standard loss")
     ap.add_argument("--weights", default=(
         "/root/reference/Assets/Resources/Model/"
         "yolo11n-seg-sentis.sentis"),
@@ -66,7 +70,7 @@ def main() -> int:
 
     import xrseg_tpu
     xrseg_tpu.enable_compile_cache()
-    from xrseg_tpu.config import ModelConfig
+    from xrseg_tpu.config import ExecutorConfig, ModelConfig
     from xrseg_tpu.eval.dataset_eval import evaluate_dataset
     from xrseg_tpu.io.weights import load_params_auto, transfer_params
     from xrseg_tpu.train import data as D
@@ -128,14 +132,34 @@ def main() -> int:
         print(f"label fraction {args.label_fraction}: {n_labeled}/"
               f"{len(train_ds)} train images keep their GT", flush=True)
 
+    pseudo_ds = None
+    if args.pseudo_arm:
+        from xrseg_tpu.train.pseudo import generate_pseudo_samples
+        ecfg = ExecutorConfig(model=tcfg_model)
+        pseudo_ds = generate_pseudo_samples(
+            ecfg, teacher_params,
+            (train_ds[i]["image"] for i in range(len(train_ds))),
+            score_gate=0.5)
+        n_lab = sum(len(s["labels"]) for s in pseudo_ds)
+        print(f"pseudo-labeled {len(pseudo_ds)} images: {n_lab} "
+              f"teacher detections", flush=True)
+
+    def pseudo_stream(seed=0):
+        rng = np.random.default_rng(seed)     # same index sequence
+        while True:
+            idx = rng.integers(0, len(train_ds), args.batch)
+            yield D.collate([pseudo_ds[int(i)] for i in idx], scfg,
+                            max_gt=8)
+
     results = {"teacher": t_eval}
     students = {}
-    arms = ["scratch", "distill"] + (["pure"] if args.pure_arm else [])
+    arms = (["scratch", "distill"] + (["pure"] if args.pure_arm else [])
+            + (["pseudo"] if args.pseudo_arm else []))
     for arm in arms:
         opt = make_optimizer(lr=args.lr, warmup_steps=args.steps // 20,
                              total_steps=args.steps)
         state = init_train_state(jax.random.key(1), scfg, opt)
-        if arm == "scratch":
+        if arm in ("scratch", "pseudo"):
             step = make_train_step(scfg, opt)
 
             def do_step(state, batch):
@@ -153,7 +177,8 @@ def main() -> int:
             def do_step(state, batch):
                 return dstep(state, teacher_params, batch)
 
-        stream = batch_stream(seed=0)        # identical batches per arm
+        stream = (pseudo_stream(seed=0) if arm == "pseudo"
+                  else batch_stream(seed=0))  # identical images per arm
         m = {}
         for i in range(args.steps):
             state, m = do_step(state, next(stream))
