@@ -158,6 +158,51 @@ def test_avi_loop(tmp_path):
         assert next(it).rgb.shape == (8, 8, 3)
 
 
+def test_mjpeg_writer_round_trips(tmp_path):
+    """MJPEGWriter output reads back through VideoFrameSource: frame
+    count, fps, geometry, and colors survive."""
+    from xrseg_tpu.runtime.video import MJPEGWriter
+    colors = [(220, 40, 40), (40, 200, 60), (30, 60, 230), (128, 128, 0)]
+    p = str(tmp_path / "w.avi")
+    wtr = MJPEGWriter(p, fps=12.5, quality=95)
+    for c in colors:
+        wtr.add(np.full((20, 34, 3), c, np.uint8))
+    wtr.close()
+
+    src = VideoFrameSource(p)
+    src.open()
+    assert src.fps == pytest.approx(12.5, rel=1e-3)
+    got = list(src.frames())
+    assert len(got) == 4
+    for fd, want in zip(got, colors):
+        assert fd.rgb.shape == (20, 34, 3)
+        np.testing.assert_allclose(fd.rgb[10, 17].astype(int), want,
+                                   atol=8)
+    src.close()
+
+
+def test_avi_skips_non_video_chunks(tmp_path):
+    """Unknown chunks (audio '01wb', index 'idx1') inside movi are
+    skipped, video chunks still decode."""
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 8, 3), 77, np.uint8)).save(
+        buf, "JPEG", quality=95)
+    jpg = buf.getvalue()
+    avih = struct.pack("<10I", 40000, 0, 0, 0, 1, 0, 1, 0, 8, 8)
+    movi = (_chunk(b"01wb", b"\x00" * 10)     # audio chunk: skipped
+            + _chunk(b"00dc", jpg))
+    body = (b"AVI " + _list(b"hdrl", _chunk(b"avih", avih))
+            + _list(b"movi", movi))
+    p = str(tmp_path / "mixed.avi")
+    open(p, "wb").write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    got = list(VideoFrameSource(p).frames())
+    assert len(got) == 1
+    np.testing.assert_allclose(got[0].rgb[4, 4].astype(int),
+                               (77, 77, 77), atol=6)
+
+
 def test_avi_not_riff_rejected(tmp_path):
     p = str(tmp_path / "junk.avi")
     open(p, "wb").write(b"not an avi at all")

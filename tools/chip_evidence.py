@@ -60,6 +60,15 @@ def steps(out):
     s.append(("ab_letterbox640",
               [PY, "tools/ab_letterbox.py", "--size", "640", "--epochs",
                "8", "--out", f"{out}/ab_letterbox_640.json"], 9000))
+    if os.path.exists(SENTIS):
+        # r4 distill/pseudo pricing at chip scale (CPU rows: TRAINING.md)
+        s.append(("ab_distill640",
+                  [PY, "tools/ab_distill.py", "--size", "640", "--steps",
+                   "600", "--batch", "8", "--teacher-epochs", "12",
+                   "--cls-weight", "0.3", "--box-weight", "0.3",
+                   "--fg-power", "2.0", "--label-fraction", "0.1",
+                   "--pure-arm", "--pseudo-arm",
+                   "--out", f"{out}/ab_distill_640.json"], 10800))
     return s
 
 

@@ -42,6 +42,9 @@ def main() -> int:
                     help="stop after N frames (0 = all)")
     ap.add_argument("--motion", action="store_true",
                     help="Kalman motion model in the tracker")
+    ap.add_argument("--save-video", default=None, metavar="OUT.AVI",
+                    help="also write an annotated MJPEG clip (box "
+                         "overlays, runtime/video.MJPEGWriter)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -92,12 +95,20 @@ def main() -> int:
     print(f"tracking {fw}x{fh} frames ({args.arch}-{args.scale})",
           flush=True)
 
+    writer = None
+    if args.save_video:
+        from xrseg_tpu.runtime.video import MJPEGWriter
+        fps = getattr(src, "fps", 0) or 25.0
+        writer = MJPEGWriter(args.save_video, fps=fps)
+
     rows = []
     n = 0
     for fd in src.frames():
         if args.max_frames and n >= args.max_frames:
             break
         r = ex.run_sync(fd)
+        if writer is not None:
+            writer.add(ex.boxer.draw_boxes(fd.rgb, r.boxes))
         for t in (r.tracks or []):
             b = t.box
             # center-origin screen space (Y up) -> pixel left/top
@@ -110,6 +121,9 @@ def main() -> int:
         if n % 25 == 0:
             print(f"  frame {n}: {len(rows)} rows so far", flush=True)
     src.close()
+    if writer is not None:
+        writer.close()
+        print(f"annotated clip: {args.save_video} ({writer.n} frames)")
 
     with open(args.out, "w") as f:
         f.write("\n".join(rows) + ("\n" if rows else ""))

@@ -219,6 +219,67 @@ class _AVIReader:
 
 
 # ---------------------------------------------------------------------------
+# MJPEG-AVI writer (the reader's inverse: overlay clips out)
+# ---------------------------------------------------------------------------
+
+class MJPEGWriter:
+    """Streaming MJPEG-AVI writer: frames append one at a time (nothing
+    buffers), RIFF/LIST sizes and the frame count are patched on close.
+    Output plays in any player/ffmpeg and round-trips through
+    VideoFrameSource (pinned in tests)."""
+
+    def __init__(self, path: str, fps: float = 25.0, quality: int = 90):
+        self.f = open(path, "wb")
+        self.fps = fps
+        self.quality = quality
+        self.n = 0
+        self._wh: Optional[Tuple[int, int]] = None
+        # placeholders; all sizes patched in close()
+        self.f.write(b"RIFF" + b"\x00" * 4 + b"AVI ")
+        self._hdrl_at = self.f.tell()
+        avih = struct.pack("<10I", int(1e6 / fps), 0, 0, 0, 0, 0, 1, 0,
+                           0, 0)
+        self.f.write(b"LIST" + struct.pack("<I", 4 + 8 + len(avih))
+                     + b"hdrl" + b"avih" + struct.pack("<I", len(avih))
+                     + avih)
+        self._movi_at = self.f.tell()
+        self.f.write(b"LIST" + b"\x00" * 4 + b"movi")
+
+    def add(self, rgb) -> None:
+        import io as _io
+
+        import numpy as np
+        from PIL import Image
+
+        rgb = np.asarray(rgb, np.uint8)
+        if self._wh is None:
+            self._wh = (rgb.shape[1], rgb.shape[0])
+        buf = _io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=self.quality)
+        data = buf.getvalue()
+        self.f.write(b"00dc" + struct.pack("<I", len(data)) + data)
+        if len(data) & 1:
+            self.f.write(b"\x00")
+        self.n += 1
+
+    def close(self) -> None:
+        end = self.f.tell()
+        self.f.seek(4)
+        self.f.write(struct.pack("<I", end - 8))            # RIFF size
+        self.f.seek(self._movi_at + 4)
+        self.f.write(struct.pack("<I", end - self._movi_at - 8))
+        # avih: frame count at +16, width/height at +32/+36 (after the
+        # 8-byte LIST header, 4-byte 'hdrl', 8-byte 'avih' chunk header)
+        base = self._hdrl_at + 8 + 4 + 8
+        self.f.seek(base + 16)
+        self.f.write(struct.pack("<I", self.n))
+        if self._wh:
+            self.f.seek(base + 32)
+            self.f.write(struct.pack("<II", *self._wh))
+        self.f.close()
+
+
+# ---------------------------------------------------------------------------
 # FrameSource
 # ---------------------------------------------------------------------------
 
