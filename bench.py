@@ -88,7 +88,8 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
                      params_dtype: str | None = None,
                      matmul_precision: str = "default",
                      emit_masks: bool = True,
-                     arch: str = "yolo11") -> dict:
+                     arch: str = "yolo11",
+                     o2o: bool = False) -> dict:
     """Pure device throughput: N pipeline invocations CHAINED on-device via
     lax.scan (each batch's input depends on the previous batch's output, so
     nothing can be elided or overlapped away), one scalar readback at the
@@ -105,7 +106,8 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
     
     cfg = ExecutorConfig(model=ModelConfig(arch=arch, scale=scale, task=task,
                                            input_size=tuple(input_size),
-                                           matmul_precision=matmul_precision))
+                                           matmul_precision=matmul_precision,
+                                           o2o=o2o))
     if post_overrides:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, post=_dc.replace(cfg.post, **post_overrides))
@@ -593,13 +595,18 @@ def main() -> int:
         i = argv.index("--arch")
         arch = argv[i + 1]
         del argv[i:i + 2]
+    o2o = "--o2o" in argv                  # NMS-free serving (dual head)
+    if o2o:
+        argv.remove("--o2o")
     batch = int(argv[0]) if argv else 128
-    r = run_device_bench(batch=batch, arch=arch)
+    r = run_device_bench(batch=batch, arch=arch, o2o=o2o)
     lat = run_latency_bench(arch=arch)
     # ONE JSON line; headline metric is throughput, and the BASELINE's
     # second metric (p50 single-frame latency, batch=1, host-anchored)
     # rides along as extra keys.
     name = "yolo11n" if arch == "yolo11" else "yolov8n"
+    if o2o:
+        name += "_o2o"                     # NMS-free pipeline variant
     print(json.dumps({
         "metric": f"{name}_seg_640_fps_per_chip_b{batch}",
         "value": round(r["fps_per_chip"], 1),

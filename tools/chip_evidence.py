@@ -49,6 +49,7 @@ def steps(out):
     s.append(("bench_streaming", b + ["--streaming"], 2400))
     s.append(("bench_xla_sweep", b + ["--xla-sweep", "128"], 7200))
     s.append(("bench_v8", b + ["128", "--arch", "yolov8"], 2400))
+    s.append(("bench_o2o", b + ["128", "--o2o"], 2400))
     s.append(("xr_probe", [PY, "tools/xr_probe.py", "--frames", "120",
                            "--out", f"{out}/xr_probe_chip.json"], 2400))
     if os.path.exists(SENTIS):

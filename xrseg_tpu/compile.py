@@ -438,12 +438,23 @@ def decode_task_outputs(out, mcfg, pcfg, *, crop_masks: bool = False,
             scores_are_logits=True)
     else:
         protos = out.get("protos")
-        det = postprocess_batch_parts(
-            out["boxes_xywh"], out["cls_logits"],
-            out.get("mask_coefs"), protos, pcfg, crop_masks,
-            mcfg.input_size, mask_dtype=mask_dtype,
-            scores_are_logits=True,
-            with_masks=(emit_masks == "all"))
+        if "o2o_boxes_xywh" in out:
+            # NMS-free serving (ModelConfig.o2o): select from the
+            # one-to-one head — no greedy suppression in the program
+            from xrseg_tpu.ops.postprocess import postprocess_o2o_batch
+            det = postprocess_o2o_batch(
+                out["o2o_boxes_xywh"], out["o2o_cls_logits"],
+                out.get("mask_coefs"), protos, pcfg, crop_masks,
+                mcfg.input_size, mask_dtype=mask_dtype,
+                scores_are_logits=True,
+                with_masks=(emit_masks == "all"))
+        else:
+            det = postprocess_batch_parts(
+                out["boxes_xywh"], out["cls_logits"],
+                out.get("mask_coefs"), protos, pcfg, crop_masks,
+                mcfg.input_size, mask_dtype=mask_dtype,
+                scores_are_logits=True,
+                with_masks=(emit_masks == "all"))
     if mask_display_hw is not None and "masks" in det:
         from xrseg_tpu.ops import masks as mask_ops
         det["masks"] = jax.vmap(

@@ -35,6 +35,16 @@ class ModelConfig:
     # (rotated boxes, probiou NMS) | "classify" (backbone + linear head)
     task: str = "segment"
     kpt_shape: Tuple[int, int] = (17, 3)   # pose: (num_kpts, dims)
+    # NMS-free serving (YOLOv10-style consistent dual assignment): adds a
+    # second detect head trained with one-to-one assignment (TAL topk=1)
+    # alongside the standard one-to-many head. Deploy then selects top-K
+    # by score from the o2o head — NO NMS in the compiled pipeline (the
+    # greedy-NMS kernel leaves the hot path entirely; sequential
+    # dependence is the one part of postprocess XLA can't parallelize).
+    # detect/segment tasks only; mask coefs stay shared, so segmentation
+    # works unchanged. Existing checkpoints graft via transfer_params
+    # (the o2o branch reinitializes, everything else copies bit-exact).
+    o2o: bool = False
     dtype: str = "bfloat16"          # compute dtype on TPU
     param_dtype: str = "float32"
     # MXU matmul precision for f32 ops: "default" (bf16 passes, fastest) |

@@ -242,7 +242,10 @@ def params_match_config(params: Params, cfg) -> bool:
     # the forward only reads what the task needs, but they would bloat the
     # train state; require an exact task match for a clean state
     extras = {"proto", "seg_cv4", "pose_cv4", "obb_cv4", "cls_head"}
-    return not (set(params) & (extras - set(need)))
+    if set(params) & (extras - set(need)):
+        return False
+    # NMS-free dual head (ModelConfig.o2o): presence must match exactly
+    return ("det_o2o" in params) == bool(getattr(cfg, "o2o", False))
 
 
 def transfer_params(donor: Params, new_cfg, key=None):

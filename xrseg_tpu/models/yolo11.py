@@ -155,6 +155,43 @@ def _init_branch3(kg: L.KeyGen, s: Spec, pd, c_hidden: int,
     } for ci in s.head_ch]
 
 
+def _init_detect_head(kg: L.KeyGen, s: Spec, cfg: ModelConfig, pd) -> Params:
+    """One detect head (box cv2 + cls cv3 per level). Built twice when
+    cfg.o2o: the standard one-to-many head and the NMS-free one-to-one
+    head share this structure (YOLOv10 dual-head pattern)."""
+    import math as _math
+    nc, reg_max = cfg.num_classes, cfg.reg_max
+    head: Params = {"cv2": [], "cv3": []}
+    for i, ci in enumerate(s.head_ch):
+        head["cv2"].append({
+            "conv0": L.conv_init(kg, ci, s.c2, 3, param_dtype=pd),
+            "conv1": L.conv_init(kg, s.c2, s.c2, 3, param_dtype=pd),
+            "out": L.head_conv_init(kg, s.c2, 4 * reg_max, 1, pd),
+        })
+        if s.arch == "yolov8":
+            # v8 ("legacy") cls branch: two plain 3x3 convs — no
+            # depthwise separation (that's the v11 head refinement)
+            head["cv3"].append({
+                "conv0": L.conv_init(kg, ci, s.c3, 3, param_dtype=pd),
+                "conv1": L.conv_init(kg, s.c3, s.c3, 3, param_dtype=pd),
+                "out": L.head_conv_init(kg, s.c3, nc, 1, pd),
+            })
+        else:
+            head["cv3"].append({
+                "dw0": L.dwconv_init(kg, ci, 3, pd),
+                "pw0": L.conv_init(kg, ci, s.c3, 1, param_dtype=pd),
+                "dw1": L.dwconv_init(kg, s.c3, 3, pd),
+                "pw1": L.conv_init(kg, s.c3, s.c3, 1, param_dtype=pd),
+                "out": L.head_conv_init(kg, s.c3, nc, 1, pd),
+            })
+        # bias init for stable random-weight behavior (standard YOLO recipe)
+        stride = s.strides[i]
+        head["cv2"][i]["out"]["b"] = jnp.full((4 * reg_max,), 1.0, pd)
+        cls_bias = _math.log(5 / nc / (640 / stride) ** 2)
+        head["cv3"][i]["out"]["b"] = jnp.full((nc,), cls_bias, pd)
+    return head
+
+
 def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
     kg = L.KeyGen(key)
     s = Spec(cfg)   # validates scale/input_size
@@ -209,34 +246,12 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
 
     # --- detect head (box reg + cls), one branch pair per pyramid level ---
     nc, reg_max = cfg.num_classes, cfg.reg_max
-    p["det"] = {"cv2": [], "cv3": []}
-    for i, ci in enumerate(s.head_ch):
-        p["det"]["cv2"].append({
-            "conv0": L.conv_init(kg, ci, s.c2, 3, param_dtype=pd),
-            "conv1": L.conv_init(kg, s.c2, s.c2, 3, param_dtype=pd),
-            "out": L.head_conv_init(kg, s.c2, 4 * reg_max, 1, pd),
-        })
-        if s.arch == "yolov8":
-            # v8 ("legacy") cls branch: two plain 3x3 convs — no
-            # depthwise separation (that's the v11 head refinement)
-            p["det"]["cv3"].append({
-                "conv0": L.conv_init(kg, ci, s.c3, 3, param_dtype=pd),
-                "conv1": L.conv_init(kg, s.c3, s.c3, 3, param_dtype=pd),
-                "out": L.head_conv_init(kg, s.c3, nc, 1, pd),
-            })
-        else:
-            p["det"]["cv3"].append({
-                "dw0": L.dwconv_init(kg, ci, 3, pd),
-                "pw0": L.conv_init(kg, ci, s.c3, 1, param_dtype=pd),
-                "dw1": L.dwconv_init(kg, s.c3, 3, pd),
-                "pw1": L.conv_init(kg, s.c3, s.c3, 1, param_dtype=pd),
-                "out": L.head_conv_init(kg, s.c3, nc, 1, pd),
-            })
-        # bias init for stable random-weight behavior (standard YOLO recipe)
-        stride = s.strides[i]
-        p["det"]["cv2"][i]["out"]["b"] = jnp.full((4 * reg_max,), 1.0, pd)
-        cls_bias = math.log(5 / nc / (640 / stride) ** 2)
-        p["det"]["cv3"][i]["out"]["b"] = jnp.full((nc,), cls_bias, pd)
+    if getattr(cfg, "o2o", False):
+        if cfg.task not in ("detect", "segment"):
+            raise ValueError(
+                f"o2o (NMS-free) supports detect/segment, not {cfg.task}")
+        p["det_o2o"] = _init_detect_head(kg, s, cfg, pd)
+    p["det"] = _init_detect_head(kg, s, cfg, pd)
 
     # --- task extras ---
     if cfg.task == "segment":
@@ -319,15 +334,17 @@ def _backbone_neck(p: Params, x: jax.Array, cfg: ModelConfig, dt):
     return neck(p, backbone(p, x, cfg, dt), cfg, dt)
 
 
-def _detect_branches(p: Params, feats, cfg: ModelConfig, dt):
-    """Per-level raw head maps: box logits [B,H,W,4*reg_max], cls logits [B,H,W,nc]."""
+def _detect_branches(p: Params, feats, cfg: ModelConfig, dt,
+                     head: str = "det"):
+    """Per-level raw head maps: box logits [B,H,W,4*reg_max], cls logits
+    [B,H,W,nc]. head="det_o2o" runs the NMS-free one-to-one head."""
     boxes, clss = [], []
     for i, f in enumerate(feats):
-        d2 = p["det"]["cv2"][i]
+        d2 = p[head]["cv2"][i]
         b = L.conv_apply(d2["conv0"], f, dtype=dt)
         b = L.conv_apply(d2["conv1"], b, dtype=dt)
         boxes.append(L.head_conv_apply(d2["out"], b, dtype=dt))
-        d3 = p["det"]["cv3"][i]
+        d3 = p[head]["cv3"][i]
         if "dw0" in d3:          # v11 head: depthwise-separable cls branch
             c = L.dwconv_apply(d3["dw0"], f, dtype=dt)
             c = L.conv_apply(d3["pw0"], c, dtype=dt)
@@ -403,6 +420,20 @@ def head_outputs(params: Params, feats, cfg: ModelConfig,
     # top-K — skipping an [B,A,nc] f32 materialization (~344 MB at b=128).
     out = {"boxes_xywh": xywh, "scores": scores,
            "cls_logits": cls_flat}
+    if "det_o2o" in params:
+        # NMS-free one-to-one head (cfg.o2o): same decode, own branches
+        ob, oc = _detect_branches(params, feats, cfg, dt, head="det_o2o")
+        obox = jnp.concatenate(
+            [b.reshape(B, -1, 4 * cfg.reg_max) for b in ob], axis=1)
+        ocls = jnp.concatenate(
+            [c.reshape(B, -1, cfg.num_classes) for c in oc], axis=1)
+        oltrb = dfl_decode(obox, cfg.reg_max)
+        ox1y1 = anchors[None] - oltrb[..., :2]
+        ox2y2 = anchors[None] + oltrb[..., 2:]
+        out["o2o_boxes_xywh"] = jnp.concatenate(
+            [(ox1y1 + ox2y2) * 0.5 * strides[None],
+             (ox2y2 - ox1y1) * strides[None]], axis=-1)
+        out["o2o_cls_logits"] = ocls
     if cfg.task == "segment":
         protos = L.proto_apply(params["proto"], feats[0], dtype=dt)
         mc_flat = _branch3_forward(params["seg_cv4"], feats, dt,
@@ -548,6 +579,23 @@ def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
                                 (x2y2 - x1y1) * strides[None]], axis=-1)
         out = {"box_logits": box_flat, "cls_logits": cls_flat,
                "boxes_xywh": xywh}
+        if "det_o2o" in params:
+            ob, oc = _detect_branches(params, feats, cfg, dt,
+                                      head="det_o2o")
+            obox = jnp.concatenate(
+                [b.reshape(B, -1, 4 * cfg.reg_max) for b in ob], axis=1
+            ).astype(jnp.float32)
+            ocls = jnp.concatenate(
+                [c.reshape(B, -1, cfg.num_classes) for c in oc], axis=1
+            ).astype(jnp.float32)
+            oltrb = dfl_decode(obox, cfg.reg_max)
+            ox1y1 = anchors[None] - oltrb[..., :2]
+            ox2y2 = anchors[None] + oltrb[..., 2:]
+            out["o2o_box_logits"] = obox
+            out["o2o_cls_logits"] = ocls
+            out["o2o_boxes_xywh"] = jnp.concatenate(
+                [(ox1y1 + ox2y2) * 0.5 * strides[None],
+                 (ox2y2 - ox1y1) * strides[None]], axis=-1)
         if cfg.task == "segment":
             out["protos"] = L.proto_apply(params["proto"], feats[0],
                                           dtype=dt).astype(jnp.float32)

@@ -165,6 +165,57 @@ def postprocess_batch_parts(boxes: jax.Array, cls_scores: jax.Array,
     return det
 
 
+def postprocess_o2o_batch(boxes: jax.Array, cls_scores: jax.Array,
+                          coefs_all: jax.Array | None,
+                          protos: jax.Array | None,
+                          cfg: PostprocessConfig,
+                          crop: bool = False,
+                          input_size: tuple = (640, 640),
+                          mask_dtype=jnp.float32,
+                          scores_are_logits: bool = False,
+                          with_masks: bool = True
+                          ) -> Dict[str, jax.Array]:
+    """NMS-FREE batched postprocess for the one-to-one head
+    (ModelConfig.o2o, YOLOv10-style dual assignment): the head is
+    TRAINED to emit one detection per object, so deploy reduces to a
+    score gate + top-K gather — the greedy-suppression loop (the one
+    sequentially-dependent part of postprocess, ops/nms.py) leaves the
+    compiled program entirely. Same det contract as
+    postprocess_batch_parts; `indices` are anchor ids, so the shared
+    mask-coefficient head gathers exactly as in the NMS path."""
+    scores = jnp.max(cls_scores, axis=-1).astype(jnp.float32)  # [B,A]
+    labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32)
+    thr = _logit_threshold(cfg, scores_are_logits)
+
+    D = cfg.max_detections
+    top_s, idx = jax.lax.top_k(scores, D)                      # [B,D]
+    det: Dict[str, jax.Array] = {
+        "indices": idx.astype(jnp.int32),
+        "boxes_xywh": jnp.take_along_axis(boxes, idx[..., None], axis=1),
+        "labels": jnp.take_along_axis(labels, idx, axis=1),
+        "valid": top_s > thr,
+    }
+    det["count"] = det["valid"].sum(axis=-1).astype(jnp.int32)
+    s = jax.nn.sigmoid(top_s) if scores_are_logits else top_s
+    det["scores"] = s * det["valid"]
+
+    if protos is not None and coefs_all is not None:
+        coefs = jnp.take_along_axis(coefs_all,
+                                    det["indices"][..., None], axis=1)
+        coefs = coefs * det["valid"][..., None]
+        det["coefs"] = coefs
+        if with_masks:
+            m = jax.vmap(lambda c, p: mask_ops.synthesize_masks(
+                c.astype(mask_dtype), p.astype(mask_dtype)))(coefs, protos)
+            if crop:
+                m = jax.vmap(lambda mm, b: mask_ops.crop_masks(
+                    mm, b, input_size))(m, det["boxes_xywh"])
+            det["masks"] = m.astype(mask_dtype)
+        else:
+            det["protos"] = protos.astype(mask_dtype)
+    return det
+
+
 def _logit_threshold(cfg: PostprocessConfig, scores_are_logits: bool):
     if not scores_are_logits:
         return cfg.score_threshold

@@ -222,7 +222,8 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
                    dfl_w: float = 1.5, seg_w: float = 1.0,
                    kpt_w: float = 12.0, kobj_w: float = 1.0,
                    assigner: str = "tal",
-                   input_hw: Optional[Tuple[int, int]] = None
+                   input_hw: Optional[Tuple[int, int]] = None,
+                   assigner_topk: int = 10
                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Batched loss. `out` must be the training forward (raw logits):
     dict(box_logits [B,A,4*reg_max], cls_logits [B,A,nc], boxes_xywh [B,A,4],
@@ -253,6 +254,7 @@ def detection_loss(out: Dict[str, jax.Array], targets: Dict[str, jax.Array],
         if assigner == "tal":
             a = assign_targets_tal(out_b["boxes_xywh"], out_b["cls_logits"],
                                    tgt_b["boxes_xywh"], tgt_b["labels"], cfg,
+                                   topk=assigner_topk,
                                    input_hw=input_hw,
                                    gt_rboxes=(tgt_b["boxes_xywhr"]
                                               if is_obb else None),

@@ -107,8 +107,24 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation,
             # anchors follow the batch's actual (H,W): multi-scale batches
             # each trace their own specialization (bounded by the scale
             # bucket list)
-            return detection_loss(out, tgt, cfg,
-                                  input_hw=tuple(batch["images"].shape[1:3]))
+            hw = tuple(batch["images"].shape[1:3])
+            loss, aux = detection_loss(out, tgt, cfg, input_hw=hw)
+            if "o2o_cls_logits" in out:
+                # NMS-free dual head (cfg.o2o): the one-to-one branch
+                # trains with TAL topk=1 on boxes/cls only — masks train
+                # through the one-to-many loss above (shared coef head)
+                o2o_out = {"box_logits": out["o2o_box_logits"],
+                           "cls_logits": out["o2o_cls_logits"],
+                           "boxes_xywh": out["o2o_boxes_xywh"]}
+                o2o_tgt = {k: tgt[k] for k in ("boxes_xywh", "labels",
+                                               "sample_weight")
+                           if k in tgt}
+                o2o_cfg = dataclasses.replace(cfg, task="detect")
+                l2, a2 = detection_loss(o2o_out, o2o_tgt, o2o_cfg,
+                                        input_hw=hw, assigner_topk=1)
+                loss = loss + l2
+                aux = {**aux, **{f"o2o_{k}": v for k, v in a2.items()}}
+            return loss, aux
 
     vg = jax.value_and_grad(loss_fn, has_aux=True)
 
