@@ -119,6 +119,24 @@ def test_o2o_pipeline_detects_without_nms(trained_o2o):
     assert len(hits) <= 1, (n, det["scores"][:n])
 
 
+def test_dual_head_checkpoint_deploys_both_ways(trained_o2o):
+    """One dual-head checkpoint, two deploy modes: replace(cfg,
+    o2o=False) serves the classic NMS path from the SAME params (the
+    o2o branches aren't even computed) — the A/B contract."""
+    params, batch = trained_o2o
+    from xrseg_tpu.compile import build_pipeline, unpack_slate
+    from xrseg_tpu.io.weights import params_match_config
+    nms_cfg = dataclasses.replace(CFG, o2o=False)
+    assert params_match_config(params, nms_cfg)   # no surgery needed
+    e = ExecutorConfig(model=nms_cfg)
+    e = dataclasses.replace(
+        e, post=dataclasses.replace(e.post, score_threshold=0.005))
+    pipe = build_pipeline(e, params, batch=1)
+    frame = (np.asarray(batch["images"][0]) * 255).astype(np.uint8)
+    det = unpack_slate(np.asarray(pipe(frame[None])["slate"])[0], 50)
+    assert int(det["count"]) >= 1
+
+
 def test_o2o_rides_the_sharded_server_builder(trained_o2o):
     """decode_task_outputs carries o2o through parallel/batch.py too."""
     params, batch = trained_o2o

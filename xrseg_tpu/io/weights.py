@@ -244,8 +244,12 @@ def params_match_config(params: Params, cfg) -> bool:
     extras = {"proto", "seg_cv4", "pose_cv4", "obb_cv4", "cls_head"}
     if set(params) & (extras - set(need)):
         return False
-    # NMS-free dual head (ModelConfig.o2o): presence must match exactly
-    return ("det_o2o" in params) == bool(getattr(cfg, "o2o", False))
+    # NMS-free dual head (ModelConfig.o2o): the o2o branch must exist
+    # when asked for; a dual-head checkpoint served with o2o=False is
+    # fine as-is (forward skips the extra branch — the A/B deploy mode)
+    if getattr(cfg, "o2o", False) and "det_o2o" not in params:
+        return False
+    return True
 
 
 def transfer_params(donor: Params, new_cfg, key=None):

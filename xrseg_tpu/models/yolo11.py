@@ -420,8 +420,11 @@ def head_outputs(params: Params, feats, cfg: ModelConfig,
     # top-K — skipping an [B,A,nc] f32 materialization (~344 MB at b=128).
     out = {"boxes_xywh": xywh, "scores": scores,
            "cls_logits": cls_flat}
-    if "det_o2o" in params:
-        # NMS-free one-to-one head (cfg.o2o): same decode, own branches
+    if getattr(cfg, "o2o", False) and "det_o2o" in params:
+        # NMS-free one-to-one head: same decode, own branches. Gated on
+        # cfg.o2o (not just param presence) so one trained dual-head
+        # checkpoint deploys EITHER way — replace(cfg, o2o=False) serves
+        # the classic NMS path without computing the o2o branches.
         ob, oc = _detect_branches(params, feats, cfg, dt, head="det_o2o")
         obox = jnp.concatenate(
             [b.reshape(B, -1, 4 * cfg.reg_max) for b in ob], axis=1)
@@ -579,7 +582,7 @@ def forward_train(params: Params, x: jax.Array, cfg: ModelConfig
                                 (x2y2 - x1y1) * strides[None]], axis=-1)
         out = {"box_logits": box_flat, "cls_logits": cls_flat,
                "boxes_xywh": xywh}
-        if "det_o2o" in params:
+        if getattr(cfg, "o2o", False) and "det_o2o" in params:
             ob, oc = _detect_branches(params, feats, cfg, dt,
                                       head="det_o2o")
             obox = jnp.concatenate(

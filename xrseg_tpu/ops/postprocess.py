@@ -188,7 +188,12 @@ def postprocess_o2o_batch(boxes: jax.Array, cls_scores: jax.Array,
     thr = _logit_threshold(cfg, scores_are_logits)
 
     D = cfg.max_detections
-    top_s, idx = jax.lax.top_k(scores, D)                      # [B,D]
+    A = scores.shape[-1]
+    top_s, idx = jax.lax.top_k(scores, min(D, A))              # [B,D]
+    if A < D:                 # tiny-geometry pipelines: pad to the slate
+        pad = ((0, 0), (0, D - A))
+        top_s = jnp.pad(top_s, pad, constant_values=-jnp.inf)
+        idx = jnp.pad(idx, pad)
     det: Dict[str, jax.Array] = {
         "indices": idx.astype(jnp.int32),
         "boxes_xywh": jnp.take_along_axis(boxes, idx[..., None], axis=1),
