@@ -272,3 +272,53 @@ def test_reid_embedding_ema():
     tr.update([_bb(0.0, 0.0)], embeddings=e2[None])
     emb = tr.tracks[0].embedding
     np.testing.assert_allclose(emb[:2], [0.5, 0.5])
+
+
+def _scored_box(cx, cy, score, name="person", label=0):
+    return BoundingBox(cx, cy, 50, 50, label=label, class_name=name,
+                       score=score)
+
+
+def test_bytetrack_survives_confidence_dip():
+    """ByteTrack two-stage association (high_score>0): a track whose
+    detection confidence dips below the gate for a few frames keeps its
+    identity through the LOW-score detections; the classic setup (only
+    gate-passing detections reach the tracker) breaks the identity.
+    Scored with the CLEAR-MOT/IDF1 harness."""
+    from xrseg_tpu.eval.mot import evaluate_mot
+    from xrseg_tpu.perception.tracking import MultiTargetTracker
+
+    # one object drifting right; frames 4-6 are "occluded" (score 0.12)
+    scores = [0.8, 0.8, 0.8, 0.8, 0.12, 0.12, 0.12, 0.8, 0.8, 0.8, 0.8]
+    dets = [_scored_box(10 * f, 0, s) for f, s in enumerate(scores)]
+    # plus per-frame background noise that must never become a track
+    noise = [_scored_box(400, 400, 0.11, "person") for _ in scores]
+
+    byte_tr = MultiTargetTracker(max_misses=2, min_hits=2,
+                                 high_score=0.25)
+    classic = MultiTargetTracker(max_misses=2, min_hits=2)
+
+    byte_frames, classic_frames, gt_frames = [], [], []
+    for f, d in enumerate(dets):
+        gt_frames.append([(1, np.asarray([d.center_x, d.center_y,
+                                          50.0, 50.0]))])
+        bt = byte_tr.update([d, noise[f]])       # low gate: sees all
+        high = [b for b in (d, noise[f]) if b.score >= 0.25]
+        ct = classic.update(high)                # deploy gate: high only
+        byte_frames.append([(t.track_id, np.asarray(
+            [t.box.center_x, t.box.center_y, 50.0, 50.0])) for t in bt])
+        classic_frames.append([(t.track_id, np.asarray(
+            [t.box.center_x, t.box.center_y, 50.0, 50.0])) for t in ct])
+
+    byte_ids = {i for fr in byte_frames for i, _ in fr}
+    classic_ids = {i for fr in classic_frames for i, _ in fr}
+    assert len(byte_ids) == 1, byte_frames       # identity survives dip
+    assert len(classic_ids) >= 2, classic_frames  # classic re-spawns
+    # the noise detection never confirmed (low scores don't spawn)
+    assert all(len(fr) <= 1 for fr in byte_frames)
+
+    mb = evaluate_mot(gt_frames, byte_frames)
+    mc = evaluate_mot(gt_frames, classic_frames)
+    assert mb["IDF1"] > mc["IDF1"], (mb, mc)
+    assert mb["id_switches"] == 0
+    assert mb["MOTA"] >= mc["MOTA"]

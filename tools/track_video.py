@@ -42,6 +42,12 @@ def main() -> int:
                     help="stop after N frames (0 = all)")
     ap.add_argument("--motion", action="store_true",
                     help="Kalman motion model in the tracker")
+    ap.add_argument("--byte-track", type=float, default=0.0,
+                    metavar="HIGH",
+                    help="ByteTrack two-stage association: HIGH is the "
+                         "confident gate (e.g. 0.25); the pipeline gate "
+                         "drops to 0.1 so low-score detections reach "
+                         "the tracker's recovery stage")
     ap.add_argument("--save-video", default=None, metavar="OUT.AVI",
                     help="also write an annotated MJPEG clip (box "
                          "overlays, runtime/video.MJPEGWriter)")
@@ -84,10 +90,14 @@ def main() -> int:
     if args.score_threshold is not None:
         post = dataclasses.replace(post,
                                    score_threshold=args.score_threshold)
+    if args.byte_track > 0:
+        post = dataclasses.replace(
+            post, score_threshold=min(post.score_threshold, 0.1))
     cfg = ExecutorConfig(model=ModelConfig(arch=args.arch,
                                            scale=args.scale),
                          post=post, multi_tracking=True,
-                         motion_model=args.motion)
+                         motion_model=args.motion,
+                         track_high_score=args.byte_track)
 
     first = next(src.frames())
     fh, fw = first.rgb.shape[:2]

@@ -145,6 +145,12 @@ class ExecutorConfig:
     # free instance descriptors (cosine gate; 0 = off). Costs one extra
     # small D2H per frame (the [D,32] coef block), segment task only.
     reid_threshold: float = 0.0
+    # ByteTrack two-stage association (0 = off): set the pipeline's
+    # post.score_threshold LOW (e.g. 0.1) and this HIGH gate (e.g. 0.25);
+    # confident detections associate first, unmatched tracks then recover
+    # through the low-score leftovers, and low-score detections never
+    # spawn identities (perception/tracking.MultiTargetTracker docstring)
+    track_high_score: float = 0.0
     # mask slate policy for the compiled pipeline: "all" materializes every
     # survivor's mask on device (reference 4-output contract,
     # IEExecutor.cs:446-449); "none" is the coefs-only mode — the executor

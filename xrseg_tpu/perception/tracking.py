@@ -180,7 +180,8 @@ class MultiTargetTracker:
     def __init__(self, iou_threshold: float = 0.3, max_misses: int = 5,
                  min_hits: int = 2, motion: bool = False,
                  reid_threshold: float = 0.0,
-                 embedding_momentum: float = 0.8):
+                 embedding_momentum: float = 0.8,
+                 high_score: float = 0.0):
         """motion=True attaches a constant-velocity KalmanBoxFilter to each
         track: matching runs against the *predicted* box and lost frames
         coast along the estimated velocity (SORT semantics), so fast movers
@@ -193,13 +194,24 @@ class MultiTargetTracker:
         track that fails the IoU match re-acquires an unmatched
         SAME-CLASS detection whose cosine similarity to the track's EMA'd
         embedding exceeds the threshold. (A learned embedding head would
-        be stronger; the coef vector is the zero-extra-FLOPs version.)"""
+        be stronger; the coef vector is the zero-extra-FLOPs version.)
+
+        high_score > 0 enables ByteTrack-style TWO-STAGE association
+        (Zhang et al. ECCV 2022): feed the tracker EVERYTHING above a low
+        detection gate (set the pipeline's score_threshold low); stage 1
+        associates confident detections (score >= high_score) to tracks,
+        stage 2 lets still-unmatched tracks recover through the LOW-score
+        leftovers — exactly the detections an occluded or blurred object
+        produces — while unmatched low-score detections are discarded
+        (they never spawn tracks, so background noise stays out). This is
+        the standard fix for occlusion-induced identity switches."""
         self.iou_threshold = iou_threshold
         self.max_misses = max_misses
         self.min_hits = min_hits
         self.motion = motion
         self.reid_threshold = float(reid_threshold)
         self.embedding_momentum = float(embedding_momentum)
+        self.high_score = float(high_score)
         self.tracks: List[Track] = []
         self._next_id = 1
 
@@ -225,17 +237,33 @@ class MultiTargetTracker:
                 if t.kf is not None:
                     t.kf.predict()
                     t.box = t.kf.as_box(t.box)
-        # score all (track, detection) same-class pairs by IoU
-        pairs = []
-        for ti, t in enumerate(self.tracks):
-            for di, d in enumerate(boxes):
-                if d.class_name != t.box.class_name:
-                    continue
-                v = iou(t.box, d)
-                if v >= self.iou_threshold:
-                    pairs.append((v, ti, di))
-        pairs.sort(reverse=True)
         used_t, used_d = set(), set()
+
+        def score_pairs(det_ids) -> list:
+            """(iou, track_idx, det_idx) for unmatched same-class pairs."""
+            out = []
+            for ti, t in enumerate(self.tracks):
+                if ti in used_t:
+                    continue
+                for di in det_ids:
+                    if di in used_d:
+                        continue
+                    d = boxes[di]
+                    if d.class_name != t.box.class_name:
+                        continue
+                    v = iou(t.box, d)
+                    if v >= self.iou_threshold:
+                        out.append((v, ti, di))
+            out.sort(reverse=True)
+            return out
+
+        if self.high_score > 0:
+            high_ids = [i for i, d in enumerate(boxes)
+                        if d.score >= self.high_score]
+            low_ids = [i for i in range(len(boxes)) if i not in high_ids]
+        else:
+            high_ids, low_ids = list(range(len(boxes))), []
+        pairs = score_pairs(high_ids)
 
         def match(ti: int, di: int) -> None:
             used_t.add(ti)
@@ -259,6 +287,15 @@ class MultiTargetTracker:
                 continue
             match(ti, di)
 
+        # ByteTrack stage 2: tracks the confident detections missed get a
+        # second chance at the LOW-score leftovers (occluded/blurred
+        # objects still detect — just below the confidence gate)
+        if low_ids:
+            for v, ti, di in score_pairs(low_ids):
+                if ti in used_t or di in used_d:
+                    continue
+                match(ti, di)
+
         # re-ID pass: lost tracks reacquire unmatched same-class detections
         # by appearance when the IoU gate failed (e.g. after long occlusion)
         if (self.reid_threshold > 0 and embeddings is not None
@@ -267,7 +304,8 @@ class MultiTargetTracker:
             for ti, t in enumerate(self.tracks):
                 if ti in used_t or t.embedding is None:
                     continue
-                for di, d in enumerate(boxes):
+                for di in high_ids:      # low-score dets never re-ID
+                    d = boxes[di]
                     if di in used_d or d.class_name != t.box.class_name:
                         continue
                     s = cosine_similarity(t.embedding,
@@ -291,9 +329,12 @@ class MultiTargetTracker:
             if ti not in used_t:
                 t.misses += 1
         self.tracks = [t for t in self.tracks if t.misses <= self.max_misses]
-        # unmatched detections spawn tracks
-        for di, d in enumerate(boxes):
+        # unmatched CONFIDENT detections spawn tracks (ByteTrack: leftover
+        # low-score detections are discarded — background noise must not
+        # seed identities)
+        for di in high_ids:
             if di not in used_d:
+                d = boxes[di]
                 emb = (np.asarray(embeddings[di], np.float32)
                        if embeddings is not None else None)
                 self.tracks.append(Track(

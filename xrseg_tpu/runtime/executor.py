@@ -104,7 +104,8 @@ class Executor:
                                      cfg.select_margin_px)
         self.multi_tracker = (
             MultiTargetTracker(motion=cfg.motion_model,
-                               reid_threshold=cfg.reid_threshold)
+                               reid_threshold=cfg.reid_threshold,
+                               high_score=cfg.track_high_score)
             if cfg.multi_tracking else None)
         self.points = PointCloudExtractor(cfg.depth, backend=depth_backend)
         self.latency = LatencyCompensator(cfg.depth.latency_seconds)
