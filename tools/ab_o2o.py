@@ -82,16 +82,27 @@ def main() -> int:
     tr.fit(train_ds, val_dataset=None)
     trained = tr.eval_params
 
+    if args.out:
+        from xrseg_tpu.io.weights import save_npz
+        import jax as _jax
+        save_npz(args.out + ".student.npz", _jax.device_get(trained))
+
+    # short schedules leave the o2o head's ABSOLUTE confidence low (one
+    # positive per GT calibrates slowly — YOLOv10 trains 500 epochs);
+    # mAP is ranking-based, so score each mode at the deploy gate AND a
+    # low gate that admits the uncalibrated-but-ranked detections
     results = {}
     for mode, mcfg in (("o2o_nms_free", cfg),
                        ("classic_nms", dataclasses.replace(cfg,
                                                            o2o=False))):
-        r = evaluate_dataset(mcfg, trained, val_ds, batch=8,
-                             score_threshold=args.score_gate)
-        results[mode] = r
-        print(json.dumps({"config": mode, **{
-            k: round(v, 4) if isinstance(v, float) else v
-            for k, v in r.items()}}), flush=True)
+        for gate in sorted({args.score_gate, 0.005}, reverse=True):
+            r = evaluate_dataset(mcfg, trained, val_ds, batch=8,
+                                 score_threshold=gate)
+            key = f"{mode}@{gate}"
+            results[key] = r
+            print(json.dumps({"config": key, **{
+                k: round(v, 4) if isinstance(v, float) else v
+                for k, v in r.items()}}), flush=True)
 
     if args.out:
         with open(args.out, "w") as f:
