@@ -147,6 +147,22 @@ def test_pt_round_trip(arch, task, tmp_path):
     _assert_trees_close(loaded, params)
 
 
+@pytest.mark.parametrize("arch,scale", [("yolo11", "l"), ("yolov8", "m")])
+def test_pt_round_trip_deep_scales(arch, scale, tmp_path):
+    """Deeper scales exercise the scale-dependent name map: yolo11-l
+    forces C3k blocks (force_c3k) with 2 repeats; yolov8-m has 2/4/4/2
+    C2f repeats — both different module trees than the n-scale cases."""
+    cfg = ModelConfig(arch=arch, scale=scale, task="detect",
+                      num_classes=4, input_size=(64, 64))
+    params = yolo11.init_params(jax.random.key(5), cfg)
+    sd = make_state_dict(params, cfg, np.random.default_rng(2))
+    p = str(tmp_path / "deep.pt")
+    torch.save(sd, p)
+    loaded, inferred = torch_pt.load_yolo11_pt(p)
+    assert (inferred.arch, inferred.scale) == (arch, scale)
+    _assert_trees_close(loaded, params)
+
+
 def test_pt_fused_checkpoint_form(tmp_path):
     """After ultralytics model.fuse(): conv.bias present, bn.* gone."""
     cfg = ModelConfig(scale="n", task="segment", num_classes=5,
