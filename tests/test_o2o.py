@@ -57,6 +57,33 @@ def test_o2o_transfer_from_plain_checkpoint():
         np.asarray(plain["det"]["cv2"][0]["conv0"]["w"]))
 
 
+def test_o2o_seeded_on_checkpoint_load(tmp_path):
+    """Loading a plain artifact under an o2o cfg warm-starts det_o2o
+    from the loaded detect head (maybe_seed_o2o — same rationale as the
+    transfer seeding)."""
+    import torch
+    from xrseg_tpu.io.torch_pt import load_yolo11_pt
+    from test_pt_loader import make_state_dict
+    plain_cfg = dataclasses.replace(CFG, o2o=False, task="detect")
+    plain = yolo11.init_params(jax.random.key(0), plain_cfg)
+    sd = make_state_dict(plain, plain_cfg, np.random.default_rng(0))
+    p = str(tmp_path / "sd.pt")
+    torch.save(sd, p)
+    o2o_cfg = dataclasses.replace(CFG, task="detect")
+    loaded, _ = load_yolo11_pt(p, o2o_cfg)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["det_o2o"]["cv2"][0]["conv0"]["w"]),
+        np.asarray(loaded["det"]["cv2"][0]["conv0"]["w"]))
+
+
+def test_o2o_tta_rejected():
+    from xrseg_tpu.compile import build_pipeline
+    params = yolo11.init_params(jax.random.key(0), CFG)
+    with pytest.raises(ValueError, match="o2o"):
+        build_pipeline(ExecutorConfig(model=CFG), params, batch=1,
+                       tta=True)
+
+
 @pytest.fixture(scope="module")
 def trained_o2o():
     """Overfit one fixed image with a LARGE box (the TAL bootstrap needs

@@ -131,6 +131,12 @@ def build_pipeline(cfg: ExecutorConfig, params: Any, *,
         if cfg.model.task == "classify":
             raise ValueError("tta unsupported for task 'classify'"
                              " (nothing to merge pre-NMS)")
+        if getattr(cfg.model, "o2o", False):
+            raise ValueError(
+                "tta is incompatible with o2o (NMS-free) serving: "
+                "multi-view candidates NEED a merge step (NMS/WBF). "
+                "Serve the same checkpoint's classic path instead: "
+                "replace(cfg.model, o2o=False)")
         if cfg.model.task == "pose" and tta_kpt_flip_idx is None:
             raise ValueError("pose tta needs tta_kpt_flip_idx: the"
                              " skeleton's left/right joint permutation"

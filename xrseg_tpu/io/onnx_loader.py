@@ -247,4 +247,5 @@ def load_yolo11_onnx(path: str, cfg=None):
         node["w"] = jnp.asarray(np.ascontiguousarray(hwio))
         if b is not None:
             node["b"] = jnp.asarray(b)
-    return params, cfg
+    from xrseg_tpu.io.weights import maybe_seed_o2o
+    return maybe_seed_o2o(params, cfg), cfg

@@ -332,7 +332,8 @@ def load_yolo11_params(path: str, cfg=None):
         tgt["w"] = jnp.asarray(np.ascontiguousarray(hwio))
         if b is not None:
             tgt["b"] = jnp.asarray(b)
-    return params, cfg
+    from xrseg_tpu.io.weights import maybe_seed_o2o
+    return maybe_seed_o2o(params, cfg), cfg
 
 
 # ---------------------------------------------------------------------------

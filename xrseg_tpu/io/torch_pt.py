@@ -435,4 +435,5 @@ def load_yolo11_pt(path: str, cfg=None):
     sd = normalize_state_dict(obj)
     if cfg is None:
         cfg = infer_pt_config(sd)
-    return load_from_state_dict(sd, cfg), cfg
+    from xrseg_tpu.io.weights import maybe_seed_o2o
+    return maybe_seed_o2o(load_from_state_dict(sd, cfg), cfg), cfg

@@ -252,6 +252,18 @@ def params_match_config(params: Params, cfg) -> bool:
     return True
 
 
+def maybe_seed_o2o(params: Params, cfg) -> Params:
+    """Warm-start the NMS-free one-to-one branch from the (just-loaded)
+    detect head when cfg.o2o and the artifact carried none — the same
+    seeding transfer_params applies (a from-scratch o2o head at
+    fine-tune lr stays at ~0.002 confidence, measured in tools/ab_o2o).
+    Called by the .sentis/.onnx/.pt loaders after mapping."""
+    if getattr(cfg, "o2o", False) and "det" in params \
+            and "det_o2o" in params:
+        params["det_o2o"] = jax.tree.map(lambda x: x, params["det"])
+    return params
+
+
 def transfer_params(donor: Params, new_cfg, key=None):
     """Head-surgery transfer: start a fresh `new_cfg` model and graft in
     every shape-compatible donor leaf (backbone, FPN/PAN neck, box branch,
