@@ -340,23 +340,52 @@ def load_yolo11_params(path: str, cfg=None):
 # Writer: weight transplant into the deployed artifact
 # ---------------------------------------------------------------------------
 
-def quantize_uint8(w: np.ndarray) -> Tuple[np.ndarray, float, int]:
+def quantize_uint8(w: np.ndarray, method: str = "minmax"
+                   ) -> Tuple[np.ndarray, float, int]:
     """Per-tensor affine uint8 quantization matching the artifact's
     DequantizeUint8 semantics (w ~ (q - zp) * scale). The range is forced
-    to include 0 so the zero-point is exact and lands in [0, 255]."""
+    to include 0 so the zero-point is exact and lands in [0, 255].
+
+    method="minmax" (default): scale from the exact value range — max
+    error is bounded by half a step (the writer round-trip test pins it).
+    method="mse": standard PTQ range calibration — search scales in
+    [0.3, 1.0] x the minmax range, keep the min-squared-error fit
+    (outlier tails saturate, the bulk gets finer steps). MEASURED
+    NEGATIVE on this model family (r4): the deployed + fine-tuned
+    YOLO11 conv tensors are BN-folded and outlier-free, so the search
+    picks ~the full range on every tensor — identical MSE, identical
+    end-to-end preds delta (max|Δ| 250.7 vs 250.3 on a perturbed-weight
+    A/B). Kept for weight distributions that DO have tails; minmax
+    stays the default for its max-error bound.
+    """
     lo = min(float(w.min()), 0.0)
     hi = max(float(w.max()), 0.0)
     if hi == lo:
         return np.zeros(w.shape, np.uint8), 1.0, 0
-    scale = (hi - lo) / 255.0
-    zp = int(round(-lo / scale))
-    zp = max(0, min(255, zp))
-    q = np.clip(np.rint(w / scale) + zp, 0, 255).astype(np.uint8)
-    return q, scale, zp
+
+    def fit(lo_c: float, hi_c: float):
+        scale = (hi_c - lo_c) / 255.0
+        zp = max(0, min(255, int(round(-lo_c / scale))))
+        q = np.clip(np.rint(w / scale) + zp, 0, 255).astype(np.uint8)
+        return q, scale, zp
+
+    if method == "minmax":
+        return fit(lo, hi)
+    if method != "mse":
+        raise ValueError(f"unknown quantization method {method!r}")
+    best = None
+    best_err = np.inf
+    for frac in np.linspace(0.3, 1.0, 15):
+        q, scale, zp = fit(lo * frac, hi * frac)
+        err = float(np.mean(
+            ((q.astype(np.float32) - zp) * scale - w) ** 2))
+        if err < best_err:
+            best, best_err = (q, scale, zp), err
+    return best
 
 
 def write_yolo11_sentis(out_path: str, params, template_path: str,
-                        cfg=None) -> None:
+                        cfg=None, quant_method: str = "minmax") -> None:
     """Write a YOLO11 param pytree back into a `.sentis` artifact by
     transplanting weights into a COPY of `template_path` (normally the
     reference's deployed model, IEModelEditorConverter.cs:100-102).
@@ -433,7 +462,7 @@ def write_yolo11_sentis(out_path: str, params, template_path: str,
                         f"(max clamp error {err.max():.4g} vs scale "
                         f"{scale:.4g}) — use the ONNX path")
             else:
-                q, scale, zp = quantize_uint8(arr)
+                q, scale, zp = quantize_uint8(arr, quant_method)
                 struct.pack_into("<i", data, zpos, zp)
             if q.nbytes != t.nbytes:
                 raise ValueError(f"size mismatch at value {value_id}: "
