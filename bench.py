@@ -159,7 +159,8 @@ def run_device_bench(batch: int = 32, n_chained: int = 30, scale: str = "n",
 
 
 def run_latency_bench(n_frames: int = 60, warmup: int = 8,
-                      scale: str = "n", arch: str = "yolo11") -> dict:
+                      scale: str = "n", arch: str = "yolo11",
+                      o2o: bool = False) -> dict:
     """Interactive single-frame latency: batch=1, synchronous dispatch ->
     slate materialized on host each frame (host-transfer-anchored, the only
     timing this tunneled PJRT reports honestly). This is the p50-latency
@@ -171,7 +172,7 @@ def run_latency_bench(n_frames: int = 60, warmup: int = 8,
     from xrseg_tpu.compile import load_model
     from xrseg_tpu.config import ExecutorConfig, ModelConfig
 
-    cfg = ExecutorConfig(model=ModelConfig(arch=arch, scale=scale))
+    cfg = ExecutorConfig(model=ModelConfig(arch=arch, scale=scale, o2o=o2o))
     # bf16 weight storage: the batch-1 serving configuration (see README)
     pipe = load_model(cfg, batch=1, params_dtype="bfloat16")
     rng = np.random.default_rng(0)
@@ -600,7 +601,7 @@ def main() -> int:
         argv.remove("--o2o")
     batch = int(argv[0]) if argv else 128
     r = run_device_bench(batch=batch, arch=arch, o2o=o2o)
-    lat = run_latency_bench(arch=arch)
+    lat = run_latency_bench(arch=arch, o2o=o2o)
     # ONE JSON line; headline metric is throughput, and the BASELINE's
     # second metric (p50 single-frame latency, batch=1, host-anchored)
     # rides along as extra keys.
