@@ -57,6 +57,54 @@ def test_o2o_transfer_from_plain_checkpoint():
         np.asarray(plain["det"]["cv2"][0]["conv0"]["w"]))
 
 
+def test_o2o_postprocess_matches_numpy_oracle():
+    """Randomized sweep (120 scenes): postprocess_o2o_batch (top-K
+    select, no NMS) vs a from-scratch numpy oracle — ties, empty scenes,
+    logit/probability inputs, A < max_det padding."""
+    from xrseg_tpu.config import PostprocessConfig
+    from xrseg_tpu.ops.postprocess import postprocess_o2o_batch
+
+    rng = np.random.default_rng(0)
+    for case in range(120):
+        A = int(rng.integers(3, 40))
+        nc = int(rng.integers(1, 5))
+        B = int(rng.integers(1, 3))
+        D = int(rng.integers(2, 12))
+        logits = rng.normal(0, 2, (B, A, nc)).astype(np.float32)
+        if case % 5 == 0:          # force score ties
+            logits[:, : A // 2] = logits[:, A // 2:A // 2 + 1]
+        if case % 7 == 0:          # empty scene: everything below gate
+            logits[:] = -9.0
+        boxes = rng.uniform(0, 64, (B, A, 4)).astype(np.float32)
+        pcfg = PostprocessConfig(score_threshold=0.3, max_detections=D)
+        det = jax.device_get(postprocess_o2o_batch(
+            jnp.asarray(boxes), jnp.asarray(logits), None, None, pcfg,
+            scores_are_logits=True))
+
+        def sig(x):
+            return 1.0 / (1.0 + np.exp(-x))
+
+        for b in range(B):
+            s = sig(logits[b]).max(-1)
+            lab = logits[b].argmax(-1)
+            order = np.argsort(-s, kind="stable")[:D]
+            n_valid = int((s > 0.3).sum())
+            assert int(det["count"][b]) == min(n_valid, D)
+            k = int(det["count"][b])
+            # scores must be the top-k descending (ties: any order)
+            np.testing.assert_allclose(
+                np.sort(det["scores"][b][:k])[::-1],
+                np.sort(s[order][:k])[::-1], atol=1e-5)
+            # every selected row is self-consistent with its anchor
+            for j in range(k):
+                a_idx = int(det["indices"][b][j])
+                np.testing.assert_allclose(det["boxes_xywh"][b][j],
+                                           boxes[b][a_idx], atol=1e-5)
+                assert int(det["labels"][b][j]) == int(lab[a_idx])
+                np.testing.assert_allclose(det["scores"][b][j],
+                                           s[a_idx], atol=1e-5)
+
+
 def test_o2o_seeded_on_checkpoint_load(tmp_path):
     """Loading a plain artifact under an o2o cfg warm-starts det_o2o
     from the loaded detect head (maybe_seed_o2o — same rationale as the
