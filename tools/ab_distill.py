@@ -54,6 +54,9 @@ def main() -> int:
                     help="add a self-training arm: the teacher's HARD "
                          "detections (incl. polygonized masks) replace "
                          "GT entirely — zero labels, standard loss")
+    ap.add_argument("--combo-arm", action="store_true",
+                    help="add a hard+soft arm: pseudo-label GT plus the "
+                         "response KL, still zero real labels")
     ap.add_argument("--weights", default=(
         "/root/reference/Assets/Resources/Model/"
         "yolo11n-seg-sentis.sentis"),
@@ -133,6 +136,8 @@ def main() -> int:
               f"{len(train_ds)} train images keep their GT", flush=True)
 
     pseudo_ds = None
+    if args.combo_arm:
+        args.pseudo_arm = True             # combo needs the pseudo set
     if args.pseudo_arm:
         from xrseg_tpu.train.pseudo import generate_pseudo_samples
         ecfg = ExecutorConfig(model=tcfg_model)
@@ -154,7 +159,8 @@ def main() -> int:
     results = {"teacher": t_eval}
     students = {}
     arms = (["scratch", "distill"] + (["pure"] if args.pure_arm else [])
-            + (["pseudo"] if args.pseudo_arm else []))
+            + (["pseudo"] if args.pseudo_arm else [])
+            + (["combo"] if args.combo_arm else []))
     for arm in arms:
         opt = make_optimizer(lr=args.lr, warmup_steps=args.steps // 20,
                              total_steps=args.steps)
@@ -177,7 +183,10 @@ def main() -> int:
             def do_step(state, batch):
                 return dstep(state, teacher_params, batch)
 
-        stream = (pseudo_stream(seed=0) if arm == "pseudo"
+        # pseudo: teacher hard labels, standard loss; combo: teacher hard
+        # labels AND teacher soft responses (det_weight applies to the
+        # pseudo GT inside the distill step)
+        stream = (pseudo_stream(seed=0) if arm in ("pseudo", "combo")
                   else batch_stream(seed=0))  # identical images per arm
         m = {}
         for i in range(args.steps):
