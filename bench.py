@@ -420,6 +420,13 @@ def run_accuracy_modes_bench(batch: int = 128, n_chained: int = 10,
             params, batch=b)),
         ("ensemble2_segment", lambda b: build_ensemble_pipeline(
             wbf_cfg, [params, params2], batch=b)),
+        # the ensemble merge scans M*A candidates sequentially, so the
+        # same top-512 compaction matters M times more here (indices
+        # stay in pre-compaction M*A space — member mapping intact)
+        ("ensemble2_topk512_segment", lambda b: build_ensemble_pipeline(
+            _dc.replace(wbf_cfg, post=_dc.replace(wbf_cfg.post,
+                                                  pre_nms_topk=512)),
+            [params, params2], batch=b)),
     ]
 
     def chained_fps(pipe, b, n, reps):

@@ -139,6 +139,21 @@ def test_ensemble_pipeline():
     assert int(two["count"][0]) > 0
     assert np.isfinite(two["slate"]).all()
 
+    # candidate compaction (pre_nms_topk) composes with the ensemble:
+    # WBF indices stay in the PRE-compaction M*A anchor space, so the
+    # member mapping (indices // A) and per-member mask synthesis hold
+    # (op-level exactness of the truncation is fuzz-pinned in
+    # test_geometry_fuzz.py::test_wbf_pre_topk_exact_equivalence)
+    import dataclasses as _dc
+    cfg_k = _dc.replace(cfg, post=_dc.replace(cfg.post, pre_nms_topk=32))
+    twok = jax.device_get(build_ensemble_pipeline(cfg_k, [p1, p2])(frame))
+    nk = int(twok["count"][0])
+    assert nk > 0 and np.isfinite(twok["slate"]).all()
+    assert "masks" in twok
+    a_total = 2 * sum((64 // s) * (64 // s) for s in (8, 16, 32))
+    idx = np.asarray(twok["indices"][0][:nk])
+    assert (idx >= 0).all() and (idx < a_total).all()
+
     other = ModelConfig(scale="n", input_size=(64, 64), dtype="float32",
                         num_classes=3)
     with pytest.raises(ValueError, match="share task/classes"):
