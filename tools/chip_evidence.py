@@ -106,10 +106,19 @@ def run_step(name, cmd, timeout, out):
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/chip_r4"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else "/tmp/chip_r4"
+    only = None  # --only=a,b,c resumes a partial queue in the given order
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
     os.makedirs(out, exist_ok=True)
     summary = os.path.join(out, "summary.jsonl")
-    for name, cmd, timeout in steps(out):
+    queue = steps(out)
+    if only:
+        by_name = {n: (n, c, t) for n, c, t in queue}
+        queue = [by_name[n] for n in only]
+    for name, cmd, timeout in queue:
         row = run_step(name, cmd, timeout, out)
         if row["outage"]:  # tunnel flapped mid-queue: wait, retry once
             time.sleep(600)

@@ -92,11 +92,15 @@ def main() -> int:
         params = detection_params(jax.random.key(0), mcfg)
 
     # a result takes several ticks (dispatch/poll/readback/cleanup), so
-    # budget camera frames generously; the loop breaks on frame count
-    n_total = (args.warmup + args.frames) * 10 + 300
+    # Unbounded camera source: on the tunneled chip one RESULT costs
+    # O(100) readiness-poll ticks (each tick consumes a frame), so any
+    # fixed frames*K budget starves the timed window (r4: a 10x budget
+    # yielded 3 timed frames of 120). The loop breaks on RESULT count;
+    # a tick-count guard below bounds runaway.
     src = SyntheticCameraSource(frame_hw=(480, 640), depth_hw=(128, 128),
-                                max_frames=n_total, realtime=False,
+                                max_frames=None, realtime=False,
                                 background_rgb=background)
+    max_ticks = (args.warmup + args.frames) * 2000 + 20000
     ex = Executor(cfg, params=params, frame_hw=(480, 640))
     loop = XRLoop(ex, intrinsics=src.intrinsics)
     print(f"weights: {weights}; compiling + warmup...", flush=True)
@@ -113,6 +117,8 @@ def main() -> int:
     for fd in frames_iter:
         r = loop.tick(fd)
         ticks += 1
+        if ticks > max_ticks:
+            break
         if r is None:
             continue
         results += 1
