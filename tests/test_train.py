@@ -365,6 +365,66 @@ def test_detection_loss_matches_torch_oracle():
                                    err_msg=key)
 
 
+def test_seg_slate_matches_all_anchor():
+    """The r5 fixed-size positive slate in the seg loss (losses.py — the
+    fix for the r4 640² chip OOMs: all-anchor f32[8400,160,160] mask
+    temporaries) must be EXACTLY the all-anchor loss, values AND grads,
+    because under TAL fg ≤ topk·G always fits the slate. Exercises padded
+    GTs (-1 labels) so gather indices hit pad rows too."""
+    cfg = _cfg()
+    rng = np.random.default_rng(11)
+    anchors, _ = yolo11.make_anchors(cfg.input_size)
+    A, nc, rm, nm = anchors.shape[0], cfg.num_classes, cfg.reg_max, cfg.num_masks
+    B, G = 2, 5
+    mh = mw = 16
+    out = {
+        "box_logits": jnp.asarray(rng.normal(0, 1, (B, A, 4 * rm)), jnp.float32),
+        "cls_logits": jnp.asarray(rng.normal(-2, 1, (B, A, nc)), jnp.float32),
+        "boxes_xywh": jnp.asarray(
+            np.abs(rng.normal(24, 8, (B, A, 4))) + 2, jnp.float32),
+        "mask_coefs": jnp.asarray(rng.normal(0, 1, (B, A, nm)), jnp.float32),
+        "protos": jnp.asarray(rng.normal(0, 1, (B, mh, mw, nm)), jnp.float32),
+    }
+    labels = rng.integers(0, nc, (B, G)).astype(np.int32)
+    labels[:, -2:] = -1                            # padded GT rows
+    tgt = {"boxes_xywh": jnp.asarray(
+               np.stack([rng.uniform(16, 48, (B, G, 2)),
+                         rng.uniform(8, 24, (B, G, 2))], 2)
+               .reshape(B, G, 4), jnp.float32),
+           "labels": jnp.asarray(labels),
+           "masks": jnp.asarray(rng.uniform(0, 1, (B, G, mh, mw)) > 0.5,
+                                jnp.float32)}
+    assert min(A, 10 * G) < A  # the slate path is actually taken
+
+    def seg_of(coefs, protos):
+        o = dict(out, mask_coefs=coefs, protos=protos)
+        loss, aux = L.detection_loss(o, tgt, cfg)
+        return aux["seg"]
+
+    # all-anchor recomputation (the pre-r5 formulation), same assignment
+    def seg_all(coefs, protos):
+        tot = 0.0
+        for b in range(B):
+            a = L.assign_targets_tal(out["boxes_xywh"][b], out["cls_logits"][b],
+                                     tgt["boxes_xywh"][b], tgt["labels"][b], cfg)
+            fg = a["fg"]
+            ml = jnp.einsum("an,hwn->ahw", coefs[b], protos[b])
+            gm = tgt["masks"][b][a["gt_idx"]]
+            tot = tot + (jnp.where(fg[:, None, None], L.bce_logits(ml, gm),
+                                   0.0).mean((-1, -2)).sum()
+                         / jnp.maximum(fg.sum(), 1))
+        return tot / B
+
+    v_new, g_new = jax.value_and_grad(seg_of, argnums=(0, 1))(
+        out["mask_coefs"], out["protos"])
+    v_old, g_old = jax.value_and_grad(seg_all, argnums=(0, 1))(
+        out["mask_coefs"], out["protos"])
+    np.testing.assert_allclose(float(v_new), float(v_old), rtol=1e-6)
+    for gn, go in zip(g_new, g_old):
+        np.testing.assert_allclose(np.asarray(gn), np.asarray(go), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_fsdp_train_step_matches_dp():
     """FSDP (ZeRO-3: params + moments sharded over the data axis) runs the
     IDENTICAL step function as DP — only placement differs — so three
