@@ -49,6 +49,13 @@ class TrainConfig:
     # step (grads averaged before the one optimizer update): large
     # effective batch without the full batch's activation HBM
     grad_accum: int = 1
+    # HBM preflight (train/preflight.py): estimate the step's peak HBM
+    # from static shapes BEFORE compiling and auto-raise grad_accum with
+    # a logged warning instead of dying in the XLA memory assigner
+    # (the r4 640^2 chip-queue failure mode). Skipped on CPU unless
+    # hbm_budget is set explicitly (bytes).
+    preflight: bool = True
+    hbm_budget: Optional[int] = None
     use_remat: bool = True
     log_every: int = 10
     ckpt_dir: Optional[str] = None     # directory for checkpoints + history
@@ -234,12 +241,39 @@ class Trainer:
                 self._load_history()
             self._init_state(steps_per_epoch * (len(self.history) + epochs),
                              resume)
-        step_fn = ts.make_train_step(self.cfg, self.optimizer,
-                                     mesh=self.mesh,
-                                     tp_min_channels=t.tp_min_channels,
-                                     use_remat=t.use_remat, fsdp=t.fsdp,
-                                     grad_accum=t.grad_accum,
-                                     label_smoothing=t.label_smoothing)
+        def build_step(accum: int):
+            return ts.make_train_step(self.cfg, self.optimizer,
+                                      mesh=self.mesh,
+                                      tp_min_channels=t.tp_min_channels,
+                                      use_remat=t.use_remat, fsdp=t.fsdp,
+                                      grad_accum=accum,
+                                      label_smoothing=t.label_smoothing)
+
+        grad_accum = t.grad_accum
+        if t.preflight:
+            try:
+                from xrseg_tpu.train import preflight as pf
+                budget = t.hbm_budget or pf.hbm_budget_bytes()
+                if budget:
+                    shards = self.mesh.shape["data"] if self.mesh else 1
+                    # estimate at the LARGEST configured shape (multi-
+                    # scale: the biggest bucket dominates the peak)
+                    hw = max(t.scales) if t.scales else self.cfg.input_size
+                    sds = pf.batch_shapes(self.cfg, t.batch, t.max_gt,
+                                          input_hw=hw)
+                    grad_accum, est = pf.auto_grad_accum(
+                        build_step, self.state, sds, budget, t.batch,
+                        start=t.grad_accum, data_shards=shards)
+                    if verbose:
+                        print(f"preflight: estimated step peak "
+                              f"{est/1e9:.2f} GB (budget "
+                              f"{budget/1e9:.2f} GB, "
+                              f"grad_accum={grad_accum})", flush=True)
+            except Exception as e:  # estimator must never kill a run
+                print(f"preflight: skipped ({type(e).__name__}: {e})",
+                      flush=True)
+                grad_accum = t.grad_accum
+        step_fn = build_step(grad_accum)
         tb = None
         tb_dir = t.tb_dir
         if tb_dir == "auto":
