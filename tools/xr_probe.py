@@ -48,6 +48,10 @@ def main() -> int:
                     help="model input size override (CPU smoke)")
     ap.add_argument("--scale", default="n")
     ap.add_argument("--out", default=None, help="also write JSON here")
+    ap.add_argument("--fused", action="store_true",
+                    help="transport-minimal tick (ExecutorConfig."
+                         "fused_tick): device-side re-lock + mask + "
+                         "depth fusion, ONE packed readback per frame")
     args = ap.parse_args()
 
     if args.cpu:
@@ -69,7 +73,8 @@ def main() -> int:
                            input_size=(args.size, args.size),
                            dtype="float32")
     cfg = ExecutorConfig(model=mcfg, post=XR_PRESET.post,
-                         depth=XR_PRESET.depth, enable_ui_rendering=True)
+                         depth=XR_PRESET.depth, enable_ui_rendering=True,
+                         fused_tick=args.fused)
 
     params = None
     background = None
@@ -79,7 +84,8 @@ def main() -> int:
         params, mcfg = load_params_auto(REF_SENTIS, mcfg)
         cfg = ExecutorConfig(model=mcfg, post=XR_PRESET.post,
                              depth=XR_PRESET.depth,
-                             enable_ui_rendering=True)
+                             enable_ui_rendering=True,
+                             fused_tick=args.fused)
         weights = "reference .sentis"
         src_bg = FileFrameSource(REF_IMAGES, image_name="000000002006",
                                  loop=False)
@@ -178,6 +184,7 @@ def main() -> int:
         "points_min": int(min(point_counts)) if point_counts else 0,
         "points_p50": int(np.median(point_counts)) if point_counts else 0,
         "stage_p50_ms": split,
+        "fused_tick": bool(args.fused),
     }
     print(json.dumps(row), flush=True)
     if args.out:

@@ -551,6 +551,160 @@ def unpack_slate(slate_row, max_det: int, box_dim: int = 4
     }
 
 
+@dataclasses.dataclass
+class XRTickPipeline:
+    """The reference's WHOLE tracked-frame workload as ONE compiled
+    program + ONE packed readback (ExecutorConfig.fused_tick).
+
+    Per tracked frame the reference (and our classic executor path) pays
+    three serialized device round-trips: detection readback, target-mask
+    copy, depth-fusion result (IEExecutor.cs:446-449, 615-621, 653-682
+    — measured at ~90 of ~156 ms/frame over the tunneled chip,
+    artifacts/chip_r4/xr_probe_chip.json). Here the re-lock match
+    (ops/relock.py), the matched target's mask synthesis and the RGBD
+    fusion all run INSIDE the frame program — the previous target box is
+    a jit input — and the frame emits
+
+      [ slate | matched, index | target mask? | fused points ]
+
+    as one flat f32 array: a single D2H DMA. Mask/points rows are zeroed
+    when unmatched, so consumers read validity from the packed flags.
+    """
+    cfg: ExecutorConfig
+    params: Any
+    fn: Callable           # (params, frames u8, depth u16, aux f32[19])
+    input_shape: Tuple[int, ...]
+    depth_hw: Tuple[int, int]
+    slate_len: int
+    mask_hw: Optional[Tuple[int, int]]   # None = mask not emitted
+    n_points: int
+    input_format: str = "rgb"
+
+    # aux layout: focal 2 | principal 2 | sensor 2 | cam_pos 3 |
+    #             cam_quat 4 | prev(cx,cy,label,valid) 4 | screen_scale 2
+    AUX_LEN = 19
+
+    def __call__(self, frames, depth_fp16, aux) -> Dict[str, jax.Array]:
+        return self.fn(self.params, frames, depth_fp16, aux)
+
+    def warmup(self) -> "XRTickPipeline":
+        import numpy as np
+        dh, dw = self.depth_hw
+        out = self.fn(self.params, jnp.zeros(self.input_shape, jnp.uint8),
+                      jnp.zeros((dh, dw), jnp.uint16),
+                      jnp.zeros((self.AUX_LEN,), jnp.float32))
+        jax.block_until_ready(out)
+        np.asarray(out["packed"])    # absorb first-transfer channel setup
+        return self
+
+    @staticmethod
+    def pack_aux(focal, principal, sensor, cam_pos, cam_quat, prev,
+                 screen_scale):
+        import numpy as np
+        return np.concatenate([
+            np.asarray(focal, np.float32).ravel(),
+            np.asarray(principal, np.float32).ravel(),
+            np.asarray(sensor, np.float32).ravel(),
+            np.asarray(cam_pos, np.float32).ravel(),
+            np.asarray(cam_quat, np.float32).ravel(),
+            np.asarray(prev, np.float32).ravel(),
+            np.asarray(screen_scale, np.float32).ravel(),
+        ]).astype(np.float32)
+
+    def unpack(self, packed) -> Dict[str, Any]:
+        """Host-side split of the one readback into the executor's
+        contract: unpack_slate keys + matched / matched_index /
+        target_mask? / points_packed [N,5]."""
+        import numpy as np
+        s = np.asarray(packed)
+        h = unpack_slate(s[:self.slate_len], self.cfg.post.max_detections)
+        off = self.slate_len
+        h["matched"] = s[off] > 0.5
+        h["matched_index"] = int(s[off + 1])
+        off += 2
+        if self.mask_hw is not None:
+            mh, mw = self.mask_hw
+            h["target_mask"] = s[off:off + mh * mw].reshape(mh, mw)
+            off += mh * mw
+        h["points_packed"] = s[off:off + self.n_points * 5].reshape(
+            self.n_points, 5)
+        return h
+
+
+def build_xr_tick_pipeline(cfg: ExecutorConfig, params: Any, *,
+                           frame_hw: Optional[Tuple[int, int]] = None,
+                           depth_hw: Tuple[int, int] = (128, 128),
+                           emit_target_mask: bool = True,
+                           params_dtype: Optional[str] = None
+                           ) -> XRTickPipeline:
+    """Compile the fused XR tick for fixed frame + depth geometry.
+
+    See XRTickPipeline. Segment task only (the XR product task — the
+    tick's mask/point stages are mask-defined). emit_target_mask adds
+    the matched target's [mh,mw] sigmoid mask to the packed readback
+    (~100 KB) for UI rendering; headless consumers skip it.
+    """
+    mcfg = cfg.model
+    pcfg = cfg.post
+    if mcfg.task != "segment":
+        raise ValueError(f"fused_tick requires task='segment', "
+                         f"got {mcfg.task!r}")
+    if params_dtype is not None:
+        from xrseg_tpu.io.weights import cast_params
+        params = cast_params(params, params_dtype)
+    fh, fw = frame_hw or mcfg.input_size
+    in_shape = (1, fh, fw, 3)
+    D = pcfg.max_detections
+    slate_len = D * 7 + 1                      # boxes4|scores|labels|valid|count
+    mh4, mw4 = mcfg.mask_size
+    dcfg = cfg.depth
+    step = dcfg.sampling_step
+    n_points = (mh4 // step) * (mw4 // step)
+
+    from xrseg_tpu.ops import depth_fusion as df
+    from xrseg_tpu.ops.masks import synthesize_one_mask
+    from xrseg_tpu.ops.relock import relock_match
+    from xrseg_tpu.precision import precision_scope
+
+    def _run(params, frames, depth_fp16, aux):
+        with precision_scope(mcfg.matmul_precision):
+            x = pre_ops.preprocess(frames, mcfg.input_size,
+                                   dtype=jnp.dtype(mcfg.dtype))
+            out = yolo11.forward(params, x, mcfg, concat_preds=False)
+            det = decode_task_outputs(out, mcfg, pcfg, emit_masks="none")
+            boxes = det["boxes_xywh"][0]
+            prev = aux[13:17]
+            matched, idx = relock_match(
+                boxes, det["labels"][0], det["valid"][0], prev,
+                aux[17:19], gate_px=cfg.tracking_gate_px)
+            mask = synthesize_one_mask(det["coefs"][0], det["protos"][0],
+                                       idx)
+            pts = df.extract_points(
+                depth_fp16, mask, boxes[idx],
+                aux[0:2], aux[2:4], aux[4:6], aux[6:9], aux[9:13],
+                confidence_threshold=dcfg.confidence_threshold,
+                min_depth=dcfg.min_depth_m, max_depth=dcfg.max_depth_m,
+                sampling_step=step, mask_hw=(mh4, mw4))["packed"]
+            m = matched.astype(jnp.float32)
+            parts = [det["slate"][0],
+                     jnp.stack([m, idx.astype(jnp.float32)])]
+            if emit_target_mask:
+                parts.append(mask.reshape(-1).astype(jnp.float32) * m)
+            parts.append((pts * m).reshape(-1))
+            packed = jnp.concatenate(parts)
+            # coefs/protos stay device-resident for re-ID embeddings and
+            # between-frame laser extraction; never part of the DMA
+            return {"packed": packed, "coefs": det["coefs"],
+                    "protos": det["protos"]}
+
+    fn = jax.jit(_run)
+    return XRTickPipeline(cfg=cfg, params=params, fn=fn,
+                          input_shape=in_shape, depth_hw=tuple(depth_hw),
+                          slate_len=slate_len,
+                          mask_hw=(mh4, mw4) if emit_target_mask else None,
+                          n_points=n_points)
+
+
 def load_model(cfg: ExecutorConfig, params=None, seed: int = 0,
                **kw) -> CompiledPipeline:
     """LoadModel equivalent (IEExecutor.cs:380-387): build, then warm up."""

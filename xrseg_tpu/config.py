@@ -157,6 +157,14 @@ class ExecutorConfig:
     # synthesizes just the tracked target's mask on demand
     # (ops/masks.synthesize_one_mask), skipping the [B,50,h,w] HBM write.
     emit_masks: str = "all"
+    # transport-minimal XR tick (segment task): compile the per-frame
+    # re-lock match (IEExecutor.cs:485-526, ops/relock.py), target-mask
+    # synthesis AND depth fusion INTO the frame program, so a tracked
+    # frame is ONE dispatch + ONE packed readback instead of three
+    # serialized D2H round-trips (slate, mask gather, point fusion).
+    # Requires frames that carry depth_fp16 + pose + intrinsics; frames
+    # without them fall back to the classic pipeline.
+    fused_tick: bool = False
 
 
 # "Scene" presets — the reference's two scenes as configs.

@@ -113,6 +113,14 @@ class PointCloudExtractor:
         packed = np.asarray(out["packed"])          # ONE host transfer
         return self._collect(packed[:, :3], packed[:, 3], packed[:, 4] > 0.5)
 
+    def collect_packed(self, packed: np.ndarray) -> PointCloud:
+        """Fused-tick path (compile.build_xr_tick_pipeline): the fusion
+        kernel already ran inside the frame program; `packed` [N,5] =
+        xyz | depth | valid arrived in the frame's single readback. Only
+        the cap/color/backup-buffer semantics remain host-side."""
+        return self._collect(packed[:, :3], packed[:, 3],
+                             packed[:, 4] > 0.5)
+
     def _collect(self, pos, dep, valid) -> PointCloud:
         """CollectJobResults semantics (IEExecutor.cs:653-682)."""
         c = self.cfg

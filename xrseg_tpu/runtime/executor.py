@@ -110,6 +110,17 @@ class Executor:
         self.points = PointCloudExtractor(cfg.depth, backend=depth_backend)
         self.latency = LatencyCompensator(cfg.depth.latency_seconds)
 
+        # fused-tick mode (ExecutorConfig.fused_tick): the re-lock match
+        # + target-mask synthesis + depth fusion compile INTO the frame
+        # program (compile.build_xr_tick_pipeline) and a tracked frame
+        # costs ONE packed D2H instead of three serialized round-trips.
+        # Pipelines cache per (frame_hw, depth_hw) geometry.
+        if cfg.fused_tick and cfg.model.task != "segment":
+            raise ValueError("fused_tick requires task='segment'")
+        self._tick_pipes: "OrderedDict[tuple, object]" = OrderedDict()
+        self._inflight_fused = False
+        self._inflight_tick_pipe = None
+
         self._state = ExecState.IDLE
         self._inflight: Optional[dict] = None
         self._inflight_meta: Optional[FrameData] = None
@@ -184,7 +195,15 @@ class Executor:
                 self.pipeline = self._pipelines[hw]
                 self.frame_hw = hw
                 self.screen_wh = (float(hw[1]), float(hw[0]))
-            self._inflight = self.pipeline(frames)   # async: returns futures
+            fused = (self.cfg.fused_tick and frame.depth_fp16 is not None
+                     and frame.intrinsics is not None
+                     and self._depth_pose is not None)
+            if fused:
+                self._inflight = self._dispatch_fused(frame, frames)
+            else:
+                # async: the jit call returns futures immediately
+                self._inflight = self.pipeline(frames)
+            self._inflight_fused = fused
         self._inflight_meta = frame
         self._dispatch_t0 = time.perf_counter()
         self._state = ExecState.RUNNING
@@ -197,7 +216,8 @@ class Executor:
         Returns a FrameResult when a frame completes, else None."""
         if self._state == ExecState.RUNNING:
             # device still computing? (the time-slice analogue: never block)
-            probe = self._inflight["count"]
+            probe = self._inflight["packed" if self._inflight_fused
+                                   else "count"]
             if probe.is_ready():
                 self._state = ExecState.REQUESTING_OUTPUTS
             return None
@@ -276,6 +296,54 @@ class Executor:
         self._depth_pose = self.latency.compensate(frame.pose, dt)
         self._depth_frame = frame.depth_fp16
 
+    def _tick_pipe_for(self, hw: tuple, depth_hw: tuple):
+        """Get/compile the fused tick pipeline for this geometry."""
+        key = (tuple(hw), tuple(depth_hw))
+        pipe = self._tick_pipes.get(key)
+        if pipe is None:
+            from xrseg_tpu.compile import build_xr_tick_pipeline
+            with self.tracer.section("recompile"):
+                pipe = build_xr_tick_pipeline(
+                    self.cfg, self.pipeline.params, frame_hw=hw,
+                    depth_hw=depth_hw,
+                    emit_target_mask=self.cfg.enable_ui_rendering
+                ).warmup()
+            self._tick_pipes[key] = pipe
+            while len(self._tick_pipes) > self.max_cached_pipelines:
+                self._tick_pipes.popitem(last=False)
+        else:
+            self._tick_pipes.move_to_end(key)
+        return pipe
+
+    def _dispatch_fused(self, frame: FrameData, frames: np.ndarray):
+        """One-dispatch tracked tick: prev target box rides in as a jit
+        input; the program re-locks, synthesizes the matched mask and
+        fuses the point cloud on device (IEExecutor.cs:485-526,561-651
+        semantics — compile.XRTickPipeline)."""
+        import jax.numpy as jnp
+        pipe = self._tick_pipe_for(tuple(frames.shape[1:3]),
+                                   self._depth_frame.shape)
+        lb = self.tracker.locked_box
+        if self.tracker.is_tracking and lb is not None:
+            cx, cy, _, _ = box_to_model_space(
+                lb, self.screen_wh,
+                tuple(map(float, self.cfg.model.input_size)))
+            prev = (cx, cy, float(lb.label), 1.0)
+        else:
+            prev = (0.0, 0.0, -1.0, 0.0)
+        mh, mw = (float(v) for v in self.cfg.model.input_size)
+        intr = frame.intrinsics
+        aux = pipe.pack_aux(intr.focal_length, intr.principal_point,
+                            intr.resolution, self._depth_pose.position,
+                            self._depth_pose.rotation, prev,
+                            (self.screen_wh[0] / mw,
+                             self.screen_wh[1] / mh))
+        self._inflight_tick_pipe = pipe
+        return pipe(frames,
+                    jnp.asarray(np.ascontiguousarray(self._depth_frame,
+                                                     np.uint16)),
+                    jnp.asarray(aux))
+
     def _update_parallel_readbacks(self) -> None:
         """UpdateParallelReadbacks (IEExecutor.cs:419-456): start async host
         copies for the small outputs, then materialize on the next tick.
@@ -290,16 +358,24 @@ class Executor:
         IEExecutor.cs:446-449).
         """
         from xrseg_tpu.compile import unpack_slate
+        key = "packed" if self._inflight_fused else "slate"
         if not self._readbacks_initiated:
-            if self._inflight.get("slate") is None:
+            if self._inflight.get(key) is None:
                 self._state = ExecState.ERROR
                 return
-            self._inflight["slate"].copy_to_host_async()
+            self._inflight[key].copy_to_host_async()
             self._readbacks_initiated = True
             return
         with self.tracer.section("readback"):
-            self._host = unpack_slate(np.asarray(self._inflight["slate"][0]),
-                                      self.cfg.post.max_detections)
+            if self._inflight_fused:
+                # fused tick: slate + matched flag/index + target mask +
+                # fused points arrive in the ONE packed DMA
+                self._host = self._inflight_tick_pipe.unpack(
+                    np.asarray(self._inflight["packed"]))
+            else:
+                self._host = unpack_slate(
+                    np.asarray(self._inflight["slate"][0]),
+                    self.cfg.post.max_detections)
         self._state = ExecState.SUCCESS
 
     @staticmethod
@@ -398,8 +474,19 @@ class Executor:
         if not self.tracker.is_tracking:
             return result
 
-        # Case 2: tracking (IEExecutor.cs:485-526)
-        matched = self.tracker.update(self.current_frame_boxes)
+        # Case 2: tracking (IEExecutor.cs:485-526). In fused-tick mode the
+        # match already happened ON DEVICE (ops/relock.py) against the
+        # locked box we sent at dispatch; adopt its result and keep the
+        # host tracker state in sync (it remains the parity oracle —
+        # tests/test_relock.py asserts both agree).
+        if self._inflight_fused and "matched" in h:
+            matched = None
+            if h["matched"] and h["matched_index"] < len(
+                    self.current_frame_boxes):
+                matched = self.current_frame_boxes[h["matched_index"]]
+                self.tracker.locked_box = matched
+        else:
+            matched = self.tracker.update(self.current_frame_boxes)
         has_masks = self._has_mask_outputs(self._inflight)
         # per-frame dt for the masker's SmoothDamp (the reference damps from
         # Update() every frame, IEMasker.cs:65-80)
@@ -416,6 +503,17 @@ class Executor:
         if matched is not None:
             result.tracked = matched
             if not has_masks:          # detect-only task: boxes-only tracking
+                return result
+            if self._inflight_fused and "points_packed" in h:
+                # fused tick: mask + fused points came in the frame's one
+                # readback — no further device round-trips this frame
+                if self.cfg.enable_ui_rendering and "target_mask" in h:
+                    self.masker.draw_single_mask(matched, h["target_mask"],
+                                                 (int(self.screen_wh[0]),
+                                                  int(self.screen_wh[1])),
+                                                 dt)
+                result.point_cloud = self.points.collect_packed(
+                    h["points_packed"])
                 return result
             if self.cfg.enable_ui_rendering:
                 mask = self._fetch_target_mask(matched.index)
