@@ -165,6 +165,28 @@ def test_tracer_percentiles():
     assert s["x"]["p95_ms"] > 50
 
 
+def test_tracer_nested_sections_record_self_time():
+    # per-stage splits must SUM to frame time: a parent section's sample
+    # excludes its nested children (the r4 xr_probe "process" p50
+    # silently contained mask_fetch + depth_fusion — VERDICT r4 weak #4)
+    import time as _t
+    tr = Tracer()
+    with tr.section("outer"):
+        _t.sleep(0.02)
+        with tr.section("inner"):
+            _t.sleep(0.05)
+    s = tr.summary()
+    assert s["inner"]["p50_ms"] >= 45
+    assert s["outer"]["p50_ms"] < 45          # self time only (~20 ms)
+    # siblings both subtract from the same parent
+    with tr.section("outer"):
+        with tr.section("inner"):
+            _t.sleep(0.01)
+        with tr.section("inner"):
+            _t.sleep(0.01)
+    assert tr.summary()["outer"]["p95_ms"] < 45
+
+
 def test_streaming_runner_order_and_depth():
     from xrseg_tpu.compile import build_pipeline
     from xrseg_tpu.runtime.streaming import StreamingRunner
