@@ -188,8 +188,12 @@ def main() -> int:
     }
     print(json.dumps(row), flush=True)
     if args.out:
+        # canonical artifact: ONE bare object + trailing newline (the
+        # chip-evidence harvest additionally records the printed lines
+        # as an array under a different filename)
         with open(args.out, "w") as f:
             json.dump(row, f, indent=1)
+            f.write("\n")
     if weights == "reference .sentis":
         # the real-weights gate: every tracked frame must extract points
         return 0 if (point_counts and min(point_counts) > 0) else 1
