@@ -168,6 +168,12 @@ class ExecutorConfig:
 
 
 # "Scene" presets — the reference's two scenes as configs.
+# Both deploy STRETCH resize (the reference's ToTensor semantics,
+# IEExecutor.cs:370) — measured as the right default at BOTH scales:
+# the stretch-trained checkpoint wins mask mAP by 0.05-0.10 over
+# letterbox-trained in every deploy geometry (128² CPU and 640² chip
+# A/Bs, TRAINING.md "letterbox vs stretch";
+# artifacts/chip_r5/ab_letterbox_640.json).
 # TestScene: headset-free harness, code-default NMS thresholds (TestScene.unity:700-701,747).
 TEST_PRESET = ExecutorConfig(
     post=PostprocessConfig(iou_threshold=0.6, score_threshold=0.23),
