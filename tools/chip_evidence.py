@@ -70,6 +70,26 @@ def steps(out):
                    "--fg-power", "2.0", "--label-fraction", "0.1",
                    "--pure-arm", "--pseudo-arm",
                    "--out", f"{out}/ab_distill_640.json"], 10800))
+    # --- r5 queue: fused-tick probe, tracer-fixed classic split, o2o ---
+    s.append(("xr_probe_fused",
+              [PY, "tools/xr_probe.py", "--frames", "120", "--fused",
+               "--out", f"{out}/xr_probe_fused.json"], 2400))
+    s.append(("xr_probe_classic",
+              [PY, "tools/xr_probe.py", "--frames", "120",
+               "--out", f"{out}/xr_probe_classic.json"], 2400))
+    s.append(("o2o_latency_ab",
+              [PY, "tools/o2o_latency_ab.py", "--frames", "150",
+               "--out", f"{out}/o2o_latency_ab.json"], 2400))
+    if os.path.exists(SENTIS):
+        # o2o accuracy gap at schedule convergence (VERDICT r4 weak #5):
+        # 250 epochs x 16 steps = 4000 steps vs r4's 288/960
+        s.append(("ab_o2o_4k",
+                  [PY, "tools/ab_o2o.py", "--size", "96", "--epochs",
+                   "250", "--out", f"{out}/ab_o2o_4k.json"], 7200))
+    s.append(("ab_active640",
+              [PY, "tools/ab_active.py", "--size", "640", "--batch", "8",
+               "--epochs", "8", "--seed-epochs", "10",
+               "--out", f"{out}/ab_active_640.json"], 10800))
     return s
 
 
