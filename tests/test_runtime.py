@@ -75,6 +75,10 @@ def test_executor_run_sync_and_boxes(executor):
     assert r.latency_s > 0
     s = executor.tracer.summary()
     assert "dispatch" in s and "process" in s
+    # the dispatch->ready poll window is its own stage, so per-frame
+    # splits sum to frame time (r5: the dominant-but-implicit ~58 ms of
+    # the fused xr_probe frame)
+    assert "device_wait" in s and s["device_wait"]["count"] >= 1
 
 
 def test_executor_tracking_flow(executor):

@@ -149,6 +149,11 @@ def main() -> int:
                 timed_started = (results, time.perf_counter())
                 point_counts = []
                 lost = 0
+                # split hygiene: drop warmup/compile samples so the
+                # published per-stage p50s cover ONLY the timed window
+                # (r5: a single pre-window host depth-fusion call carried
+                # its 3.9 s compile into the fused artifact's split)
+                ex.tracer.reset()
             if n_after_lock >= args.warmup:
                 if r.tracked is not None:
                     point_counts.append(
@@ -170,8 +175,8 @@ def main() -> int:
     n_timed = results - timed_started[0]
     stages = ex.tracer.summary()
     split = {k: round(v.get("p50_ms", 0.0), 2) for k, v in stages.items()
-             if k in ("dispatch", "readback", "process", "mask_fetch",
-                      "depth_fusion")}
+             if k in ("dispatch", "device_wait", "readback", "process",
+                      "mask_fetch", "depth_fusion")}
     row = {
         "metric": "xr_tick_full_loop_fps",
         "value": round(n_timed / elapsed, 2),

@@ -208,6 +208,18 @@ class Executor:
         self._dispatch_t0 = time.perf_counter()
         self._state = ExecState.RUNNING
         self._readbacks_initiated = False
+        # eager D2H: enqueue the readback NOW so the transfer starts
+        # device-side the moment compute finishes, overlapping the
+        # readiness-poll round-trips instead of following them (the
+        # state machine is unchanged — REQUESTING_OUTPUTS just finds the
+        # copy already in flight)
+        out = self._inflight.get("packed" if fused else "slate")
+        if out is not None:
+            try:
+                out.copy_to_host_async()
+                self._readbacks_initiated = True
+            except Exception:
+                pass   # backend without async copies: initiate later
         self.tracer.count("frames_dispatched")
         return True
 
@@ -215,10 +227,22 @@ class Executor:
         """Per-tick state machine (UpdateInference, IEExecutor.cs:389-417).
         Returns a FrameResult when a frame completes, else None."""
         if self._state == ExecState.RUNNING:
-            # device still computing? (the time-slice analogue: never block)
+            # device still computing? (the time-slice analogue: never
+            # block). Poll the SAME array the readback will consume: on
+            # the tunneled backend readiness tracks the local buffer, so
+            # polling "count" while reading "slate" leaves the slate's
+            # eager D2H copy unobserved and np.asarray pays a fresh
+            # round-trip (measured r5: fused readback 0.18 ms polling
+            # "packed" vs classic 29.7 ms polling "count")
             probe = self._inflight["packed" if self._inflight_fused
-                                   else "count"]
+                                   else "slate"]
             if probe.is_ready():
+                # account the dispatch->ready window as its own stage so
+                # per-frame splits SUM to frame time (on the tunneled dev
+                # chip this is device compute + transport, ~58 ms/frame —
+                # the dominant cost the r5 xr_probe split left implicit)
+                self.tracer.stages["device_wait"].add(
+                    time.perf_counter() - self._dispatch_t0)
                 self._state = ExecState.REQUESTING_OUTPUTS
             return None
 
@@ -359,10 +383,12 @@ class Executor:
         """
         from xrseg_tpu.compile import unpack_slate
         key = "packed" if self._inflight_fused else "slate"
+        if self._inflight.get(key) is None:
+            # missing output buffer (checked every tick: the eager
+            # dispatch-time copy may have marked readbacks initiated)
+            self._state = ExecState.ERROR
+            return
         if not self._readbacks_initiated:
-            if self._inflight.get(key) is None:
-                self._state = ExecState.ERROR
-                return
             self._inflight[key].copy_to_host_async()
             self._readbacks_initiated = True
             return
@@ -373,8 +399,11 @@ class Executor:
                 self._host = self._inflight_tick_pipe.unpack(
                     np.asarray(self._inflight["packed"]))
             else:
+                # transfer the whole [1, L] slate and index on HOST:
+                # slate[0] on a jax array is a device slice op whose
+                # result cannot reuse the copy_to_host_async-warmed copy
                 self._host = unpack_slate(
-                    np.asarray(self._inflight["slate"][0]),
+                    np.asarray(self._inflight["slate"])[0],
                     self.cfg.post.max_detections)
         self._state = ExecState.SUCCESS
 
