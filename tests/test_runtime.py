@@ -81,6 +81,17 @@ def test_executor_run_sync_and_boxes(executor):
     assert "device_wait" in s and s["device_wait"]["count"] >= 1
 
 
+def test_executor_eager_readback_initiated_at_dispatch(executor):
+    # the D2H copy is enqueued AT dispatch so the transfer overlaps the
+    # readiness-poll window (r5: slate readback 29.7 -> 0.17 ms on chip);
+    # regression pin: the eager path must engage on a normal dispatch
+    assert executor.run_inference(_frame(21))
+    assert executor._readbacks_initiated
+    while executor.update() is None and executor.is_running():
+        pass
+    executor.update()   # CLEANUP -> COMPLETED
+
+
 def test_executor_tracking_flow(executor):
     r = executor.run_sync(_frame(3))
     assert r.count > 0, "fixture weights must always detect"
