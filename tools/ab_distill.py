@@ -207,6 +207,7 @@ def main() -> int:
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1, default=float)
+            f.write("\n")
     return 0
 
 
