@@ -52,7 +52,15 @@ def main() -> int:
                     help="transport-minimal tick (ExecutorConfig."
                          "fused_tick): device-side re-lock + mask + "
                          "depth fusion, ONE packed readback per frame")
+    ap.add_argument("--pipelined", type=int, default=0, metavar="DEPTH",
+                    help="run the TIMED window through PipelinedTickRunner "
+                         "at this depth (requires --fused): frame N+1 "
+                         "dispatches with a one-result-stale re-lock box "
+                         "while frame N is still on device, overlapping "
+                         "the dispatch->ready transport windows")
     args = ap.parse_args()
+    if args.pipelined and not args.fused:
+        ap.error("--pipelined requires --fused")
 
     if args.cpu:
         import jax
@@ -154,6 +162,8 @@ def main() -> int:
                 # (r5: a single pre-window host depth-fusion call carried
                 # its 3.9 s compile into the fused artifact's split)
                 ex.tracer.reset()
+                if args.pipelined:
+                    break              # timed window runs pipelined below
             if n_after_lock >= args.warmup:
                 if r.tracked is not None:
                     point_counts.append(
@@ -171,8 +181,32 @@ def main() -> int:
                           "results": results}), flush=True)
         return 1
 
-    elapsed = t_last - timed_started[1]
-    n_timed = results - timed_started[0]
+    if args.pipelined:
+        # timed window: depth-K pipelined fused ticks (every submit is a
+        # real frame — no readiness-poll ticks consuming frames)
+        from xrseg_tpu.runtime.streaming import PipelinedTickRunner
+        runner = PipelinedTickRunner(ex, depth=args.pipelined)
+        timed_started = (0, time.perf_counter())
+        t_last = timed_started[1]
+        n_timed = 0
+        for fd in frames_iter:
+            r = runner.submit(fd)
+            if r is None:
+                continue               # fill phase (depth-1 frames)
+            n_timed += 1
+            if r.tracked is not None:
+                point_counts.append(
+                    len(r.point_cloud.positions)
+                    if r.point_cloud is not None else 0)
+            else:
+                lost += 1
+            t_last = time.perf_counter()
+            if n_timed >= args.frames:
+                break
+        elapsed = t_last - timed_started[1]
+    else:
+        elapsed = t_last - timed_started[1]
+        n_timed = results - timed_started[0]
     stages = ex.tracer.summary()
     split = {k: round(v.get("p50_ms", 0.0), 2) for k, v in stages.items()
              if k in ("dispatch", "device_wait", "readback", "process",
@@ -190,6 +224,7 @@ def main() -> int:
         "points_p50": int(np.median(point_counts)) if point_counts else 0,
         "stage_p50_ms": split,
         "fused_tick": bool(args.fused),
+        "pipelined_depth": args.pipelined,
     }
     print(json.dumps(row), flush=True)
     if args.out:
