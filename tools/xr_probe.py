@@ -181,51 +181,77 @@ def main() -> int:
                           "results": results}), flush=True)
         return 1
 
+    def make_row(n, secs, pts, n_lost, depth):
+        stages = ex.tracer.summary()
+        split = {k: round(v.get("p50_ms", 0.0), 2)
+                 for k, v in stages.items()
+                 if k in ("dispatch", "device_wait", "readback", "process",
+                          "mask_fetch", "depth_fusion")}
+        return {
+            "metric": "xr_tick_full_loop_fps",
+            "value": round(n / secs, 2),
+            "unit": "tracked frames/sec (dispatch+slate+track+mask+"
+                    "depth-fusion+pointcloud)",
+            "vs_baseline": round(n / secs / 30.0, 2),
+            "weights": weights,
+            "frames_timed": n,
+            "lost_frames": n_lost,
+            "points_min": int(min(pts)) if pts else 0,
+            "points_p50": int(np.median(pts)) if pts else 0,
+            "stage_p50_ms": split,
+            "fused_tick": bool(args.fused),
+            "pipelined_depth": depth,
+        }
+
     if args.pipelined:
-        # timed window: depth-K pipelined fused ticks (every submit is a
-        # real frame — no readiness-poll ticks consuming frames)
+        # timed windows: SAME-process A/B — depth=1 first (pinned by
+        # tests/test_pipelined.py as exactly the sequential fused tick),
+        # then depth=K. Cross-process pairs drift ±25% on the tunnel;
+        # this pair shares one process, one compile, one channel.
         from xrseg_tpu.runtime.streaming import PipelinedTickRunner
-        runner = PipelinedTickRunner(ex, depth=args.pipelined)
-        timed_started = (0, time.perf_counter())
-        t_last = timed_started[1]
-        n_timed = 0
-        for fd in frames_iter:
-            r = runner.submit(fd)
-            if r is None:
-                continue               # fill phase (depth-1 frames)
-            n_timed += 1
-            if r.tracked is not None:
-                point_counts.append(
-                    len(r.point_cloud.positions)
-                    if r.point_cloud is not None else 0)
-            else:
-                lost += 1
-            t_last = time.perf_counter()
-            if n_timed >= args.frames:
-                break
-        elapsed = t_last - timed_started[1]
-    else:
-        elapsed = t_last - timed_started[1]
-        n_timed = results - timed_started[0]
-    stages = ex.tracer.summary()
-    split = {k: round(v.get("p50_ms", 0.0), 2) for k, v in stages.items()
-             if k in ("dispatch", "device_wait", "readback", "process",
-                      "mask_fetch", "depth_fusion")}
-    row = {
-        "metric": "xr_tick_full_loop_fps",
-        "value": round(n_timed / elapsed, 2),
-        "unit": "tracked frames/sec (dispatch+slate+track+mask+"
-                "depth-fusion+pointcloud)",
-        "vs_baseline": round(n_timed / elapsed / 30.0, 2),
-        "weights": weights,
-        "frames_timed": n_timed,
-        "lost_frames": lost,
-        "points_min": int(min(point_counts)) if point_counts else 0,
-        "points_p50": int(np.median(point_counts)) if point_counts else 0,
-        "stage_p50_ms": split,
-        "fused_tick": bool(args.fused),
-        "pipelined_depth": args.pipelined,
-    }
+        rows = []
+        depths = [1, args.pipelined] if args.pipelined > 1 \
+            else [args.pipelined]
+        for depth in depths:
+            ex.tracer.reset()
+            runner = PipelinedTickRunner(ex, depth=depth)
+            t0 = time.perf_counter()
+            t_last = t0
+            n_timed = 0
+            point_counts = []
+            lost = 0
+            for fd in frames_iter:
+                r = runner.submit(fd)
+                if r is None:
+                    continue           # fill phase (depth-1 frames)
+                n_timed += 1
+                if r.tracked is not None:
+                    point_counts.append(
+                        len(r.point_cloud.positions)
+                        if r.point_cloud is not None else 0)
+                else:
+                    lost += 1
+                t_last = time.perf_counter()
+                if n_timed >= args.frames:
+                    break
+            for _ in runner.drain():   # leftover in-flight, untimed
+                pass
+            row = make_row(n_timed, t_last - t0, point_counts, lost, depth)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        if args.out:
+            payload = rows[-1] if len(rows) == 1 else {
+                f"depth{d}": r for d, r in zip(depths, rows)}
+            with open(args.out, "w") as f:
+                json.dump(payload, f, indent=1)
+                f.write("\n")
+        if weights == "reference .sentis":
+            return 0 if (point_counts and min(point_counts) > 0) else 1
+        return 0 if point_counts else 1
+
+    elapsed = t_last - timed_started[1]
+    n_timed = results - timed_started[0]
+    row = make_row(n_timed, elapsed, point_counts, lost, 0)
     print(json.dumps(row), flush=True)
     if args.out:
         # canonical artifact: ONE bare object + trailing newline (the
